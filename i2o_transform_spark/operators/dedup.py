@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, preference-ranked, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Reference analogues:
+* DISTINCT-on-every-insert (MSSQL/OMOPLoader.sql:954, 1026, 1216) -> exact
+  dedup, but keyed (dropDuplicates on the natural key, not the full row —
+  a full-row shuffle at 10^12 rows is the reference's anti-pattern).
+* anti-join "skip already-inserted" (MSSQL/OMOPLoader.sql:549, 770) +
+  branch-priority insert order -> preference_dedup (row_number over an
+  explicit priority, SURVEY.md W2/J9).
+* near-dup operators are the web-scale extension: candidate generation must
+  be LSH-bucketed (band join) — the all-pairs join is quadratic and only
+  acceptable as a small-scale oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.functions.hashing import (
+    hamming64,
+    minhash_bands,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, dup_count, min_id) for
+    groups with >1 member.  Hash-groupBy: one shuffle on a 32-char key, never
+    on the full text (scale: the hash is computed map-side, the text column
+    is pruned before the exchange)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def preference_dedup(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """W2: one winner per key by explicit priority
+    (MSSQL/OMOPLoader.sql:1259-1265 — row_number over CASE-ranked order).
+    Also replaces the reference's 7-branch demographics anti-join cascade
+    (J9/J10, :549-682) with a single shuffle."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join: explode distinct shingles -> self-join on shingle ->
+    |intersection| per pair -> Jaccard via inclusion-exclusion.  The shingle
+    join IS the candidate generator; at 100 TB the high-frequency shingles
+    must be dropped first (df-cut) — we drop shingles appearing in > 10% of
+    docs (stopword shingles generate quadratic candidates and can never
+    contribute enough weight to clear the threshold alone).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    n_docs = df.count()
+    df_cut = max(2, int(n_docs * 0.10))
+    common = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= df_cut)
+    sh_f = sh.join(common.select("sh"), "sh")
+    a = sh_f.select(F.col("_id").alias("id_a"), "sh")
+    b = sh_f.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> minhash signature (map-side, no shuffle) -> band bucket keys
+    -> explode bands -> self-join on (band bucket) = candidate pairs ->
+    verify with exact signature-estimated Jaccard >= threshold.
+    This is the scale path: candidates are generated per-bucket, never
+    all-pairs; bucket skew is bounded because identical band-slices imply
+    near-identical docs.
+    Returns (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.array_distinct(shingles(text_col, n)), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("bucket"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"), "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_siga", "_sigb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit simhash per doc, block on the
+    four 16-bit chunks (a pair within hamming distance <= 3 must agree on at
+    least one chunk; wider distances need more blocks — we block on all four
+    16-bit chunks which guarantees recall for distance <= 3 and is a strong
+    heuristic up to ``max_hamming``), verify with exact bit_count.
+    Returns (id_a, id_b, hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(F.array_distinct(shingles(text_col, n))).alias("_sim"),
+    )
+    chunks = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright(F.col("_sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("block"),
+    )
+    a = chunks.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sa"), "block")
+    b = chunks.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sb"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

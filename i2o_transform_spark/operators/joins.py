@@ -1,0 +1,131 @@
+"""Join operators — SURVEY.md §2.3 (J1-J13).
+
+The reference's heart is dictionary equi-joins of a huge EAV fact table
+against small ontology tables, plus a two-hop 'Maps to' vocabulary-graph
+walk.  Spark-first mapping:
+
+* small side  -> broadcast() ALWAYS (the reference instead indexes the probe
+  key, MSSQL/OMOPLoader.sql:772-913 — no indexes in Spark; broadcast removes
+  the shuffle entirely).
+* skewed hot keys ("Millions of records (7k codes)",
+  MSSQL/OMOPLoader.sql:858) -> salted-key join: explode the small side over
+  `salt_buckets` replicas, salt the big side with pmod(xxhash64(...)).
+  AQE skew-join remains enabled as a backstop for shuffle joins.
+* expression join keys (J5: substring/charindex inside the ON clause,
+  MSSQL/OMOPLoader.sql:744-747) -> derive the key column FIRST, then
+  equi-join, so Catalyst can plan a hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dictionary_join(
+    facts: DataFrame,
+    vocab: DataFrame,
+    fact_key: str,
+    vocab_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2: fact -> ontology dictionary lookup via broadcast hash join
+    (MSSQL/OMOPLoader.sql:1046, 1224: i2b2fact.concept_cd = ont.c_basecode)."""
+    return facts.join(
+        F.broadcast(vocab), facts[fact_key] == vocab[vocab_key], how
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the small side ``salt_buckets``
+    times, salt the big side deterministically, join on (key, salt).
+
+    This is the explicit hot-key treatment SURVEY.md §4 calls for (the
+    reference's "7k codes -> millions of rows" skew,
+    MSSQL/OMOPLoader.sql:858).  Use when `small` is too big to broadcast but
+    the key distribution on `big` is skewed; for broadcastable dims prefer
+    dictionary_join (no shuffle at all).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(1)), F.lit(salt_buckets))
+    big_s = big.withColumn("_salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_s.join(small_s, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def two_hop_maps_to(
+    source_codes: DataFrame,
+    concept: DataFrame,
+    concept_rel: DataFrame,
+    code_col: str = "std_code",
+    vocab_col: str = "vocabulary_id",
+) -> DataFrame:
+    """J4: source code -> concept node -> 'Maps to' edge -> standard target.
+
+    Reference: MSSQL/OMOPLoader.sql:744-761 — join concept on
+    (concept_code, vocabulary_id), walk concept_relationship rows with
+    relationship_id='Maps to', land on target concepts filtered
+    standard_concept='S' AND invalid_reason IS NULL.  Both vocab tables are
+    broadcast; the output is the crosswalk that gets persisted once and
+    re-broadcast at use time (OMOPBuildMapping, :714-917).
+    """
+    src_concept = concept.select(
+        F.col("concept_id").alias("src_concept_id"),
+        F.col("concept_code"),
+        F.col("vocabulary_id").alias("src_vocabulary_id"),
+        F.col("domain_id").alias("src_domain_id"),
+    )
+    tgt_concept = concept.where(
+        (F.col("standard_concept") == "S") & F.col("invalid_reason").isNull()
+    ).select(
+        F.col("concept_id").alias("mapped_id"),
+        F.col("domain_id").alias("mapped_domain"),
+        F.col("concept_name").alias("mapped_name") if "concept_name" in concept.columns
+        else F.lit(None).cast("string").alias("mapped_name"),
+    )
+    maps_to = concept_rel.where(F.col("relationship_id") == "Maps to").select(
+        F.col("concept_id_1"), F.col("concept_id_2")
+    )
+    return (
+        source_codes.join(
+            F.broadcast(src_concept),
+            (source_codes[code_col] == src_concept.concept_code)
+            & (source_codes[vocab_col] == src_concept.src_vocabulary_id),
+            "inner",
+        )
+        .join(
+            F.broadcast(maps_to),
+            F.col("src_concept_id") == maps_to.concept_id_1,
+            "inner",
+        )
+        .join(
+            F.broadcast(tgt_concept),
+            maps_to.concept_id_2 == tgt_concept.mapped_id,
+            "inner",
+        )
+        .drop("concept_id_1", "concept_id_2", "concept_code")
+    )
+
+
+def decorrelated_scalar_agg(
+    base: DataFrame,
+    facts: DataFrame,
+    key: str,
+    agg_col: Column,
+    out_name: str,
+    how: str = "left",
+) -> DataFrame:
+    """A4: replace a correlated scalar subquery with one pre-aggregation +
+    left join (end-date imputation, MSSQL/OMOPLoader.sql:957-958 — the
+    reference authors note the correlated form is slow; one pass over the
+    fact table instead of N)."""
+    agg = facts.groupBy(key).agg(agg_col.alias(out_name))
+    return base.join(agg, on=key, how=how)

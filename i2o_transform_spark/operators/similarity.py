@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(Q*N), acceptable when the query
+set is broadcastable.  Scale path: LSH-bucketed (random hyperplane signs)
+candidate pruning — each doc lands in one bucket per table, queries probe
+their bucket(s) only.
+
+Dot products use F.zip_with + F.aggregate in double precision, sequential
+left-to-right — JVM-side, deterministic, and reproducible by the DuckDB
+oracle (list_cosine_similarity).  A vectorized pandas UDF alternative exists
+for very high dimensions; at 64-1024 dims the built-in expression wins by
+staying inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set against the corpus,
+    rank per query.  One shuffle (the per-query top-k window); at scale the
+    window is replaced by a partial top-k per partition via AQE — Catalyst
+    already pushes the rank filter into the window (TopK optimization).
+    Returns (query_id, vec_id, rank)."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.where(F.col(id_col) != F.col(q_id_col)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )
+
+
+def _hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: one sign bit per plane, packed into a
+    long.  Planes are fixed constants -> pure codegen expressions."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.lit(0.0)
+        # constant-folded per-dimension multiply-add
+        for d, w in enumerate(plane):
+            if w != 0.0:
+                dot = dot + F.element_at(vec, d + 1).cast("double") * F.lit(w)
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def _fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure function of seed)."""
+    planes = []
+    state = seed
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64* PRNG — frozen, dependency-free
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    dim: int = 64,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join instead of a cross
+    join.  Corpus vectors hash to one bucket; queries probe their own bucket.
+    At 10^12 vectors this replaces the O(Q*N) scan with O(Q*N/2^planes) —
+    the bucket key join shuffles only the bucketed candidates.
+    Returns (query_id, vec_id, rank) — approximate (recall < 1)."""
+    planes = _fixed_planes(dim, num_planes)
+    c = corpus.withColumn("_bucket", _hyperplane_sig(F.col(vec_col), planes))
+    q = queries.withColumn("_bucket", _hyperplane_sig(F.col(q_vec_col), planes))
+    joined = c.join(F.broadcast(q), "_bucket")
+    scored = joined.where(F.col(id_col) != F.col(q_id_col)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )

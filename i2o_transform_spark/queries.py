@@ -1,0 +1,1231 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2) plus the
+web-scale training-data operators (dedup / similarity / text analysis /
+multimodal / KG extraction).
+
+Each query is a (spark, sf_dir) -> DataFrame callable registered with an
+optional ANSI-SQL oracle string that DuckDB runs over the same parquet tables.
+Column names and types are aligned between the two on purpose — the driver's
+comparator sorts columns by name and hashes values.
+
+Determinism rules used throughout:
+* aggregated doubles are cast to DECIMAL *before* summing (exact arithmetic on
+  both engines; double sums depend on accumulation order and would not hash-
+  match),
+* every LIMIT sits on an explicit total ordering,
+* int-ish derived columns are cast to long (DuckDB counts/ranks are BIGINT).
+
+Reference citations (`MSSQL/...:<line>`) point at /root/reference/ and mark
+which stored-procedure semantics each query re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.functions.text import (
+    codelist_explode,
+    path_segment,
+    prefix_strip,
+    truncate_source_value,
+)
+from i2o_transform_spark.functions.textstats import (
+    doc_fingerprint,
+    language_scores,
+    quality_columns,
+    token_count,
+)
+from i2o_transform_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    preference_dedup,
+    simhash_near_dupes,
+)
+from i2o_transform_spark.operators.intervals import merge_intervals
+from i2o_transform_spark.operators.joins import decorrelated_scalar_agg
+from i2o_transform_spark.operators.multimodal import extract_media_metadata
+from i2o_transform_spark.operators.reconcile import reconciliation_report
+from i2o_transform_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from i2o_transform_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.6 sorts-limits — cohort sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "s2_cohort_sample",
+    oracle="""
+    SELECT o_custkey AS entity_num
+    FROM (SELECT DISTINCT o_custkey FROM orders) t
+    ORDER BY entity_num
+    LIMIT 20
+    """,
+)
+def s2_cohort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O2: OMOPprep cohort sampling (MSSQL/OMOPLoader.sql:1901-1925) —
+    `SELECT DISTINCT TOP n` made deterministic via explicit ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_custkey").alias("entity_num"))
+        .distinct()
+        .orderBy("entity_num")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+_PATH_EXPR = None  # built inline below
+
+
+def _nation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-path construction: \\KG\\<region>\\<nation>\\ — the i2b2
+    c_fullname shape (deprecated/PCORNET_DEMO.csv:1)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_nationkey",
+        F.concat(
+            F.lit("\\KG\\"), F.col("r_name"), F.lit("\\"), F.col("n_name"), F.lit("\\")
+        ).alias("path"),
+    )
+
+
+_NATION_PATHS_SQL = r"""
+    SELECT n_nationkey,
+           '\KG\' || r_name || '\' || n_name || '\' AS path
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@query(
+    "p1_path_prefix",
+    oracle=f"""
+    WITH paths AS ({_NATION_PATHS_SQL})
+    SELECT n_nationkey, path FROM paths
+    WHERE starts_with(path, '\\KG\\AMERICA\\')
+    """,
+)
+def p1_path_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: ontology subtree selection via path prefix
+    (c_fullname LIKE '\\PCORI\\...%', MSSQL/OMOPLoader.sql:1017) — sargable
+    startswith, partition-prunable at scale."""
+    return _nation_paths(spark, sf_dir).where(
+        F.col("path").startswith("\\KG\\AMERICA\\")
+    )
+
+
+@query(
+    "f1_stringpart",
+    oracle=f"""
+    WITH paths AS ({_NATION_PATHS_SQL})
+    SELECT n_nationkey,
+           string_split(path, '\\')[2] AS seg1,
+           string_split(path, '\\')[3] AS seg2,
+           string_split(path, '\\')[4] AS seg3
+    FROM paths
+    """,
+)
+def f1_stringpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: dbo.stringpart WHILE/CHARINDEX loop (MSSQL/OMOPLoader.sql:259-282)
+    as a pure split()[n] — no UDF."""
+    p = _nation_paths(spark, sf_dir)
+    return p.select(
+        "n_nationkey",
+        path_segment("path", 1).alias("seg1"),
+        path_segment("path", 2).alias("seg2"),
+        path_segment("path", 3).alias("seg3"),
+    )
+
+
+@query(
+    "p2_regex_class",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE regexp_matches(text, '^[a-m]')
+    GROUP BY lang
+    """,
+)
+def p2_regex_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: T-SQL char-class LIKE '[V]%' (MSSQL/OMOPLoader.sql:758-761) as
+    rlike on an anchored class."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").rlike("^[a-m]"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "p3_null_default",
+    oracle="""
+    SELECT coalesce(nullif(o_orderstatus, 'P'), 'XX') AS status_cd,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def p3_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F5: isnull/NVL defaulting chains (MSSQL/OMOPLoader.sql:548, 1437)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("XX")).alias(
+            "status_cd"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "p6_truncate50",
+    oracle="""
+    SELECT lang, COUNT(DISTINCT substring(text, 1, 50)) AS n_prefixes
+    FROM documents GROUP BY lang
+    """,
+)
+def p6_truncate50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: varchar(50) truncating projection — truncation is semantics
+    (MSSQL/OMOPLoader.sql:537, 1216-1219)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count_distinct(truncate_source_value("text")).alias("n_prefixes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_dict_broadcast_join",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j1_dict_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: THE fact->ontology dictionary equi-join
+    (i2b2fact.concept_cd = ont.c_basecode, MSSQL/OMOPLoader.sql:1046) —
+    broadcast hash join, zero shuffle on the fact side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "j3_composite_reassembly",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_quantity AS qty1 FROM lineitem WHERE l_linenumber = 1
+    ), m2 AS (
+      SELECT l_orderkey, l_quantity AS qty2 FROM lineitem WHERE l_linenumber = 2
+    ), m3 AS (
+      SELECT l_orderkey, l_quantity AS qty3 FROM lineitem WHERE l_linenumber = 3
+    )
+    SELECT base.l_orderkey, base.qty1, m2.qty2, m3.qty3
+    FROM base LEFT JOIN m2 USING (l_orderkey) LEFT JOIN m3 USING (l_orderkey)
+    """,
+)
+def j3_composite_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U4: modifier temp-table reassembly — base facts left-joined to
+    per-modifier extracts (MSSQL/OMOPLoader.sql:1371-1487).  One left join
+    per modifier column, all on the shared natural key."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    base = li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey", qty.alias("qty1")
+    )
+    m2 = li.where(F.col("l_linenumber") == 2).select("l_orderkey", qty.alias("qty2"))
+    m3 = li.where(F.col("l_linenumber") == 3).select("l_orderkey", qty.alias("qty3"))
+    return base.join(m2, "l_orderkey", "left").join(m3, "l_orderkey", "left")
+
+
+@query(
+    "j4_two_hop_join",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j4_two_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: two-hop vocabulary-graph walk (concept -> 'Maps to' -> concept,
+    MSSQL/OMOPLoader.sql:744-761) — chained broadcast joins."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j5_expression_key_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events
+    FROM (
+      SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+      FROM events
+    ) e
+    JOIN customer ON e.k = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j5_expression_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: theta/expression join — the key is computed
+    (substring/charindex over the path, MSSQL/OMOPLoader.sql:744-747).
+    Spark-first: derive the key column FIRST, then equi-join so Catalyst
+    plans a hash join instead of a theta join."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    keyed = ev.select(
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long").alias("k")
+    )
+    return (
+        keyed.join(F.broadcast(cust), keyed.k == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "j8_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j8_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: cohort semi-join (patient_num IN (SELECT ...),
+    MSSQL/OMOPLoader.sql:48, 1652)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j9_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j9_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: incremental-dedup anti-join (patient_num NOT IN (...),
+    MSSQL/OMOPLoader.sql:549, 770)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j11_left_enrichment",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def j11_left_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: left-outer enrichment joins (provider/care_site/units,
+    MSSQL/OMOPLoader.sql:963-965, 1449-1450) — broadcast left join + default."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "j13_full_outer",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           (cn.nationkey IS NOT NULL) AS has_customers,
+           (sn.nationkey IS NOT NULL) AS has_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def j13_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: full outer reconciliation (HealthPro <-> Constrack,
+    PHS_MRN_PID_mapping/HealthProView.sql:10)."""
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("cn_key"))
+        .distinct()
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("sn_key"))
+        .distinct()
+    )
+    j = cn.join(sn, cn.cn_key == sn.sn_key, "full_outer")
+    return j.select(
+        F.coalesce(F.col("cn_key"), F.col("sn_key")).alias("nationkey"),
+        F.col("cn_key").isNotNull().alias("has_customers"),
+        F.col("sn_key").isNotNull().alias("has_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship agg (TPC-H Q1 shape): partial/final hash aggregation over the
+    big fact table — the reference's per-domain summary pattern (A1/A6).
+    Decimal arithmetic keeps both engines exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("2000-01-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a1_observation_period",
+    oracle="""
+    SELECT o_custkey AS entity_num,
+           MIN(CAST(o_orderdate AS DATE)) AS period_start,
+           MAX(CAST(o_orderdate AS DATE)) AS period_end,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a1_observation_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-entity observation period (min/max visit dates,
+    MSSQL/OMOPLoader.sql:986-994)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("entity_num")).agg(
+        F.min(F.to_date("o_orderdate")).alias("period_start"),
+        F.max(F.to_date("o_orderdate")).alias("period_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "a2_group_max_election",
+    oracle="""
+    SELECT l_orderkey, MAX(l_suppkey) AS elected_supp
+    FROM lineitem WHERE l_suppkey <> 0
+    GROUP BY l_orderkey
+    """,
+)
+def a2_group_max_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: representative election via MAX, sentinel excluded
+    (visit_provids MAX(provider_id) excluding '@',
+    MSSQL/OMOPLoader.sql:1916-1922)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_suppkey") != 0)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_suppkey").alias("elected_supp"))
+    )
+
+
+@query(
+    "a4_decorrelated_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(m.max_ship, CAST(o_orderdate AS DATE) + 30) AS imputed_end
+    FROM orders
+    LEFT JOIN (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS max_ship
+      FROM lineitem GROUP BY l_orderkey
+    ) m ON o_orderkey = m.l_orderkey
+    """,
+)
+def a4_decorrelated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: end-date imputation — correlated scalar subquery
+    (MSSQL/OMOPLoader.sql:957-958) decorrelated into one pre-aggregation +
+    left join (one pass over the fact table instead of N)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.to_date("l_shipdate").alias("_ship")
+    )
+    out = decorrelated_scalar_agg(
+        o, li, "o_orderkey", F.max("_ship"), "max_ship"
+    )
+    return out.select(
+        "o_orderkey",
+        F.coalesce(
+            F.col("max_ship"), F.date_add(F.to_date("o_orderdate"), 30)
+        ).alias("imputed_end"),
+    )
+
+
+@query(
+    "a5_distinct_dedup",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a5_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: DISTINCT as dedup operator (MSSQL/OMOPLoader.sql:954)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "a6_reconciliation_report",
+    oracle="""
+    SELECT 'orders' AS stage, COUNT(*) AS rows,
+           COUNT(DISTINCT o_custkey) AS distinct_entities FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey) FROM lineitem
+    UNION ALL
+    SELECT 'events', COUNT(*), COUNT(DISTINCT user_id) FROM events
+    """,
+)
+def a6_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the i2oreport count-reconciliation harness
+    (MSSQL/OMOPLoader.sql:1996-2097, table :511-515)."""
+    return reconciliation_report(
+        [
+            (_t(spark, sf_dir, "orders"), "orders", "o_custkey"),
+            (_t(spark, sf_dir, "lineitem"), "lineitem", "l_orderkey"),
+            (_t(spark, sf_dir, "events"), "events", "user_id"),
+        ]
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "a7_pivot_conditional",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click_v,
+           CAST(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error_v,
+           CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_v,
+           CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup_v,
+           CAST(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view_v
+    FROM events GROUP BY user_id
+    """,
+)
+def a7_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: tall->wide pivot via conditional aggregation (Oracle vitals,
+    Oracle/OMOPLoader_ora.sql:1352-1421).  Explicit pivot values -> single
+    shuffle, no value-discovery pre-pass."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"))
+    )
+    renames = {t: f"{t}_v" for t in _EVENT_TYPES}
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv
+
+
+@query(
+    "a9_dup_groups",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+    """,
+)
+def a9_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: duplicate-group QA probe (dev/add_omop_codes.sql:218-221)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "w1_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS entity_id,
+             CAST(o_orderdate AS DATE) AS _start,
+             CAST(o_orderdate AS DATE) + 14 AS _end
+      FROM orders
+    ), flagged AS (
+      SELECT entity_id, _start, _end,
+             CASE WHEN _start > MAX(_end) OVER w + 30 THEN 1
+                  WHEN MAX(_end) OVER w IS NULL THEN 1
+                  ELSE 0 END AS _new_era
+      FROM iv
+      WINDOW w AS (PARTITION BY entity_id ORDER BY _start, _end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), eras AS (
+      SELECT entity_id, _start, _end,
+             SUM(_new_era) OVER (PARTITION BY entity_id ORDER BY _start, _end
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _era_id
+      FROM flagged
+    )
+    SELECT entity_id, MIN(_start) AS era_start, MAX(_end) AS era_end,
+           COUNT(*) AS era_count
+    FROM eras GROUP BY entity_id, _era_id
+    """,
+)
+def w1_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the era/interval-merge algorithm (condition_era/drug_era,
+    MSSQL/OMOPLoader.sql:1508-1630) — gaps-and-islands with two window
+    passes over one shuffle; no range join (J7 avoided)."""
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.to_date("o_orderdate").alias("start_date"),
+        F.date_add(F.to_date("o_orderdate"), 14).alias("end_date"),
+    )
+    return merge_intervals(iv, ["entity_id"], gap_days=30)
+
+
+@query(
+    "w2_preference_dedup",
+    oracle="""
+    SELECT c_custkey AS entity_num, o_orderkey AS best_order
+    FROM (
+      SELECT c_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'P' THEN 1 ELSE 2 END,
+                        CAST(o_orderdate AS DATE), o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rk = 1
+    """,
+)
+def w2_preference_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: preference-ranked dedup — row_number over CASE-ranked priority
+    (MSSQL/OMOPLoader.sql:1259-1265), the 'best candidate per mention'
+    pattern."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 0)
+        .when(F.col("o_orderstatus") == "P", 1)
+        .otherwise(2)
+        .alias("_pri"),
+        F.to_date("o_orderdate").alias("_od"),
+    )
+    best = preference_dedup(
+        joined,
+        ["c_custkey"],
+        [F.col("_pri").asc(), F.col("_od").asc(), F.col("o_orderkey").asc()],
+    )
+    return best.select(
+        F.col("c_custkey").alias("entity_num"), F.col("o_orderkey").alias("best_order")
+    )
+
+
+@query(
+    "w3_surrogate_keys",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS nation_id, n_name
+    FROM nation
+    """,
+)
+def w3_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: surrogate-key row numbering over explicit ordering
+    (MSSQL/OMOPLoader.sql:1561, 1673).  Global-order row_number is only for
+    dimension-sized tables; fact-scale ids use content hashes
+    (functions.hashing.content_id, SURVEY §1.3)."""
+    n = _t(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return n.select(F.row_number().over(w).cast("long").alias("nation_id"), "n_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set ops / limits
+# ---------------------------------------------------------------------------
+
+@query(
+    "o2_top_n",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders ORDER BY price DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: TOP n made deterministic (the reference's TOP-without-ORDER-BY at
+    MSSQL/OMOPLoader.sql:1911 is nondeterministic; we always order)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "o3_union_dedup",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def o3_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: UNION (dedup) of generated branches (demographics branches,
+    MSSQL/OMOPLoader.sql:555-668)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "o4_union_all",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'signup'
+    ) t GROUP BY user_id
+    """,
+)
+def o4_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: UNION ALL of event streams (era algorithm inputs,
+    MSSQL/OMOPLoader.sql:1528-1532)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select("user_id")
+    b = ev.where(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "f2_prefix_strip",
+    oracle="""
+    SELECT c_custkey, substring(c_name, strpos(c_name, '#') + 1, 200) AS code
+    FROM customer
+    """,
+)
+def f2_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: strip everything before the first delimiter
+    (substring(x, charindex(':',x)+1, 200), MSSQL/OMOPLoader.sql:744-746)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", prefix_strip("c_name", "#").alias("code"))
+
+
+@query(
+    "f4_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(o_orderdate AS DATE) + 30 AS end30
+    FROM orders
+    """,
+)
+def f4_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: date parts + DATEADD (MSSQL/OMOPLoader.sql:538-540, 1511)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("end30"),
+    )
+
+
+@query(
+    "f6_case_routing",
+    oracle="""
+    SELECT CASE event_type WHEN 'click' THEN 100 WHEN 'view' THEN 101
+                           WHEN 'purchase' THEN 200 WHEN 'signup' THEN 300
+                           ELSE 0 END AS domain_code,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f6_case_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: CASE domain/type routing constants
+    (MSSQL/OMOPLoader.sql:1027-1030, 1438-1441)."""
+    ev = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "click", 100)
+        .when(F.col("event_type") == "view", 101)
+        .when(F.col("event_type") == "purchase", 200)
+        .when(F.col("event_type") == "signup", 300)
+        .otherwise(0)
+    )
+    return ev.groupBy(route.alias("domain_code")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "f7_concat_cast",
+    oracle="""
+    SELECT l_returnflag || CAST(l_linenumber AS VARCHAR) AS flag_line,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def f7_concat_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: string concat + cast (MSSQL/OMOPLoader.sql:1219, 1320)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.concat(F.col("l_returnflag"), F.col("l_linenumber").cast("string")).alias(
+            "flag_line"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "u1_codelist_explode",
+    oracle="""
+    SELECT code FROM (
+      SELECT unnest(string_split(replace(cl, chr(39), ''), ',')) AS code
+      FROM (VALUES ('''01'',''02'',''10'''), ('''NA''')) t(cl)
+    ) x
+    """,
+)
+def u1_codelist_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: quoted-CSV codelist parser — the reference's cursor state
+    machine `pcornet_parsecode` (MSSQL/OMOPLoader.sql:436-508) as
+    regexp_replace + split + explode."""
+    df = spark.createDataFrame([("'01','02','10'",), ("'NA'",)], ["cl"])
+    return df.select(F.explode(codelist_explode("cl")).alias("code"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "ta_token_count",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def ta_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the corpus (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count("text").cast("long")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "ta_quality_score",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','and','of','to','in','is','it')))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 6)
+             AS mean_word_len
+    FROM q
+    """,
+)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length/punct/stopword ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    qc = quality_columns("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in qc.items()])
+
+
+@query(
+    "ta_langid",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS de_h,
+        len(list_filter(w, x -> x IN ('the','and','of','to','a')))     AS en_h,
+        len(list_filter(w, x -> x IN ('el','la','de','que','y')))      AS es_h,
+        len(list_filter(w, x -> x IN ('le','la','de','et','un')))      AS fr_h
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'en'
+                WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
+                WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+                WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM hits
+    """,
+)
+def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-token hits, argmax with
+    alphabetical-first tie-break, 'en' default on zero evidence."""
+    from i2o_transform_spark.functions.textstats import predicted_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "ta_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dd_exact_duplicates",
+    oracle="""
+    SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents) d
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dd_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy.  The corpus is self-unioned (offset ids)
+    so duplicate groups actually exist; at scale the hash is computed
+    map-side and the text column pruned before the exchange."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_duplicates(dup, "text", "doc_id")
+
+
+@query(
+    "dd_ngram_jaccard",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM d
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), df_cut AS (
+      SELECT greatest(2, CAST(floor((SELECT COUNT(*) FROM d) * 0.10) AS BIGINT)) AS cut
+    ), keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= (SELECT cut FROM df_cut)
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join + df-cut).
+    20% of docs are duplicated (offset ids) so true near-dup pairs exist."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return ngram_jaccard_pairs(dup, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("dd_minhash_lsh")  # no SQL oracle: xxhash64 not reproducible in DuckDB
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the scale path (band-bucket join, never
+    all-pairs).  Verified in pytest against exact Jaccard instead of a SQL
+    oracle (hash family not expressible in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return minhash_lsh_pairs(dup, "doc_id", "text", threshold=0.5)
+
+
+@query("dd_simhash")  # no SQL oracle: xxhash64-based bits
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (16-bit chunk blocking + exact Hamming verify).
+    Pytest-verified against exact Hamming distances."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return simhash_near_dupes(dup, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact baseline): broadcast query set,
+    JVM-side zip_with/aggregate dot product, per-query rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, _query_vectors(spark, sf_dir), k=5)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@query("ann_lsh_topk")  # approximate: recall checked in pytest, not vs SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the 10^12-vector scale path
+    (random-hyperplane buckets replace the cross join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(emb, _query_vectors(spark, sf_dir), k=5, dim=64)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "mm_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           'video' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) // 7) % 480 + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 250 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column -> typed metadata via
+    Arrow-batched mapInPandas (decode stubbed deterministically; the Spark
+    side — schema, batching, pruning — is real and oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("video").alias("media_type"),
+    )
+    return extract_media_metadata(media)
+
+
+# ---------------------------------------------------------------------------
+# KG construction (flagship)
+# ---------------------------------------------------------------------------
+
+KG_SUBJ = ("spark", "customer", "table", "row", "data", "window")
+KG_PRED = ("join", "filter", "merge", "scan", "sort", "group")
+KG_OBJ = ("key", "column", "value", "batch", "stream", "vector")
+
+
+@query(
+    "kg_extract_triples",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             w[i] AS subj, w[i+1] AS pred, w[i+2] AS obj
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks
+            WHERE len(w) >= 3) x
+    )
+    SELECT subj, pred, obj,
+           COUNT(*) AS n_mentions,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM tri
+    WHERE subj IN ('spark','customer','table','row','data','window')
+      AND pred IN ('join','filter','merge','scan','sort','group')
+      AND obj  IN ('key','column','value','batch','stream','vector')
+    GROUP BY subj, pred, obj
+    """,
+)
+def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: dictionary-driven (subj, pred, obj) triple extraction over
+    the corpus — the reference's mention-detection join (J1) + domain
+    routing recast for KG construction.  Token trigrams are generated
+    JVM-side (sequence+transform, no UDF) and matched against broadcast
+    vocabulary sets."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 3,
+                F.expr(
+                    "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3), "
+                    "i -> struct(split(trim(text), '\\\\s+')[i] as subj, "
+                    "split(trim(text), '\\\\s+')[i+1] as pred, "
+                    "split(trim(text), '\\\\s+')[i+2] as obj))"
+                ),
+            ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string>>"))
+        ).alias("t"),
+    ).select("doc_id", "t.subj", "t.pred", "t.obj")
+    return (
+        tri.where(
+            F.col("subj").isin(*KG_SUBJ)
+            & F.col("pred").isin(*KG_PRED)
+            & F.col("obj").isin(*KG_OBJ)
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+    )

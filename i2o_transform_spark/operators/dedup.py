@@ -167,12 +167,11 @@ def simhash_near_dupes(
     n: int = 3,
     max_hamming: int = 8,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: 64-bit simhash per doc, block on the
-    four 16-bit chunks (a pair within hamming distance <= 3 must agree on at
-    least one chunk; wider distances need more blocks — we block on all four
-    16-bit chunks which guarantees recall for distance <= 3 and is a strong
-    heuristic up to ``max_hamming``), verify with exact bit_count.
-    Returns (id_a, id_b, hamming)."""
+    """SimHash near-duplicate pairs: 64-bit simhash per doc, blocked on the
+    eight 8-bit chunks — by pigeonhole a pair within hamming distance <= 7
+    agrees on at least one chunk, so recall is GUARANTEED up to 7 and near-
+    total for slightly larger distances; exact bit_count verification keeps
+    precision.  Returns (id_a, id_b, hamming)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         simhash64(F.array_distinct(shingles(text_col, n))).alias("_sim"),
@@ -186,9 +185,9 @@ def simhash_near_dupes(
                     F.concat_ws(
                         ":",
                         F.lit(i),
-                        F.shiftright(F.col("_sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                        F.shiftright(F.col("_sim"), 8 * i).bitwiseAND(F.lit(0xFF)).cast("string"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("block"),

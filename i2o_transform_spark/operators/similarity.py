@@ -107,18 +107,34 @@ def lsh_bucketed_topk(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
     dim: int = 64,
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket join instead of a cross
-    join.  Corpus vectors hash to one bucket; queries probe their own bucket.
-    At 10^12 vectors this replaces the O(Q*N) scan with O(Q*N/2^planes) —
-    the bucket key join shuffles only the bucketed candidates.
+    """Approximate top-k: multi-table random-hyperplane LSH instead of a
+    cross join.  Each of ``num_tables`` independent tables hashes a vector to
+    one of 2^num_planes buckets; candidates = union over tables of same-bucket
+    pairs (recall grows with tables, candidate count with tables/2^planes).
+    At 10^12 vectors this replaces the O(Q*N) scan with
+    O(Q * N * tables / 2^planes); the bucket join shuffles only candidates.
     Returns (query_id, vec_id, rank) — approximate (recall < 1)."""
-    planes = _fixed_planes(dim, num_planes)
-    c = corpus.withColumn("_bucket", _hyperplane_sig(F.col(vec_col), planes))
-    q = queries.withColumn("_bucket", _hyperplane_sig(F.col(q_vec_col), planes))
+    c_buckets, q_buckets = [], []
+    for t in range(num_tables):
+        planes = _fixed_planes(dim, num_planes, seed=42 + 7919 * t)
+        sig = _hyperplane_sig(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
+        qsig = _hyperplane_sig(F.col(q_vec_col), planes) + F.lit(t << 32).cast("long")
+        c_buckets.append(sig)
+        q_buckets.append(qsig)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*c_buckets)).alias("_bucket")
+    )
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col), F.explode(F.array(*q_buckets)).alias("_bucket")
+    )
     joined = c.join(F.broadcast(q), "_bucket")
-    scored = joined.where(F.col(id_col) != F.col(q_id_col)).select(
+    cand = joined.where(F.col(id_col) != F.col(q_id_col)).dropDuplicates(
+        [q_id_col, id_col]
+    )
+    scored = cand.select(
         F.col(q_id_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col(q_vec_col)).alias("_sim"),

@@ -1,0 +1,483 @@
+"""KG-construction pipeline stages (the north_rule core).
+
+Recasts the reference's ontology-mapping ETL as web-scale KG construction:
+
+  stage               reference semantics                         Spark shape
+  ------------------- ------------------------------------------- -----------
+  extract_text        (new: web input)                            mapInPandas
+                                                                  Arrow UDF,
+                                                                  byte-exact
+  compile_crosswalk   OMOPBuildMapping two-phase preference        broadcast
+                      insert + self-mapping fallback               joins + W2
+                      (MSSQL/OMOPLoader.sql:714-917, 834-844)      rank
+  canonicalize        dedup/merge procedures -> connected          blocked CC
+                      components over sameAs evidence              applyInPandas
+  detect_mentions     fact->ontology dictionary join J1            token spans
+                      (MSSQL/OMOPLoader.sql:1046)                  + broadcast
+                                                                   (or salted)
+  extract_qualifiers  config-driven modifier extraction U4         regex spans
+                      (MSSQL/OMOPLoader.sql:1690-1759)             + join
+  assemble_triples    modifier reassembly J3 + domain routing F6   groupBy +
+                      (MSSQL/OMOPLoader.sql:1034-1045, 1027)       min_by/max_by
+  emit_triples        DISTINCT dedup A5 + surrogate keys           dropDuplicates
+                      (MSSQL/OMOPLoader.sql:954, 347-426)          + xxhash ids
+
+Scale notes (100 TB / 10^12 pages):
+* the pages scan never shuffles until mention assembly, which groups by
+  (url, sent_idx) — keys are uniformly distributed, no skew;
+* the vocabulary is broadcast (zero-shuffle dictionary join); if it outgrows
+  the broadcast threshold, ``broadcast_vocab=False`` switches to a salted
+  repartition join (hot surface forms are the skew: HOT_SUBJ_PCT of mentions
+  share one surface);
+* canonicalization is bounded per block (first-token blocking) — no global
+  iteration;
+* every stage is a pure DataFrame -> DataFrame function; the runner persists
+  each output (idempotent overwrite = checkpoint unit).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from i2o_transform_spark.functions.hashing import content_id
+from i2o_transform_spark.operators.graph import blocked_connected_components
+from i2o_transform_spark.operators.joins import salted_join
+
+MAX_SURFACE_TOKENS = 3
+
+_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """HTML -> text via an Arrow-vectorized mapInPandas UDF.
+
+    Per input_hint the extracted text must be byte-identical to the pages
+    table's ``text`` column per url — the runner validates sha2 equality.
+    Vectorized throughout (pandas .str ops on the whole Arrow batch); the
+    html column is pruned immediately after this stage so its bytes never
+    enter a shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = pdf["html"].apply(
+                lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
+            )
+            body = html.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
+            # unescape in reverse order of escaping (& last)
+            text = (
+                body.str.replace("&lt;", "<", regex=False)
+                .str.replace("&gt;", ">", regex=False)
+                .str.replace("&amp;", "&", regex=False)
+            )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "text": text,
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return pages.select("url", "warc_ts", "html", "lang").mapInPandas(
+        run, _EXTRACT_SCHEMA
+    )
+
+
+def validation_report(pages: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Byte-identical-text invariant: sha2 of reference text vs extracted,
+    per url (BASELINE.md per-row invariant).  Returns one row:
+    (n_pages, n_matching, n_mismatched)."""
+    ref = pages.select("url", F.sha2(F.col("text"), 256).alias("ref_sha"))
+    got = extracted.select("url", F.sha2(F.col("text"), 256).alias("got_sha"))
+    j = ref.join(got, "url", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(
+            F.when(F.col("ref_sha") == F.col("got_sha"), 1).otherwise(0)
+        ).alias("n_matching"),
+        F.sum(
+            F.when(
+                F.col("ref_sha").isNull()
+                | F.col("got_sha").isNull()
+                | (F.col("ref_sha") != F.col("got_sha")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatched"),
+    )
+
+
+def compile_crosswalk(
+    surface_vocab: DataFrame, concept: DataFrame, concept_rel: DataFrame
+) -> DataFrame:
+    """Vocabulary compile (OMOPBuildMapping, MSSQL/OMOPLoader.sql:714-917).
+
+    surface -> std_code (prefix-stripped, :744-746) -> concept node ->
+    candidates:
+      rank 0: 'Maps to' targets that are standard & valid   (:748-761)
+      rank 1: the concept itself when standard & valid      (self-mapping
+              fallback, :834-844)
+    keep every candidate of the best (min) rank per surface — 1->many
+    mappings survive (:763-764).  Output one row per (surface, concept).
+    """
+    code = F.expr(
+        "substring(std_code, instr(std_code, ':') + 1, 200)"
+    )
+    vocab_sc = F.expr("substring(std_code, 1, instr(std_code, ':') - 1)")
+    v = surface_vocab.where(F.col("std_code").isNotNull()).select(
+        "surface_form",
+        "std_domain",
+        code.alias("concept_code"),
+        vocab_sc.alias("vocabulary_id"),
+    )
+    src = concept.select(
+        F.col("concept_id").alias("src_id"),
+        "concept_code",
+        "vocabulary_id",
+        F.col("standard_concept").alias("src_std"),
+        F.col("invalid_reason").alias("src_invalid"),
+    )
+    bound = v.join(F.broadcast(src), ["concept_code", "vocabulary_id"], "inner")
+
+    maps_to = concept_rel.where(F.col("relationship_id") == "Maps to").select(
+        F.col("concept_id_1").alias("src_id"), F.col("concept_id_2").alias("tgt_id")
+    )
+    std_tgt = concept.where(
+        (F.col("standard_concept") == "S") & F.col("invalid_reason").isNull()
+    ).select(
+        F.col("concept_id").alias("tgt_id"),
+        F.col("concept_name").alias("canon_name"),
+        F.col("domain_id").alias("canon_domain"),
+    )
+    mapped = (
+        bound.join(F.broadcast(maps_to), "src_id")
+        .join(F.broadcast(std_tgt), "tgt_id")
+        .select(
+            "surface_form",
+            F.col("tgt_id").alias("concept_id"),
+            "canon_name",
+            "canon_domain",
+            F.lit(0).alias("rank"),
+        )
+    )
+    self_named = concept.select(
+        F.col("concept_id").alias("src_id"),
+        F.col("concept_name").alias("canon_name"),
+        F.col("domain_id").alias("canon_domain"),
+    )
+    selfmap = (
+        bound.where((F.col("src_std") == "S") & F.col("src_invalid").isNull())
+        .join(F.broadcast(self_named), "src_id")
+        .select(
+            "surface_form",
+            F.col("src_id").alias("concept_id"),
+            "canon_name",
+            "canon_domain",
+            F.lit(1).alias("rank"),
+        )
+    )
+    cand = mapped.unionByName(selfmap)
+    w = Window.partitionBy("surface_form")
+    return (
+        cand.withColumn("best", F.min("rank").over(w))
+        .where(F.col("rank") == F.col("best"))
+        .select("surface_form", "concept_id", "canon_name", "canon_domain")
+        .distinct()
+    )
+
+
+def _char_trigrams(col: Column) -> Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(col) - 3, F.lit(0))),
+            lambda i: F.substring(col, i + 1, 3),
+        )
+    )
+
+
+def canonicalize_concepts(crosswalk: DataFrame, jaccard_min: float = 0.4) -> DataFrame:
+    """sameAs merge: concepts the ontology does not connect but whose names
+    are near-identical (char-trigram Jaccard >= ``jaccard_min``) are merged
+    via blocked connected components (north_star: groupBy.applyInPandas CC
+    with blocking).  Blocking key = first name token; representative =
+    min concept id.  Returns mapping (concept_id, canon_id) for EVERY
+    crosswalk concept (identity when unmerged)."""
+    nodes = crosswalk.select(
+        F.col("concept_id").alias("node"),
+        F.col("canon_name").alias("name"),
+        F.col("canon_domain").alias("domain"),
+    ).distinct()
+    blocked = nodes.withColumn(
+        "block", F.concat(F.col("domain"), F.lit(":"), F.split(F.col("name"), " ")[0])
+    ).withColumn("grams", _char_trigrams(F.col("name")))
+    a = blocked.select(
+        F.col("block"), F.col("node").alias("src"), F.col("grams").alias("ga")
+    )
+    b = blocked.select(
+        F.col("block"), F.col("node").alias("dst"), F.col("grams").alias("gb")
+    )
+    pairs = (
+        a.join(b, "block")
+        .where(F.col("src") < F.col("dst"))
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+            / F.size(F.array_union(F.col("ga"), F.col("gb"))),
+        )
+        .where(F.col("jac") >= jaccard_min)
+        .select("block", "src", "dst")
+    )
+    roots = blocked_connected_components(pairs)
+    return (
+        nodes.join(roots, nodes.node == roots.node, "left")
+        .select(
+            nodes.node.alias("concept_id"),
+            F.coalesce(roots.root, nodes.node).alias("canon_id"),
+        )
+    )
+
+
+def split_sentences(docs: DataFrame) -> DataFrame:
+    """(url, warc_ts, text) -> (url, warc_ts, sent_idx, tokens)."""
+    sent = docs.select(
+        "url",
+        "warc_ts",
+        F.posexplode(F.split(F.col("text"), r"\.\s*")).alias("sent_idx", "sentence"),
+    ).where(F.length(F.trim(F.col("sentence"))) > 0)
+    return sent.withColumn("tokens", F.split(F.trim(F.col("sentence")), " ")).drop(
+        "sentence"
+    )
+
+
+def _token_spans(tokens: Column, max_n: int = MAX_SURFACE_TOKENS) -> Column:
+    """All 1..max_n token spans: array of (start, len, gram)."""
+    def _span_at(n: int):
+        # closure factory, NOT a default arg (default args change lambda
+        # arity and Spark would pass the array index as the extra param)
+        return lambda i: F.struct(
+            i.alias("start"),
+            F.lit(n).alias("len"),
+            F.concat_ws(" ", F.slice(tokens, i + 1, n)).alias("gram"),
+        )
+
+    spans = []
+    for n in range(1, max_n + 1):
+        spans.append(
+            F.when(
+                F.size(tokens) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(tokens) - n), _span_at(n)),
+            ).otherwise(F.array().cast("array<struct<start:int,len:int,gram:string>>"))
+        )
+    return F.concat(*spans)
+
+
+def detect_mentions(
+    sentences: DataFrame,
+    crosswalk: DataFrame,
+    broadcast_vocab: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Dictionary mention detection: token spans x surface vocabulary.
+
+    J1 (MSSQL/OMOPLoader.sql:1046) as a broadcast hash join on the span gram;
+    the ``broadcast_vocab=False`` path uses an explicit salted repartition
+    join for the skewed hot-surface case (SURVEY.md §4, north_star).
+    Longest-match-wins per (url, sent_idx, start) — W2 preference dedup.
+    Output: (url, warc_ts, sent_idx, start, len, surface, kind).
+    """
+    spans = sentences.select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        F.explode(_token_spans(F.col("tokens"))).alias("sp"),
+    ).select("url", "warc_ts", "sent_idx", "sp.start", "sp.len", "sp.gram")
+    surfaces = (
+        crosswalk.select(
+            F.col("surface_form").alias("gram"),
+            F.col("canon_domain").alias("kind"),
+            F.length("surface_form").alias("_slen"),
+        )
+        .distinct()
+    )
+    if broadcast_vocab:
+        hits = spans.join(F.broadcast(surfaces), "gram")
+    else:
+        hits = salted_join(spans, surfaces, "gram", salt_buckets=salt_buckets)
+    w = Window.partitionBy("url", "sent_idx", "start").orderBy(F.col("len").desc())
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "url",
+            "warc_ts",
+            "sent_idx",
+            "start",
+            "len",
+            F.col("gram").alias("surface"),
+            "kind",
+        )
+    )
+
+
+def extract_qualifiers(sentences: DataFrame, modifier_config: DataFrame) -> DataFrame:
+    """Config-driven qualifier extraction (U4, MSSQL/OMOPLoader.sql:1690-1759):
+    each modifier_config row (kind, trigger_token, pattern, target_column)
+    becomes a vectorized span scan — token matching ``pattern`` whose
+    predecessor equals ``trigger_token``.
+    Output: (url, sent_idx, kind, value)."""
+    cfg = [r.asDict() for r in modifier_config.collect()]  # handful of rows
+    toks = sentences.select(
+        "url",
+        "sent_idx",
+        F.posexplode(F.col("tokens")).alias("pos", "tok"),
+        F.col("tokens"),
+    )
+    outs = []
+    for spec in cfg:
+        matched = toks.where(
+            (F.col("pos") > 0)
+            & F.col("tok").rlike(spec["pattern"])
+            & (F.element_at(F.col("tokens"), F.col("pos")) == spec["trigger_token"])
+        ).select(
+            "url",
+            "sent_idx",
+            F.lit(spec["kind"]).alias("kind"),
+            F.col("tok").alias("value"),
+        )
+        outs.append(matched)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def assemble_triples(mentions: DataFrame, qualifiers: DataFrame) -> DataFrame:
+    """Per-sentence triple assembly (the J3 composite-key reassembly recast):
+    subject = earliest entity mention, object = latest entity mention,
+    predicate = earliest predicate mention between/after the subject.
+    Sentences lacking any of the three emit nothing.
+    Output: (url, warc_ts, sent_idx, subj_surface, pred_surface, obj_surface,
+    qualifier_year)."""
+    ent = mentions.where(F.col("kind") != "Predicate")
+    pred = mentions.where(F.col("kind") == "Predicate")
+    ent_agg = ent.groupBy("url", "warc_ts", "sent_idx").agg(
+        F.min_by(F.struct("start", "len", "surface"), F.col("start")).alias("subj"),
+        F.max_by(F.struct("start", "len", "surface"), F.col("start")).alias("obj"),
+    )
+    pred_agg = pred.groupBy("url", "sent_idx").agg(
+        F.min_by(F.struct("start", "surface"), F.col("start")).alias("pred")
+    )
+    years = (
+        qualifiers.where(F.col("kind") == "year")
+        .groupBy("url", "sent_idx")
+        .agg(F.min("value").cast("int").alias("qualifier_year"))
+    )
+    return (
+        ent_agg.join(pred_agg, ["url", "sent_idx"])
+        .where(
+            (F.col("subj.start") + F.col("subj.len") <= F.col("pred.start"))
+            & (F.col("pred.start") < F.col("obj.start"))
+        )
+        .join(years, ["url", "sent_idx"], "left")
+        .select(
+            "url",
+            "warc_ts",
+            "sent_idx",
+            F.col("subj.surface").alias("subj_surface"),
+            F.col("pred.surface").alias("pred_surface"),
+            F.col("obj.surface").alias("obj_surface"),
+            "qualifier_year",
+        )
+    )
+
+
+def link_and_emit(
+    assembled: DataFrame, crosswalk: DataFrame, canon_map: DataFrame
+) -> DataFrame:
+    """Entity/predicate linking + canonical-id application + dedup + ids.
+
+    Each surface joins the broadcast crosswalk (1->many fan-out preserved,
+    MSSQL/OMOPLoader.sql:763-764), then the CC merge map.  Triple ids are
+    content-derived (SURVEY §1.3) — deterministic across retries/cluster
+    sizes.  Dedup: one row per (subj, pred, obj, url) — the reference's
+    per-insert DISTINCT (A5)."""
+    cw = crosswalk.join(
+        canon_map, "concept_id"
+    ).select(
+        F.col("surface_form"),
+        F.col("canon_id"),
+        F.col("canon_domain"),
+    ).distinct()
+    subj_cw = F.broadcast(
+        cw.where(F.col("canon_domain") != "Predicate").select(
+            F.col("surface_form").alias("subj_surface"),
+            F.col("canon_id").alias("subj_id"),
+        )
+    )
+    obj_cw = F.broadcast(
+        cw.where(F.col("canon_domain") != "Predicate").select(
+            F.col("surface_form").alias("obj_surface"),
+            F.col("canon_id").alias("obj_id"),
+        )
+    )
+    pred_cw = F.broadcast(
+        cw.where(F.col("canon_domain") == "Predicate").select(
+            F.col("surface_form").alias("pred_surface"),
+            F.col("canon_id").alias("pred_id"),
+        )
+    )
+    linked = (
+        assembled.join(subj_cw, "subj_surface")
+        .join(pred_cw, "pred_surface")
+        .join(obj_cw, "obj_surface")
+    )
+    # deterministic dedup: keep the earliest sentence occurrence per
+    # (s, p, o, url) — dropDuplicates alone would keep an arbitrary
+    # qualifier_year when a page repeats the triple
+    w = Window.partitionBy("subj_id", "pred_id", "obj_id", "url").orderBy(
+        F.col("sent_idx").asc()
+    )
+    deduped = (
+        linked.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return deduped.select(
+        content_id("subj_id", "pred_id", "obj_id", "url").alias("triple_id"),
+        "subj_id",
+        "pred_id",
+        "obj_id",
+        "url",
+        "warc_ts",
+        "qualifier_year",
+    )
+
+
+def materialize_nodes(crosswalk: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Canonical node table: one row per merged concept, representative name =
+    the canon concept's own name (min id in component keeps its name)."""
+    names = crosswalk.select("concept_id", "canon_name", "canon_domain").distinct()
+    merged = names.join(canon_map, "concept_id")
+    w = Window.partitionBy("canon_id").orderBy("concept_id")
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("canon_id").alias("node_id"),
+            F.col("canon_name").alias("name"),
+            F.col("canon_domain").alias("domain"),
+        )
+    )

@@ -1,0 +1,153 @@
+"""End-to-end KG pipeline tests: the P/R >= 0.95 gate, the byte-identical
+extraction invariant, checkpoint/resume, lineage/metrics, and broadcast-vs-
+salted join path equivalence (BASELINE.md §2)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.datagen import generate
+from i2o_transform_spark.plans import kg
+from i2o_transform_spark.plans.runner import run_pipeline
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    return generate(spark, N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, data, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_run"))
+    return run_pipeline(spark, out, n_pages=N_PAGES), out
+
+
+def _emitted(outs):
+    return outs["triples"].select("subj_id", "pred_id", "obj_id").distinct()
+
+
+def test_extraction_byte_identical(spark, data):
+    """input_hint per-row invariant: extracted text == pages.text, byte for
+    byte (sha2 equality), every row."""
+    rep = kg.validation_report(data["pages"], kg.extract_text(data["pages"])).collect()[0]
+    assert rep.n_pages == N_PAGES
+    assert rep.n_matching == N_PAGES
+    assert rep.n_mismatched == 0
+
+
+def test_triple_precision_recall_gate(spark, data, pipeline_out):
+    """BASELINE.md: triple P/R >= 0.95 vs construction goldens."""
+    outs, _ = pipeline_out
+    emitted = _emitted(outs)
+    golden = data["golden_triples"]
+    tp = emitted.join(golden, ["subj_id", "pred_id", "obj_id"]).count()
+    n_e, n_g = emitted.count(), golden.count()
+    precision = tp / n_e
+    recall = tp / n_g
+    assert precision >= 0.95, f"precision {precision:.4f} < 0.95"
+    assert recall >= 0.95, f"recall {recall:.4f} < 0.95"
+
+
+def test_canonicalization_merges_aliases(spark, data):
+    """Alias concepts (2000+k) must merge into canonical (1000+k)."""
+    cw = kg.compile_crosswalk(data["surface_vocab"], data["concept"], data["concept_rel"])
+    cm = kg.canonicalize_concepts(cw)
+    merged = {r.concept_id: r.canon_id for r in cm.collect()}
+    for k in range(5):
+        assert merged[2000 + k] == 1000 + k
+    # non-alias concepts stay identity
+    assert merged[1007] == 1007
+
+
+def test_crosswalk_semantics(spark, data):
+    """1->many fan-out survives; invalid concepts dropped; self-mapping
+    fallback present (MSSQL/OMOPLoader.sql:763-764, 834-844)."""
+    cw = kg.compile_crosswalk(data["surface_vocab"], data["concept"], data["concept_rel"])
+    rows = cw.collect()
+    by_surface = {}
+    for r in rows:
+        by_surface.setdefault(r.surface_form, set()).add(r.concept_id)
+    assert by_surface["spun off"] == {5006, 5007}          # 1->many
+    assert "vandelay industries" not in by_surface          # invalid dropped
+    assert by_surface["acme corp"] == {1000}                # self-mapping
+    assert by_surface["acme co"] == {1000}                  # two-hop Maps-to
+
+
+def test_qualifier_assembly(spark, data, pipeline_out):
+    """Sentences with 'in YYYY' must carry the year on their triple."""
+    outs, _ = pipeline_out
+    t = outs["triples"]
+    with_year = t.where(F.col("qualifier_year").isNotNull())
+    n = with_year.count()
+    assert n > 0
+    years = with_year.select(F.min("qualifier_year"), F.max("qualifier_year")).collect()[0]
+    assert 1990 <= years[0] and years[1] <= 2019
+
+
+def test_resume_after_kill(spark, tmp_path):
+    """Kill after the mentions stage; a fresh runner must skip completed
+    stages and produce identical triples."""
+    out = str(tmp_path / "kg_resume")
+    partial = run_pipeline(spark, out, n_pages=100, stop_after="mentions")
+    assert "triples" not in partial  # the run really was cut short
+    # fresh full run over the same dir = resume
+    outs2 = run_pipeline(spark, out, n_pages=100)
+    r = outs2["_runner"]
+    assert "mentions" in r.skipped and "crosswalk" in r.skipped
+    assert "assembled" in r.executed and "triples" in r.executed
+    # and equals a clean-run result
+    out_clean = str(tmp_path / "kg_clean")
+    outs_clean = run_pipeline(spark, out_clean, n_pages=100)
+    a = _emitted(outs2)
+    b = _emitted(outs_clean)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_lineage_and_metrics_persisted(spark, pipeline_out):
+    outs, out_dir = pipeline_out
+    lineage = spark.read.parquet(os.path.join(out_dir, "_lineage"))
+    metrics = spark.read.parquet(os.path.join(out_dir, "_metrics"))
+    stages = {r.stage for r in metrics.collect()}
+    assert {"pages", "crosswalk", "mentions", "triples"} <= stages
+    # per-partition lineage rows sum to stage totals
+    lsum = {
+        r.stage: r.total
+        for r in lineage.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    msum = {r.stage: r.rows for r in metrics.collect()}
+    for stage, total in msum.items():
+        assert lsum.get(stage) == total, f"lineage mismatch for {stage}"
+
+
+def test_extraction_validation_stage_green(spark, pipeline_out):
+    outs, out_dir = pipeline_out
+    rep = spark.read.parquet(os.path.join(out_dir, "extraction_validation")).collect()[0]
+    assert rep.n_mismatched == 0
+
+
+def test_manifest_written(spark, pipeline_out):
+    _, out_dir = pipeline_out
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["triples"]["rows"] > 0
+    assert all("fingerprint" in v for v in manifest.values())
+
+
+def test_salted_path_equals_broadcast_path(spark, data):
+    """detect_mentions(broadcast) == detect_mentions(salted) — the skew path
+    must be semantics-preserving (north_star salted-key hash join)."""
+    cw = kg.compile_crosswalk(data["surface_vocab"], data["concept"], data["concept_rel"])
+    sents = kg.split_sentences(
+        kg.extract_text(data["pages"]).where(F.col("lang") == "en")
+    ).limit(2000)
+    a = kg.detect_mentions(sents, cw, broadcast_vocab=True)
+    b = kg.detect_mentions(sents, cw, broadcast_vocab=False)
+    cols = ["url", "sent_idx", "start", "len", "surface", "kind"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0

@@ -1,0 +1,172 @@
+"""Operator-level tests: interval merge goldens (FIXTURES B4), near-dup
+operators vs exact ground truth, ANN recall, connected components, salted
+join equivalence."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    preference_dedup,
+    simhash_near_dupes,
+)
+from i2o_transform_spark.operators.graph import (
+    blocked_connected_components,
+    label_propagation_components,
+)
+from i2o_transform_spark.operators.intervals import merge_intervals
+from i2o_transform_spark.operators.joins import salted_join
+from i2o_transform_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+D = datetime.date
+
+
+def test_interval_merge_golden(spark):
+    """B4: overlapping / gap<=30 / gap>30 / null-end cases — golden output of
+    the era algorithm (MSSQL/OMOPLoader.sql:1508-1565)."""
+    rows = [
+        (1, D(2020, 1, 1), D(2020, 1, 10)),
+        (1, D(2020, 1, 5), D(2020, 1, 20)),   # overlap -> same era
+        (1, D(2020, 2, 19), None),            # null end; gap exactly 30 -> same era
+        (1, D(2020, 4, 1), D(2020, 4, 2)),    # gap 42 > 30 -> new era
+        (2, D(2020, 1, 1), None),             # separate entity
+    ]
+    df = spark.createDataFrame(rows, "entity_id int, start_date date, end_date date")
+    got = {
+        (r.entity_id, r.era_start.isoformat(), r.era_end.isoformat(), r.era_count)
+        for r in merge_intervals(df, ["entity_id"], gap_days=30).collect()
+    }
+    assert got == {
+        (1, "2020-01-01", "2020-02-19", 3),
+        (1, "2020-04-01", "2020-04-02", 1),
+        (2, "2020-01-01", "2020-01-01", 1),
+    }
+
+
+def test_interval_merge_gap_boundary(spark):
+    """start exactly gap+1 days after previous end -> NEW era."""
+    rows = [(1, D(2020, 1, 1), D(2020, 1, 1)), (1, D(2020, 2, 1), D(2020, 2, 1))]
+    df = spark.createDataFrame(rows, "entity_id int, start_date date, end_date date")
+    assert merge_intervals(df, ["entity_id"], gap_days=30).count() == 2
+    assert merge_intervals(df, ["entity_id"], gap_days=31).count() == 1
+
+
+def test_preference_dedup_priority_order(spark):
+    df = spark.createDataFrame(
+        [(1, "LOINC:x", 1), (1, "LAB_NAME:y", 0), (2, "other", 2)],
+        "code int, parent string, pri int",
+    )
+    got = preference_dedup(df, ["code"], [F.col("pri").asc()]).collect()
+    winners = {r.code: r.parent for r in got}
+    assert winners == {1: "LAB_NAME:y", 2: "other"}
+
+
+def _dup_corpus(spark):
+    """Docs with known near-dup structure: pairs (i, i+100) share most
+    tokens; unrelated docs share almost none."""
+    rows = []
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    for i in range(20):
+        base = [words[(i * 3 + j) % 10] + str(i * 41 + j) for j in range(40)]
+        rows.append((i, " ".join(base)))
+        near = list(base)
+        near[0] = "changed"  # one-token edit -> high jaccard twin
+        rows.append((i + 100, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_exact(spark):
+    docs = _dup_corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert pairs == {(i, i + 100) for i in range(20)}
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover (almost) all true near-dup pairs and the
+    signature-estimated jaccard must be close to exact."""
+    docs = _dup_corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    recall = len(set(exact) & set(lsh)) / len(exact)
+    assert recall >= 0.9
+    for pair in set(exact) & set(lsh):
+        assert abs(exact[pair] - lsh[pair]) < 0.35  # 32-hash estimator noise
+
+
+def test_simhash_finds_twins(spark):
+    docs = _dup_corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dupes(docs, "doc_id", "text", n=3, max_hamming=16).collect()
+    }
+    twins = {(i, i + 100) for i in range(20)}
+    assert len(pairs & twins) / len(twins) >= 0.9
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, request):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_bucketed_topk(
+            emb, q, k=10, dim=64, num_planes=4, num_tables=8
+        ).collect()
+    }
+    # random near-orthogonal vectors are LSH's worst case; theory for this
+    # (p^4 per table, 8 tables) predicts ~0.6 recall — require >= 0.5
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_blocked_cc(spark):
+    edges = spark.createDataFrame(
+        [("b1", 1, 2), ("b1", 2, 3), ("b2", 10, 11), ("b2", 3, 4)],
+        "block string, src long, dst long",
+    )
+    roots = {r.node: r.root for r in blocked_connected_components(edges).collect()}
+    assert roots == {1: 1, 2: 1, 3: 1, 4: 3, 10: 10, 11: 10}
+    # NB: 4 joins 3's component only through block b2 (root=min within
+    # reachable merge) — blocking must cover component edges by design
+
+
+def test_label_propagation_cc(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 12)],
+        "src long, dst long",
+    )
+    roots = {r.node: r.root for r in label_propagation_components(edges).collect()}
+    assert roots[1] == roots[2] == roots[3] == roots[4] == 1
+    assert roots[10] == roots[11] == 10
+    assert roots[12] == 12
+
+
+def test_salted_join_equivalence(spark):
+    """Salted repartition join must produce exactly the plain join's rows."""
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(7)], "k long, name string"
+    )
+    plain = big.join(small, "k").select("k", "v", "name")
+    salted = salted_join(big, small, "k", salt_buckets=8).select("k", "v", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0

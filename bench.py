@@ -1,0 +1,252 @@
+"""Benchmark harness.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the KG pipeline (pages -> triples) at two parallelism levels
+(local[8] vs local[32]) on the SAME materialized input and report throughput
+at both plus scaling efficiency eff = (thr_32 / thr_8) / 4 — the sandbox
+proxy for the north_rule's N -> 4N executor criterion (BASELINE.md §2).
+Results are appended to BENCH_SCALING.md.
+
+--kg-child: internal (one parallelism level, prints a JSON line; invoked by
+--scaling in a subprocess so each level gets a fresh JVM).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_dict_broadcast_join",
+    "j4_two_hop_join",
+    "w1_interval_merge",
+    "a7_pivot_conditional",
+    "ta_quality_score",
+    "dd_minhash_lsh",
+    "ann_cosine_topk",
+    "kg_extract_triples",
+]
+
+KG_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
+
+
+def _spark(cpus: str):
+    from i2o_transform_spark.session import get_spark
+
+    shuffle = max(32, int(cpus) * 4) if cpus.isdigit() else 64
+    s = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(shuffle)},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_headline() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from i2o_transform_spark.queries import QUERIES
+
+    spark = _spark(cpus)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen once on a trivial action
+    spark.range(1000).count()
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput: materialized pages -> triples.  One small
+    # warmup run first — python UDF workers + codegen JIT are fixed costs
+    # that belong to the session, not the measured pipeline.
+    kg_throughput(spark, n_pages=2000)
+    kg = kg_throughput(spark, n_pages=KG_BENCH_PAGES)
+    timings["kg_pipeline"] = kg["sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_pages": KG_BENCH_PAGES,
+                "kg_triples": kg["triples"],
+                "kg_pages_per_sec": kg["pages_per_sec"],
+                "kg_triples_per_sec": kg["triples_per_sec"],
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+def kg_throughput(spark, n_pages: int, pages_dir: str | None = None) -> dict:
+    """Materialize pages once, then time pages -> triples end to end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans import kg as kgp
+
+    own_tmp = pages_dir is None
+    if own_tmp:
+        pages_dir = tempfile.mkdtemp(prefix="kg_bench_pages_")
+    pages_path = os.path.join(pages_dir, "pages")
+    d = generate(spark, n_pages)
+    if not os.path.exists(pages_path):
+        d["pages"].write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    t0 = time.time()
+    cw = kgp.compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
+    cm = kgp.canonicalize_concepts(cw)
+    # persist the fan-out points (mentions + qualifiers both read sentences;
+    # assembly reads both) — the in-memory analogue of the runner's per-stage
+    # parquet materialization
+    sents = kgp.split_sentences(
+        kgp.extract_text(pages).where(F.col("lang") == "en")
+    ).persist()
+    mentions = kgp.detect_mentions(sents, cw)
+    quals = kgp.extract_qualifiers(sents, d["modifier_config"])
+    asm = kgp.assemble_triples(mentions, quals)
+    triples = kgp.link_and_emit(asm, cw, cm)
+    n_triples = triples.count()
+    sec = time.time() - t0
+    sents.unpersist()
+    return {
+        "sec": round(sec, 3),
+        "triples": n_triples,
+        "pages_per_sec": round(n_pages / sec, 1),
+        "triples_per_sec": round(n_triples / sec, 1),
+    }
+
+
+def run_kg_child(cpus: str, n_pages: int, pages_dir: str) -> None:
+    spark = _spark(cpus)
+    spark.range(1000).count()  # JVM warmup
+    kg_throughput(spark, n_pages=2000)  # UDF-worker + codegen warmup
+    out = kg_throughput(spark, n_pages, pages_dir)
+    out["cpus"] = int(cpus)
+    print("KGCHILD " + json.dumps(out))
+    spark.stop()
+
+
+def run_scaling(n_pages: int, repeats: int = 3, levels: tuple[str, str] = ("8", "32")) -> None:
+    """Interleaved best-of-N per level: the sandbox host is shared and single
+    runs vary by up to 2x; the per-level best approximates uncontended
+    capacity, which is what the N->4N criterion is about."""
+    import tempfile
+
+    small, large = levels
+    factor = int(large) / int(small)
+    pages_dir = tempfile.mkdtemp(prefix="kg_scaling_pages_")
+    runs: dict[str, list[dict]] = {small: [], large: []}
+    for _ in range(repeats):
+        for cpus in (small, large):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--kg-child",
+                    "--cpus",
+                    cpus,
+                    "--n-pages",
+                    str(n_pages),
+                    "--pages-dir",
+                    pages_dir,
+                ],
+                capture_output=True,
+                text=True,
+                check=False,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines() if ln.startswith("KGCHILD ")),
+                None,
+            )
+            if line is None:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise RuntimeError(f"child failed at cpus={cpus}")
+            runs[cpus].append(json.loads(line[len("KGCHILD "):]))
+    results = {
+        c: max(rs, key=lambda r: r["triples_per_sec"]) for c, rs in runs.items()
+    }
+    all_runs = {
+        c: [r["triples_per_sec"] for r in rs] for c, rs in runs.items()
+    }
+
+    thr_s = results[small]["triples_per_sec"]
+    thr_l = results[large]["triples_per_sec"]
+    eff = round((thr_l / thr_s) / factor, 3)
+    summary = {
+        "metric": f"kg_scaling_efficiency_{small}_to_{large}_cores",
+        "value": eff,
+        "unit": "ratio",
+        "all_runs_triples_per_sec": all_runs,
+        "queries": {
+            f"kg_pipeline_local{small}": results[small]["sec"],
+            f"kg_pipeline_local{large}": results[large]["sec"],
+        },
+        "sf": n_pages,
+        "throughput_triples_per_sec": {f"local{small}": thr_s, f"local{large}": thr_l},
+        "throughput_pages_per_sec": {
+            f"local{small}": results[small]["pages_per_sec"],
+            f"local{large}": results[large]["pages_per_sec"],
+        },
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.md"), "a") as f:
+        f.write(
+            f"\n## scaling run: {n_pages} pages, local[{small}] vs local[{large}]"
+            f" (best of {repeats}, interleaved)\n\n"
+            f"| level | wall s | pages/s | triples/s | all runs (triples/s) |\n"
+            f"|---|---|---|---|---|\n"
+            f"| local[{small}] | {results[small]['sec']} | {results[small]['pages_per_sec']} | {thr_s} | {all_runs[small]} |\n"
+            f"| local[{large}] | {results[large]['sec']} | {results[large]['pages_per_sec']} | {thr_l} | {all_runs[large]} |\n\n"
+            f"scaling efficiency (thr_{large}/thr_{small})/{factor:.0f} = **{eff}** "
+            f"(target >= 0.8 per BASELINE.json north_rule proxy)\n"
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-child", action="store_true")
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--n-pages", type=int, default=KG_BENCH_PAGES)
+    ap.add_argument("--pages-dir", default=None)
+    ap.add_argument(
+        "--levels",
+        default="8,32",
+        help="small,large parallelism pair for --scaling (e.g. 2,8)",
+    )
+    args = ap.parse_args()
+    if args.kg_child:
+        run_kg_child(args.cpus, args.n_pages, args.pages_dir)
+    elif args.scaling:
+        run_scaling(args.n_pages, levels=tuple(args.levels.split(",")))
+    else:
+        run_headline()
+
+
+if __name__ == "__main__":
+    main()

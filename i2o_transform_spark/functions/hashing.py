@@ -12,8 +12,12 @@ Minhash/simhash primitives back the near-duplicate operators
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 # Distinct seeds for the minhash permutation family; any fixed odd constants
 # work — these are arbitrary but frozen so signatures are stable.
@@ -124,3 +128,81 @@ def simhash64(shingle_arr: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit hashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized signature UDFs — the throughput path.
+#
+# The pure-expression variants above are correct but Catalyst evaluates
+# higher-order functions (transform/aggregate) interpreted per element: 32
+# hash passes per shingle never reach codegen and run ~50x slower than the
+# numpy formulation below.  Per input_hint, vectorized pandas/Arrow UDFs are
+# the sanctioned escape hatch — one Arrow batch in, numpy matrix math inside.
+# ---------------------------------------------------------------------------
+
+def _py_shingles(text: str, n: int) -> list[str]:
+    """Python mirror of shingles(): whitespace word n-grams, whole-text
+    fallback for short docs."""
+    toks = (text or "").split()
+    if len(toks) <= n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 42):
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, 2**62, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rs.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_udf(n: int = 3, num_hashes: int = 32):
+    """pandas_udf: text -> minhash signature (array<long>).
+
+    Shingle -> one 64-bit base hash (pandas' vectorized cython hasher) ->
+    ``num_hashes`` universal-hash permutations as a single numpy matrix op
+    (uint64 wrap-around multiply-add) -> per-permutation min.
+    """
+    a, b = _perm_coeffs(num_hashes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        err = np.seterr(over="ignore")
+        try:
+            for t in texts:
+                sh = sorted(set(_py_shingles(t, n)))
+                h = pd.util.hash_array(np.array(sh, dtype=object))
+                m = h[None, :] * a[:, None] + b[:, None]
+                out.append(m.min(axis=1).astype(np.int64))
+        finally:
+            np.seterr(**err)
+        return pd.Series(out)
+
+    return sig
+
+
+def make_simhash_udf(n: int = 3):
+    """pandas_udf: text -> 64-bit simhash (long), numpy bit-plane voting."""
+    from pyspark.sql.functions import pandas_udf
+
+    bitpos = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = sorted(set(_py_shingles(t, n)))
+            h = pd.util.hash_array(np.array(sh, dtype=object))
+            bits = (h[:, None] >> bitpos[None, :]) & np.uint64(1)  # (n, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    packed |= np.uint64(1) << np.uint64(i)
+            out.append(np.int64(packed.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return sig

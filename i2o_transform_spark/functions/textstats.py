@@ -35,14 +35,12 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """BPE-ish token estimate: count of word/number/punctuation units
-    (regex split on boundaries), the standard cheap proxy for LLM tokens."""
+    """BPE-ish token estimate: count of word / punctuation units via
+    regexp_extract_all — the standard cheap proxy for LLM token counts.
+    (Extraction, not lookaround splitting: RE2-based engines — incl. the
+    DuckDB oracle — have no lookbehind.)"""
     c = F.col(col) if isinstance(col, str) else col
-    units = F.filter(
-        F.split(c, r"(?<=\W)|(?=\W)"),
-        lambda t: F.length(F.trim(t)) > 0,
-    )
-    return F.size(units)
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
 
 
 def language_scores(col: Column | str) -> dict[str, Column]:

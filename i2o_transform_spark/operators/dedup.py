@@ -20,10 +20,10 @@ from pyspark.sql import functions as F
 
 from i2o_transform_spark.functions.hashing import (
     hamming64,
+    make_minhash_udf,
+    make_simhash_udf,
     minhash_bands,
-    minhash_signature,
     shingles,
-    simhash64,
 )
 
 
@@ -72,9 +72,10 @@ def ngram_jaccard_pairs(
     contribute enough weight to clear the threshold alone).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
     """
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"))
-    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+    ).persist()  # reused three times (sizes, df-cut, inverted-index join)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     n_docs = df.count()
     df_cut = max(2, int(n_docs * 0.10))
@@ -126,10 +127,17 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
+    # signature via the Arrow-vectorized UDF (numpy matrix minhash) — the
+    # pure-expression variant runs interpreted per shingle and is ~50x
+    # slower.  persist = materialization boundary so the banding/verify
+    # references read the computed column instead of re-inlining the UDF;
+    # at cluster scale this is a persisted signatures table (the reference's
+    # crosswalk materialization pattern, MSSQL/OMOPLoader.sql:714-917).
+    sig_udf = make_minhash_udf(n=n, num_hashes=num_hashes)
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.array_distinct(shingles(text_col, n)), num_hashes).alias("_sig"),
-    )
+        sig_udf(F.col(text_col)).alias("_sig"),
+    ).persist()
     banded = sig.select(
         "_id",
         "_sig",
@@ -172,10 +180,11 @@ def simhash_near_dupes(
     agrees on at least one chunk, so recall is GUARANTEED up to 7 and near-
     total for slightly larger distances; exact bit_count verification keeps
     precision.  Returns (id_a, id_b, hamming)."""
+    sim_udf = make_simhash_udf(n=n)
     sh = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(F.array_distinct(shingles(text_col, n))).alias("_sim"),
-    )
+        sim_udf(F.col(text_col)).alias("_sim"),
+    ).persist()  # boundary: signatures computed once, read by blocks + verify
     chunks = sh.select(
         "_id",
         "_sim",

@@ -262,28 +262,6 @@ def split_sentences(docs: DataFrame) -> DataFrame:
     )
 
 
-def _token_spans(tokens: Column, max_n: int = MAX_SURFACE_TOKENS) -> Column:
-    """All 1..max_n token spans: array of (start, len, gram)."""
-    def _span_at(n: int):
-        # closure factory, NOT a default arg (default args change lambda
-        # arity and Spark would pass the array index as the extra param)
-        return lambda i: F.struct(
-            i.alias("start"),
-            F.lit(n).alias("len"),
-            F.concat_ws(" ", F.slice(tokens, i + 1, n)).alias("gram"),
-        )
-
-    spans = []
-    for n in range(1, max_n + 1):
-        spans.append(
-            F.when(
-                F.size(tokens) >= n,
-                F.transform(F.sequence(F.lit(0), F.size(tokens) - n), _span_at(n)),
-            ).otherwise(F.array().cast("array<struct<start:int,len:int,gram:string>>"))
-        )
-    return F.concat(*spans)
-
-
 def detect_mentions(
     sentences: DataFrame,
     crosswalk: DataFrame,
@@ -292,43 +270,98 @@ def detect_mentions(
 ) -> DataFrame:
     """Dictionary mention detection: token spans x surface vocabulary.
 
-    J1 (MSSQL/OMOPLoader.sql:1046) as a broadcast hash join on the span gram;
-    the ``broadcast_vocab=False`` path uses an explicit salted repartition
-    join for the skewed hot-surface case (SURVEY.md §4, north_star).
-    Longest-match-wins per (url, sent_idx, start) — W2 preference dedup.
+    J1 (MSSQL/OMOPLoader.sql:1046).  Plan shape — ZERO pre-join shuffles:
+
+    * posexplode tokens, grams built with element_at on the carried token
+      array (no lead() window, no sort);
+    * span candidates pre-filtered with per-length literal IN-sets collected
+      from the (broadcast-sized) vocabulary BEFORE the explode — the 3x
+      candidate fan-out only materializes actual dictionary hits (~10x
+      fewer rows than raw spans);
+    * kind attached via broadcast join;
+    * longest-match-wins per (url, sent_idx, start) as groupBy + max_by —
+      a hash aggregation with map-side partial combine, not a window sort.
+
+    ``broadcast_vocab=False`` is the big-vocabulary path: no literal
+    pre-filter (vocab too big to inline), salted repartition join instead
+    (hot surface forms are skewed — north_star salted-key hash join).
     Output: (url, warc_ts, sent_idx, start, len, surface, kind).
     """
-    spans = sentences.select(
+    toks = sentences.select(
         "url",
         "warc_ts",
         "sent_idx",
-        F.explode(_token_spans(F.col("tokens"))).alias("sp"),
-    ).select("url", "warc_ts", "sent_idx", "sp.start", "sp.len", "sp.gram")
-    surfaces = (
-        crosswalk.select(
-            F.col("surface_form").alias("gram"),
-            F.col("canon_domain").alias("kind"),
-            F.length("surface_form").alias("_slen"),
-        )
-        .distinct()
+        F.col("tokens"),
+        F.posexplode(F.col("tokens")).alias("pos", "tok"),
     )
+    t1 = F.try_element_at(F.col("tokens"), F.col("pos") + 2)
+    t2 = F.try_element_at(F.col("tokens"), F.col("pos") + 3)
+    # F.concat (not concat_ws): a NULL tail token nulls the gram so a
+    # truncated n-gram can never false-match a shorter surface
+    g1 = F.col("tok")
+    g2 = F.concat(F.col("tok"), F.lit(" "), t1)
+    g3 = F.concat(F.col("tok"), F.lit(" "), t1, F.lit(" "), t2)
+
+    surfaces = crosswalk.select(
+        F.col("surface_form").alias("gram"),
+        F.col("canon_domain").alias("kind"),
+    ).distinct()
+
+    def _span(n, g):
+        return F.struct(F.lit(n).alias("len"), g.alias("gram"))
+
     if broadcast_vocab:
-        hits = spans.join(F.broadcast(surfaces), "gram")
-    else:
-        hits = salted_join(spans, surfaces, "gram", salt_buckets=salt_buckets)
-    w = Window.partitionBy("url", "sent_idx", "start").orderBy(F.col("len").desc())
-    return (
-        hits.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select(
+        # vocab is broadcast-sized by definition: inline per-length literal
+        # IN-sets so the fan-out explode emits only dictionary hits
+        by_len: dict[int, list[str]] = {1: [], 2: [], 3: []}
+        for r in surfaces.select("gram").collect():
+            n = len(r.gram.split(" "))
+            if n in by_len:
+                by_len[n].append(r.gram)
+
+        def _guard(n, g):
+            if not by_len[n]:
+                return F.lit(None).cast(
+                    "struct<len:int,gram:string>"
+                )
+            return F.when(g.isin(*by_len[n]), _span(n, g))
+
+        cands = toks.select(
             "url",
             "warc_ts",
             "sent_idx",
-            "start",
-            "len",
-            F.col("gram").alias("surface"),
-            "kind",
+            F.col("pos").alias("start"),
+            F.explode(
+                F.filter(
+                    F.array(_guard(1, g1), _guard(2, g2), _guard(3, g3)),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("sp"),
+        ).select("url", "warc_ts", "sent_idx", "start", "sp.len", "sp.gram")
+        hits = cands.join(F.broadcast(surfaces), "gram")
+    else:
+        spans = toks.select(
+            "url",
+            "warc_ts",
+            "sent_idx",
+            F.col("pos").alias("start"),
+            F.explode(F.array(_span(1, g1), _span(2, g2), _span(3, g3))).alias("sp"),
+        ).select("url", "warc_ts", "sent_idx", "start", "sp.len", "sp.gram").where(
+            F.col("gram").isNotNull()
         )
+        hits = salted_join(spans, surfaces, "gram", salt_buckets=salt_buckets)
+
+    # longest-match (W2) as a hash agg: unique len per (start) makes max_by
+    # exact; partial aggregation combines map-side before the one shuffle
+    return (
+        hits.groupBy("url", "sent_idx", "start")
+        .agg(
+            F.min("warc_ts").alias("warc_ts"),
+            F.max_by(
+                F.struct("len", F.col("gram").alias("surface"), "kind"), F.col("len")
+            ).alias("m"),
+        )
+        .select("url", "warc_ts", "sent_idx", "start", "m.len", "m.surface", "m.kind")
     )
 
 
@@ -373,7 +406,11 @@ def assemble_triples(mentions: DataFrame, qualifiers: DataFrame) -> DataFrame:
     qualifier_year)."""
     ent = mentions.where(F.col("kind") != "Predicate")
     pred = mentions.where(F.col("kind") == "Predicate")
-    ent_agg = ent.groupBy("url", "warc_ts", "sent_idx").agg(
+    # both aggregations group on (url, sent_idx) so the subsequent join
+    # reuses the exchange partitioning (no extra shuffle); warc_ts rides
+    # along via min() (constant per url)
+    ent_agg = ent.groupBy("url", "sent_idx").agg(
+        F.min("warc_ts").alias("warc_ts"),
         F.min_by(F.struct("start", "len", "surface"), F.col("start")).alias("subj"),
         F.max_by(F.struct("start", "len", "surface"), F.col("start")).alias("obj"),
     )

@@ -1229,3 +1229,301 @@ def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("doc_id")).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: remaining SURVEY §2 operators
+# ---------------------------------------------------------------------------
+
+@query(
+    "j6_codelist_containment",
+    oracle="""
+    WITH dim AS (
+      SELECT r_name,
+             string_agg('''' || n_name || '''', ',' ORDER BY n_name) AS dimcode
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+      GROUP BY r_name
+    ), exploded AS (
+      SELECT r_name,
+             unnest(string_split(replace(dimcode, chr(39), ''), ',')) AS n_name
+      FROM dim
+    )
+    SELECT e.r_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN exploded e ON n.n_name = e.n_name
+    GROUP BY e.r_name
+    """,
+)
+def j6_codelist_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: LIKE-containment join (probe value inside a quoted code-list
+    string, MSSQL/OMOPLoader.sql:963) rewritten as explode-then-equi-join —
+    never a theta join.  The quoted list is built from data (region's nation
+    names), parsed with the U1 codelist parser, exploded once, equi-joined."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    customer = _t(spark, sf_dir, "customer")
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("n_name")),
+                    lambda x: F.concat(F.lit("'"), x, F.lit("'")),
+                ),
+            ).alias("dimcode")
+        )
+    )
+    exploded = dim.select(
+        "r_name", F.explode(codelist_explode("dimcode")).alias("n_name")
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(exploded), "n_name")
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "o5_two_phase_priority",
+    oracle="""
+    WITH phase1 AS (
+      SELECT DISTINCT p_brand FROM part WHERE p_size > 40
+    ), phase2 AS (
+      SELECT DISTINCT p_brand FROM part
+      WHERE p_brand NOT IN (SELECT p_brand FROM phase1)
+    )
+    SELECT p_brand, 1 AS phase FROM phase1
+    UNION ALL
+    SELECT p_brand, 2 AS phase FROM phase2
+    """,
+)
+def o5_two_phase_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: two-phase INSERT as priority union — first preferred rows, then
+    leftovers whose key is not yet present (crosswalk build,
+    MSSQL/OMOPLoader.sql:765-770, 836-844): union + left_anti."""
+    part = _t(spark, sf_dir, "part")
+    phase1 = part.where(F.col("p_size") > 40).select("p_brand").distinct()
+    phase2 = (
+        part.select("p_brand").distinct().join(phase1, "p_brand", "left_anti")
+    )
+    return phase1.withColumn("phase", F.lit(1)).unionByName(
+        phase2.withColumn("phase", F.lit(2))
+    )
+
+
+@query(
+    "f3_unit_constants",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity * 0.453592, 6) AS qty_kg
+    FROM lineitem
+    """,
+)
+def f3_unit_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: config-compiled constant conversion factors applied
+    multiplicatively (unit_ht/unit_wt, MSSQL/OMOPLoader.sql:207-252) —
+    resolved to literals at plan-build time (Catalyst constant-folds)."""
+    factor = 0.453592  # resolved from config, not computed at runtime
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * F.lit(factor), 6).alias("qty_kg"),
+    )
+
+
+@query(
+    "a8_having_nonnull",
+    oracle="""
+    SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN value END)
+                AS DECIMAL(12,2))::DOUBLE AS max_purchase
+    FROM events
+    GROUP BY user_id
+    HAVING MAX(CASE WHEN event_type = 'purchase' THEN value END) IS NOT NULL
+    """,
+)
+def a8_having_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: aggregation + HAVING-style post-filter keeping groups with any
+    non-null measure (Oracle vitals, Oracle/OMOPLoader_ora.sql:1412-1420)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value")))
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("max_purchase")
+    )
+    return agg.where(F.col("max_purchase").isNotNull())
+
+
+@query(
+    "u3_branch_routing",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1
+                WHEN has_signup = 1 THEN 2
+                WHEN has_purchase = 1 THEN 3
+                ELSE 4 END AS branch,
+           COUNT(*) AS n_users
+    FROM flags GROUP BY 1
+    """,
+)
+def u3_branch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: the 7-branch demographics dynamic-SQL cascade
+    (MSSQL/OMOPLoader.sql:532-703) as a single-pass: presence flags per
+    entity -> CASE branch priority -> one aggregation.  The ontology-as-plan
+    codegen becomes plain data flow."""
+    ev = _t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("hs"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("hp"),
+    )
+    branch = (
+        F.when((F.col("hs") == 1) & (F.col("hp") == 1), 1)
+        .when(F.col("hs") == 1, 2)
+        .when(F.col("hp") == 1, 3)
+        .otherwise(4)
+    )
+    return flags.groupBy(branch.alias("branch")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "j12_closure_rollup",
+    oracle="""
+    WITH closure AS (
+      SELECT n_nationkey AS descendant, 'nation:' || n_name AS ancestor
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, 'region:' || r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT c.ancestor, COUNT(*) AS n_customers
+    FROM customer JOIN closure c ON c_nationkey = c.descendant
+    GROUP BY c.ancestor
+    """,
+)
+def j12_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: ancestor-closure rollup (drug -> RxNorm ingredient via
+    concept_ancestor, MSSQL/OMOPLoader.sql:1573-1577): the hierarchy is
+    pre-flattened into a closure table (no recursion at transform time),
+    broadcast, and aggregated per ancestor at every level."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    customer = _t(spark, sf_dir, "customer")
+    self_level = nation.select(
+        F.col("n_nationkey").alias("descendant"),
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("ancestor"),
+    )
+    up_level = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("descendant"),
+        F.concat(F.lit("region:"), F.col("r_name")).alias("ancestor"),
+    )
+    closure = self_level.unionByName(up_level)
+    return (
+        customer.join(
+            F.broadcast(closure), customer.c_nationkey == closure.descendant
+        )
+        .groupBy("ancestor")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_S3_CSV_ROWS = [
+    ("VITAL:HT", "Height", 3, "LOINC:8302-2"),
+    ("VITAL:WT", "Weight", 3, "LOINC:29463-7"),
+    ("VITAL:BP", "Blood pressure", 3, "LOINC:85354-9"),
+    ("LAB:HGB", "Hemoglobin", 4, "LOINC:718-7"),
+]
+
+
+@query(
+    "s3_csv_ontology_load",
+    oracle="""
+    SELECT code, name, hlevel,
+           substring(loinc, strpos(loinc, ':') + 1, 200) AS loinc_code
+    FROM (VALUES
+      ('VITAL:HT', 'Height', 3, 'LOINC:8302-2'),
+      ('VITAL:WT', 'Weight', 3, 'LOINC:29463-7'),
+      ('VITAL:BP', 'Blood pressure', 3, 'LOINC:85354-9'),
+      ('LAB:HGB', 'Hemoglobin', 4, 'LOINC:718-7')
+    ) t(code, name, hlevel, loinc)
+    """,
+)
+def s3_csv_ontology_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: CSV ontology-snapshot load with explicit schema (the reference
+    ships ontology as 27-column CSVs, deprecated/PCORNET_DEMO.csv) + F2
+    prefix strip applied on read.  The CSV is materialized deterministically
+    (fixture pattern) and read through the real spark.read.csv path."""
+    import csv as _csv
+    import os as _os
+    import tempfile as _tempfile
+
+    d = _os.path.join(_tempfile.gettempdir(), "i2o_s3_fixture")
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "ontology.csv")
+    if not _os.path.exists(path):
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["code", "name", "hlevel", "loinc"])
+            w.writerows(_S3_CSV_ROWS)
+    df = spark.read.csv(
+        path, header=True, schema="code string, name string, hlevel int, loinc string"
+    )
+    return df.select(
+        "code",
+        "name",
+        "hlevel",
+        prefix_strip("loinc").alias("loinc_code"),
+    )
+
+
+@query(
+    "ta_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+             AS n_units
+    FROM documents
+    """,
+)
+def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (word + punctuation units) — the cheap LLM
+    token-count proxy, identical regex on both engines."""
+    from i2o_transform_spark.functions.textstats import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("n_units")
+    )
+
+
+@query("kg_canonical_nodes")  # CC is iterative — rows-only; pytest-gated
+def kg_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization surface: compile the synthetic vocabulary crosswalk
+    and run blocked-CC concept merging (the north_star applyInPandas CC).
+    Deterministic (seeded datagen); verified by pytest goldens
+    (tests/test_kg_pipeline.py::test_canonicalization_merges_aliases)."""
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans.kg import (
+        canonicalize_concepts,
+        compile_crosswalk,
+        materialize_nodes,
+    )
+
+    d = generate(spark, 10)
+    cw = compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
+    cm = canonicalize_concepts(cw)
+    return materialize_nodes(cw, cm)

@@ -30,7 +30,13 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # G1's GCLocker stalls under many concurrently-allocating task threads
+    # ("Retried waiting for GCLocker too often") — local[32] ran 2-3x SLOWER
+    # than local[8] until this.  ParallelGC restores linear task scaling in
+    # single-JVM local mode; on a real cluster each executor JVM has few
+    # cores and G1 is fine (set via spark-submit instead).
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
 }

@@ -365,6 +365,122 @@ def detect_mentions(
     )
 
 
+def assemble_sentences(
+    sentences: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+) -> DataFrame:
+    """Fused narrow-path assembly: mention detection + longest-match-wins +
+    subject/predicate/object election + qualifier extraction computed as pure
+    array expressions over each sentence — ZERO shuffles.
+
+    Semantics are identical to the modular path
+    (detect_mentions -> extract_qualifiers -> assemble_triples; property-
+    tested equal), but where that path pays three aggregation exchanges and
+    two joins, this one stays entirely inside whole-stage codegen: the only
+    shuffle in the whole pipeline is the final triple dedup in
+    ``link_and_emit``.  This is the plan shape that scales — per-sentence
+    logic is embarrassingly parallel, so throughput is linear in cores and
+    the 100 TB run's network cost is one exchange of (subj,pred,obj,url)
+    tuples, not four exchanges of token-level intermediates.
+
+    Requires a broadcast-sized vocabulary (literal IN-sets, like the
+    reference's in-memory ontology probe); the big-vocab fallback is the
+    modular path with ``broadcast_vocab=False`` (salted repartition join).
+    """
+    surf_rows = crosswalk.select("surface_form", "canon_domain").distinct().collect()
+    by_len: dict[int, list[str]] = {1: [], 2: [], 3: []}
+    pred_surfaces: list[str] = []
+    for r in surf_rows:
+        n = len(r.surface_form.split(" "))
+        if n in by_len:
+            by_len[n].append(r.surface_form)
+        if r.canon_domain == "Predicate":
+            pred_surfaces.append(r.surface_form)
+    cfg = [r.asDict() for r in modifier_config.collect()]
+
+    T = F.col("tokens")
+
+    def tok(i, off=0):
+        return F.try_element_at(T, i + 1 + off)
+
+    def gram(i, n):
+        if n == 1:
+            return tok(i)
+        parts = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(tok(i, j))
+        return F.concat(*parts)  # NULL tail token nulls the whole gram
+
+    def longest(i):
+        m = F.lit(None).cast("struct<start:int,len:int,surface:string>")
+        for n in (1, 2, 3):  # build shortest->longest so longest wins
+            if by_len[n]:
+                g = gram(i, n)
+                m = F.when(
+                    g.isin(*by_len[n]),
+                    F.struct(
+                        i.cast("int").alias("start"),
+                        F.lit(n).alias("len"),
+                        g.alias("surface"),
+                    ),
+                ).otherwise(m)
+        return m
+
+    mentions = F.filter(
+        F.transform(F.sequence(F.lit(0), F.size(T) - 1), longest),
+        lambda m: m.isNotNull(),
+    )
+    if pred_surfaces:
+        is_pred = lambda m: m["surface"].isin(*pred_surfaces)  # noqa: E731
+    else:
+        is_pred = lambda m: F.lit(False)  # noqa: E731
+    ents = F.filter(mentions, lambda m: ~is_pred(m))
+    preds = F.filter(mentions, lambda m: is_pred(m))
+
+    subj = F.try_element_at(ents, F.lit(1))
+    obj = F.try_element_at(ents, F.lit(-1))
+    pred = F.try_element_at(preds, F.lit(1))
+
+    qual_cols = []
+    for spec in cfg:
+        matched = F.filter(
+            F.transform(F.sequence(F.lit(0), F.size(T) - 1), lambda i: i),
+            lambda i: (i > 0)
+            & F.try_element_at(T, i + 1).rlike(spec["pattern"])
+            & (F.try_element_at(T, i) == F.lit(spec["trigger_token"])),
+        )
+        val = F.array_min(
+            F.transform(matched, lambda i: F.try_element_at(T, i + 1))
+        )
+        qual_cols.append(val.cast("int").alias(f"qualifier_{spec['kind']}"))
+
+    out = sentences.select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        subj.alias("subj"),
+        pred.alias("pred"),
+        obj.alias("obj"),
+        *qual_cols,
+    )
+    return out.where(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+        & (F.col("subj.start") + F.col("subj.len") <= F.col("pred.start"))
+        & (F.col("pred.start") < F.col("obj.start"))
+    ).select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        F.col("subj.surface").alias("subj_surface"),
+        F.col("pred.surface").alias("pred_surface"),
+        F.col("obj.surface").alias("obj_surface"),
+        *[F.col(f"qualifier_{s['kind']}") for s in cfg],
+    )
+
+
 def extract_qualifiers(sentences: DataFrame, modifier_config: DataFrame) -> DataFrame:
     """Config-driven qualifier extraction (U4, MSSQL/OMOPLoader.sql:1690-1759):
     each modifier_config row (kind, trigger_token, pattern, target_column)
@@ -483,14 +599,25 @@ def link_and_emit(
     )
     # deterministic dedup: keep the earliest sentence occurrence per
     # (s, p, o, url) — dropDuplicates alone would keep an arbitrary
-    # qualifier_year when a page repeats the triple
-    w = Window.partitionBy("subj_id", "pred_id", "obj_id", "url").orderBy(
-        F.col("sent_idx").asc()
-    )
+    # qualifier_year when a page repeats the triple.  A hash aggregation
+    # (min_by over the unique-per-group sent_idx) replaces the sort window:
+    # partial aggregation combines map-side, so the one pipeline shuffle
+    # moves already-deduped tuples and never sorts.
     deduped = (
-        linked.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
+        linked.groupBy("subj_id", "pred_id", "obj_id", "url")
+        .agg(
+            F.min_by(
+                F.struct("warc_ts", "sent_idx", "qualifier_year"), F.col("sent_idx")
+            ).alias("_m")
+        )
+        .select(
+            "subj_id",
+            "pred_id",
+            "obj_id",
+            "url",
+            F.col("_m.warc_ts").alias("warc_ts"),
+            F.col("_m.qualifier_year").alias("qualifier_year"),
+        )
     )
     return deduped.select(
         content_id("subj_id", "pred_id", "obj_id", "url").alias("triple_id"),

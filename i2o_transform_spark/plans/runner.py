@@ -145,6 +145,7 @@ def run_pipeline(
     n_pages: int = 2000,
     seed: int = 42,
     broadcast_vocab: bool = True,
+    fused: bool = True,
     stop_after: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full KG pipeline over synthesized pages (tests/bench) — on a cluster
@@ -193,30 +194,44 @@ def run_pipeline(
             lambda: kg.validation_report(pages, extracted),
             upstream=["pages", "extracted"],
         )
-        mentions = _run(
-            "mentions",
-            lambda: kg.detect_mentions(
-                kg.split_sentences(extracted.where(F.col("lang") == "en")),
-                crosswalk,
-                broadcast_vocab=broadcast_vocab,
-            ),
-            upstream=["extracted", "crosswalk"],
-            entity_col="url",
-        )
-        qualifiers = _run(
-            "qualifiers",
-            lambda: kg.extract_qualifiers(
-                kg.split_sentences(extracted.where(F.col("lang") == "en")), modcfg
-            ),
-            upstream=["extracted", "modifier_config"],
-            entity_col="url",
-        )
-        assembled = _run(
-            "assembled",
-            lambda: kg.assemble_triples(mentions, qualifiers),
-            upstream=["mentions", "qualifiers"],
-            entity_col="url",
-        )
+        if fused and broadcast_vocab:
+            # fused narrow path (assemble_sentences): zero-shuffle from scan
+            # to assembled rows — one stage, one materialization
+            assembled = _run(
+                "assembled",
+                lambda: kg.assemble_sentences(
+                    kg.split_sentences(extracted.where(F.col("lang") == "en")),
+                    crosswalk,
+                    modcfg,
+                ),
+                upstream=["extracted", "crosswalk", "modifier_config"],
+                entity_col="url",
+            )
+        else:
+            mentions = _run(
+                "mentions",
+                lambda: kg.detect_mentions(
+                    kg.split_sentences(extracted.where(F.col("lang") == "en")),
+                    crosswalk,
+                    broadcast_vocab=broadcast_vocab,
+                ),
+                upstream=["extracted", "crosswalk"],
+                entity_col="url",
+            )
+            qualifiers = _run(
+                "qualifiers",
+                lambda: kg.extract_qualifiers(
+                    kg.split_sentences(extracted.where(F.col("lang") == "en")), modcfg
+                ),
+                upstream=["extracted", "modifier_config"],
+                entity_col="url",
+            )
+            assembled = _run(
+                "assembled",
+                lambda: kg.assemble_triples(mentions, qualifiers),
+                upstream=["mentions", "qualifiers"],
+                entity_col="url",
+            )
         triples = _run(
             "triples",
             lambda: kg.link_and_emit(assembled, crosswalk, canon_map),

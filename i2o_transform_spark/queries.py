@@ -1527,3 +1527,452 @@ def kg_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
     cm = canonicalize_concepts(cw)
     return materialize_nodes(cw, cm)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: remaining SURVEY §2 operators
+# ---------------------------------------------------------------------------
+
+_S1_CONFIG = {
+    "facts": "lineitem",
+    "entities": "customer",
+    "visits": "orders",
+    "cohort_gate": True,
+}
+
+
+@query(
+    "s1_config_source_binding",
+    oracle="""
+    WITH cohort AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_entities
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM cohort)
+    GROUP BY c_mktsegment
+    """,
+)
+def s1_config_source_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: config-driven source binding (i2o_transform_config -> dynamic
+    CREATE VIEW/SYNONYM, MSSQL/OMOPLoader.sql:37-189).  Logical names resolve
+    through a config object at plan-build time; the i2b2patient view's
+    embedded semi-join gate (:48) becomes a left_semi join applied once at
+    the scan so every downstream stage is cohort-limited."""
+    entities = _t(spark, sf_dir, _S1_CONFIG["entities"])
+    visits = _t(spark, sf_dir, _S1_CONFIG["visits"])
+    gated = entities
+    if _S1_CONFIG["cohort_gate"]:
+        cohort = visits.where(F.col("o_totalprice") > 400000).select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+        gated = entities.join(cohort, "c_custkey", "left_semi")
+    return gated.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+@query(
+    "p4_value_type_filter",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_linestatus IN ('F') AND l_returnflag <> 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def p4_value_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: value-type discriminator filters (valtype_cd IN ('N'),
+    modifier_cd='@', MSSQL/OMOPLoader.sql:1351-1353, 1848) — plain pushed-down
+    predicates; both reach the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_linestatus").isin("F") & (F.col("l_returnflag") != "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "p5_leaf_filter",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_leaf
+    FROM part WHERE starts_with(p_type, 'SM')
+    GROUP BY p_brand
+    """,
+)
+def p5_leaf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: visual-attribute leaf filter (c_visualattributes LIKE 'L%',
+    MSSQL/OMOPLoader.sql:552-554) — sargable startswith."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_type").startswith("SM"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_leaf"))
+    )
+
+
+_J2_MODIFIER_VOCAB = [
+    ("1-URGENT", "rush", 1),
+    ("2-HIGH", "rush", 2),
+    ("3-MEDIUM", "routine", 3),
+    ("5-LOW", "routine", 5),
+]
+
+
+@query(
+    "j2_modifier_join",
+    oracle="""
+    WITH modvocab AS (
+      SELECT * FROM (VALUES
+        ('1-URGENT', 'rush', 1), ('2-HIGH', 'rush', 2),
+        ('3-MEDIUM', 'routine', 3), ('5-LOW', 'routine', 5)
+      ) t(modifier_cd, mod_class, mod_rank)
+    )
+    SELECT mod_class, COUNT(*) AS n_facts,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN modvocab ON o_orderpriority = modifier_cd
+    GROUP BY mod_class
+    """,
+)
+def j2_modifier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: modifier equi-join — same broadcast dictionary join as J1 but on
+    the modifier key column (i2b2fact.modifier_cd = ont.c_basecode,
+    MSSQL/OMOPLoader.sql:1016-1023).  The modifier vocabulary is config-borne
+    (not scanned from data), exactly like the reference's pcornet_* binding;
+    codes absent from the vocabulary drop out (inner join), mirroring the
+    reference's unmapped-modifier behavior."""
+    orders = _t(spark, sf_dir, "orders")
+    vocab = spark.createDataFrame(
+        _J2_MODIFIER_VOCAB, "modifier_cd string, mod_class string, mod_rank int"
+    )
+    return (
+        orders.join(F.broadcast(vocab), orders.o_orderpriority == vocab.modifier_cd)
+        .groupBy("mod_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+_J7_BANDS = [
+    ("budget", 0.0, 1200.0),
+    ("mid", 1200.0, 1600.0),
+    ("premium", 1600.0, 2100.0),
+]
+
+
+@query(
+    "j7_range_join",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('budget', 0.0, 1200.0), ('mid', 1200.0, 1600.0),
+        ('premium', 1600.0, 2100.0)
+      ) t(band, lo, hi)
+    )
+    SELECT band, COUNT(*) AS n_parts
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: interval/range join (era range predicate,
+    MSSQL/OMOPLoader.sql:1546) — the tiny interval side is broadcast so the
+    non-equi condition runs as BroadcastNestedLoopJoin over the big side with
+    zero shuffle; at scale with a big interval side this becomes a bucketed
+    band join (floor(value/width) equi-key + residual predicate)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_J7_BANDS, "band string, lo double, hi double")
+    cond = (F.col("p_retailprice") >= F.col("lo")) & (
+        F.col("p_retailprice") < F.col("hi")
+    )
+    return (
+        part.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "j10_cross_join",
+    oracle="""
+    SELECT r.r_name, s.status, COUNT(o.o_orderkey) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    LEFT JOIN (
+      SELECT o_orderkey, o_orderstatus, n_regionkey
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ) o ON o.n_regionkey = r.r_regionkey AND o.o_orderstatus = s.status
+    GROUP BY r.r_name, s.status
+    """,
+)
+def j10_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: the demographics codegen cross join
+    (MSSQL/OMOPLoader.sql:550-554): ontology-leaf combinations form the plan
+    grid; recast as one data-side cross join of two tiny dims + a single
+    left join — O(#combos) rows, never O(#combos) statements."""
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    statuses = orders.select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    grid = region.select("r_regionkey", "r_name").crossJoin(F.broadcast(statuses))
+    facts = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "o_orderstatus", "n_regionkey")
+    )
+    joined = grid.join(
+        facts,
+        (facts.n_regionkey == grid.r_regionkey)
+        & (facts.o_orderstatus == grid.status),
+        "left",
+    )
+    return joined.groupBy("r_name", "status").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders")
+    )
+
+
+@query(
+    "a3_group_min_dedup",
+    oracle="""
+    SELECT s_nationkey, MIN(s_name) AS rep_name, COUNT(*) AS n_rows
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def a3_group_min_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: group-by-min dedup — one representative row per key
+    (provider dedup, MSSQL/OMOPLoader.sql:1673-1674); partial aggregation
+    combines map-side before the shuffle."""
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.groupBy("s_nationkey").agg(
+        F.min("s_name").alias("rep_name"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "o1_clustered_sort",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+    """,
+)
+def o1_clustered_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY on insert (MSSQL/OMOPLoader.sql:1564) — no ordering
+    guarantee exists in a distributed table write, so the semantics that
+    survive are file clustering: sortWithinPartitions keys co-locate rows for
+    min/max skipping without a global sort's extra exchange.  Content is
+    order-insensitively identical to the unsorted relation (the oracle checks
+    exactly that)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") >= "1997-01-01")
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_returnflag", "l_orderkey")
+    )
+
+
+@query(
+    "f5_coalesce_imputation",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(
+             CASE WHEN l_returnflag = 'R' THEN NULL ELSE l_shipdate END,
+             CASE WHEN l_linestatus = 'F'
+                  THEN l_shipdate + INTERVAL 30 DAY END,
+             l_shipdate + INTERVAL 60 DAY
+           ) AS imputed_end
+    FROM lineitem
+    """,
+)
+def f5_coalesce_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: multi-arm COALESCE end-date imputation with DATEADD fallbacks
+    (COALESCE(end, dateadd(day,30,...), dateadd(...)),
+    MSSQL/OMOPLoader.sql:957-958, 1571) + nullif guard."""
+    li = _t(spark, sf_dir, "lineitem")
+    end = F.when(F.col("l_returnflag") == "R", F.lit(None)).otherwise(
+        F.col("l_shipdate")
+    )
+    fallback30 = F.when(
+        F.col("l_linestatus") == "F", F.date_add(F.col("l_shipdate"), 30)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            end,
+            fallback30,
+            F.date_add(F.col("l_shipdate"), 60),
+        ).alias("imputed_end"),
+    )
+
+
+@query(
+    "f8_lower_membership",
+    oracle="""
+    SELECT COUNT(*) AS n_matched
+    FROM customer
+    WHERE lower(c_mktsegment) IN ('building', 'machinery')
+    """,
+)
+def f8_lower_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: lower() case-insensitive code membership (demographic matching,
+    MSSQL/OMOPLoader.sql:546-548)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(
+        F.lower(F.col("c_mktsegment")).isin("building", "machinery")
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+
+
+@query(
+    "u2_popcodelist",
+    oracle=r"""
+    WITH ont AS (
+      SELECT * FROM (VALUES
+        ('\KG\DEMO\RACE\', 'race', '''01'',''02'',''03'''),
+        ('\KG\DEMO\SEX\',  'sex',  '''M'',''F'''),
+        ('\KG\DEMO\HISP\', 'hisp', '''Y'',''N'''),
+        ('\KG\VITAL\HT\',  'ht',   '''99''')
+      ) t(path, kind, code_list)
+    )
+    SELECT kind, unnest(string_split(replace(code_list, chr(39), ''), ','))
+             AS code
+    FROM ont
+    WHERE starts_with(path, '\KG\DEMO\')
+    """,
+)
+def u2_popcodelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: pcornet_popcodelist (MSSQL/OMOPLoader.sql:480-508) — the cursor
+    over RACE/SEX/HISPANIC ontology rows feeding the codelist parser becomes
+    one DataFrame: path-prefix filter (P1) -> codelist explode (U1); cached/
+    broadcast downstream."""
+    ont = spark.createDataFrame(
+        [
+            ("\\KG\\DEMO\\RACE\\", "race", "'01','02','03'"),
+            ("\\KG\\DEMO\\SEX\\", "sex", "'M','F'"),
+            ("\\KG\\DEMO\\HISP\\", "hisp", "'Y','N'"),
+            ("\\KG\\VITAL\\HT\\", "ht", "'99'"),
+        ],
+        "path string, kind string, code_list string",
+    )
+    return ont.where(F.col("path").startswith("\\KG\\DEMO\\")).select(
+        "kind", F.explode(codelist_explode("code_list")).alias("code")
+    )
+
+
+@query(
+    "u5_entity_veto_rule",
+    oracle="""
+    WITH evid AS (
+      SELECT c_custkey,
+             (c_custkey % 3 = 0) AS name_fail,
+             (c_custkey % 5 = 0) AS dob_fail,
+             (c_custkey % 7 <> 0) AS consent_ok,
+             (c_acctbal >= 0) AS status_ok
+      FROM customer
+    )
+    SELECT c_custkey,
+           (consent_ok AND status_ok AND NOT (name_fail AND dob_fail))
+             AS accepted
+    FROM evid
+    """,
+)
+def u5_entity_veto_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: the AOU entity-resolution decision rule
+    (PHS_MRN_PID_mapping/AOU_MATCHING.sql:88-104): multi-evidence scoring
+    where a match is rejected only when BOTH strong signals fail
+    (name AND dob), gated on status/consent checks — the reference's
+    row-by-row cursor recast as pure boolean column logic."""
+    c = _t(spark, sf_dir, "customer")
+    name_fail = F.col("c_custkey") % 3 == 0
+    dob_fail = F.col("c_custkey") % 5 == 0
+    consent_ok = F.col("c_custkey") % 7 != 0
+    status_ok = F.col("c_acctbal") >= 0
+    return c.select(
+        "c_custkey",
+        (consent_ok & status_ok & ~(name_fail & dob_fail)).alias("accepted"),
+    )
+
+
+@query(
+    "dd_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding, label
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS sim
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b FROM pairs WHERE sim >= 0.99
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact pairs above threshold, blocked by the
+    label column so the self-join is per-block not all-pairs (at 10^12 rows
+    the block key comes from coarse LSH buckets — dd_minhash_lsh's band
+    pattern — never a global cross join).  20% of vectors are duplicated
+    (offset ids) so true near-dup pairs exist in the corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    a = corpus.select(
+        F.col("label").alias("blk"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = corpus.select(
+        F.col("label").alias("blk"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    from i2o_transform_spark.operators.similarity import cosine as _cos
+
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_cos(F.col("va"), F.col("vb")) >= 0.99)
+        .select("id_a", "id_b")
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 250 + 1 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+    FROM meta WHERE n_frames > 1
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: metadata-driven fan-out (explode over a
+    frame-index sequence) — the payload bytes never enter the exchange; only
+    (doc_id, frame_idx) rows flow to the (stubbed) decoder."""
+    from i2o_transform_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("video").alias("media_type"),
+    )
+    meta = extract_media_metadata(media)
+    out = frame_sample_plan(meta, every_n=10)
+    return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))

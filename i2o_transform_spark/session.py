@@ -31,12 +31,21 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-    # G1's GCLocker stalls under many concurrently-allocating task threads
-    # ("Retried waiting for GCLocker too often") — local[32] ran 2-3x SLOWER
-    # than local[8] until this.  ParallelGC restores linear task scaling in
-    # single-JVM local mode; on a real cluster each executor JVM has few
-    # cores and G1 is fine (set via spark-submit instead).
-    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    # Two JVM pathologies break local[N] scaling on this sandbox and both are
+    # GC-side, not Spark-side:
+    # * G1's GCLocker stalls under many concurrently-allocating task threads
+    #   ("Retried waiting for GCLocker too often") — ParallelGC avoids it in
+    #   single-JVM local mode (a real cluster's small executor JVMs keep G1).
+    # * The sandbox kernel backs JVM heap lazily; without -Xms/-XX:+AlwaysPreTouch
+    #   every heap-growth step makes all GC threads fault fresh pages at once —
+    #   observed as GC threads pegged at 100% *system* time and local[32]
+    #   running 4x slower than local[8].  Pre-touching the whole heap at
+    #   startup moves that cost out of the measured path entirely.
+    "spark.driver.extraJavaOptions": (
+        "-XX:+UseParallelGC -Xms"
+        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        + " -XX:+AlwaysPreTouch"
+    ),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
 }

@@ -94,10 +94,12 @@ def test_resume_after_kill(spark, tmp_path):
     """Kill after the mentions stage; a fresh runner must skip completed
     stages and produce identical triples."""
     out = str(tmp_path / "kg_resume")
-    partial = run_pipeline(spark, out, n_pages=100, stop_after="mentions")
+    partial = run_pipeline(
+        spark, out, n_pages=100, fused=False, stop_after="mentions"
+    )
     assert "triples" not in partial  # the run really was cut short
     # fresh full run over the same dir = resume
-    outs2 = run_pipeline(spark, out, n_pages=100)
+    outs2 = run_pipeline(spark, out, n_pages=100, fused=False)
     r = outs2["_runner"]
     assert "mentions" in r.skipped and "crosswalk" in r.skipped
     assert "assembled" in r.executed and "triples" in r.executed
@@ -114,7 +116,7 @@ def test_lineage_and_metrics_persisted(spark, pipeline_out):
     lineage = spark.read.parquet(os.path.join(out_dir, "_lineage"))
     metrics = spark.read.parquet(os.path.join(out_dir, "_metrics"))
     stages = {r.stage for r in metrics.collect()}
-    assert {"pages", "crosswalk", "mentions", "triples"} <= stages
+    assert {"pages", "crosswalk", "assembled", "triples"} <= stages
     # per-partition lineage rows sum to stage totals
     lsum = {
         r.stage: r.total
@@ -151,3 +153,27 @@ def test_salted_path_equals_broadcast_path(spark, data):
     cols = ["url", "sent_idx", "start", "len", "surface", "kind"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_fused_equals_modular_assembly(spark, data):
+    """assemble_sentences (fused zero-shuffle path) must emit exactly the
+    modular detect_mentions -> extract_qualifiers -> assemble_triples rows."""
+    cw = kg.compile_crosswalk(
+        data["surface_vocab"], data["concept"], data["concept_rel"]
+    )
+    sents = kg.split_sentences(
+        kg.extract_text(data["pages"]).where(F.col("lang") == "en")
+    ).persist()
+    modular = kg.assemble_triples(
+        kg.detect_mentions(sents, cw),
+        kg.extract_qualifiers(sents, data["modifier_config"]),
+    )
+    fused = kg.assemble_sentences(sents, cw, data["modifier_config"])
+    cols = [
+        "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
+        "qualifier_year",
+    ]
+    a = {tuple(r) for r in modular.select(cols).collect()}
+    b = {tuple(r) for r in fused.select(cols).collect()}
+    sents.unpersist()
+    assert a == b and len(a) > 0

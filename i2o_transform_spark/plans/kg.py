@@ -43,7 +43,13 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from i2o_transform_spark.functions.hashing import content_id
 from i2o_transform_spark.operators.graph import blocked_connected_components
@@ -61,6 +67,19 @@ _EXTRACT_SCHEMA = StructType(
 )
 
 
+
+def _html_to_text(html_bytes: "pd.Series") -> "pd.Series":
+    """Vectorized html -> text (the byte-identical extraction core): decode,
+    <p>-body extract, entity-unescape in reverse order of escaping."""
+    html = html_bytes.str.decode("utf-8", errors="replace").fillna("")
+    body = html.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
+    return (
+        body.str.replace("&lt;", "<", regex=False)
+        .str.replace("&gt;", ">", regex=False)
+        .str.replace("&amp;", "&", regex=False)
+    )
+
+
 def extract_text(pages: DataFrame) -> DataFrame:
     """HTML -> text via an Arrow-vectorized mapInPandas UDF.
 
@@ -73,16 +92,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            html = pdf["html"].apply(
-                lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
-            )
-            body = html.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
-            # unescape in reverse order of escaping (& last)
-            text = (
-                body.str.replace("&lt;", "<", regex=False)
-                .str.replace("&gt;", ">", regex=False)
-                .str.replace("&amp;", "&", regex=False)
-            )
+            text = _html_to_text(pdf["html"])
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
@@ -412,12 +422,19 @@ def assemble_sentences(
             parts.append(tok(i, j))
         return F.concat(*parts)  # NULL tail token nulls the whole gram
 
+    # multi-token grams are only worth building (string concat = the hot
+    # allocation) when the current token can start one — the first-word
+    # prefilter skips the concat for the vast majority of positions
+    multi_first_words = sorted(
+        {s.split(" ")[0] for n in (2, 3) for s in by_len[n]}
+    )
+
     def longest(i):
         m = F.lit(None).cast("struct<start:int,len:int,surface:string>")
         for n in (1, 2, 3):  # build shortest->longest so longest wins
             if by_len[n]:
                 g = gram(i, n)
-                m = F.when(
+                hit = F.when(
                     g.isin(*by_len[n]),
                     F.struct(
                         i.cast("int").alias("start"),
@@ -425,6 +442,10 @@ def assemble_sentences(
                         g.alias("surface"),
                     ),
                 ).otherwise(m)
+                if n == 1:
+                    m = hit
+                else:
+                    m = F.when(tok(i).isin(*multi_first_words), hit).otherwise(m)
         return m
 
     mentions = F.filter(
@@ -479,6 +500,252 @@ def assemble_sentences(
         F.col("obj.surface").alias("obj_surface"),
         *[F.col(f"qualifier_{s['kind']}") for s in cfg],
     )
+
+
+def _collect_assembly_vocab(crosswalk: DataFrame, modifier_config: DataFrame):
+    """Driver-side vocab/config snapshot for the pandas assembly kernels."""
+    surf_rows = crosswalk.select("surface_form", "canon_domain").distinct().collect()
+    by_len: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    pred_set: set = set()
+    for r in surf_rows:
+        n = len(r.surface_form.split(" "))
+        if n in by_len:
+            by_len[n].add(r.surface_form)
+        if r.canon_domain == "Predicate":
+            pred_set.add(r.surface_form)
+    first2 = {x.split(" ")[0] for x in by_len[2]}
+    first3 = {x.split(" ")[0] for x in by_len[3]}
+    cfg = [r.asDict() for r in modifier_config.collect()]
+    return by_len, pred_set, first2, first3, cfg
+
+
+def _assembled_schema(cfg: list[dict]) -> StructType:
+    return StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("sent_idx", IntegerType()),
+            StructField("subj_surface", StringType()),
+            StructField("pred_surface", StringType()),
+            StructField("obj_surface", StringType()),
+        ]
+        + [StructField(f"qualifier_{s['kind']}", IntegerType()) for s in cfg]
+    )
+
+
+def _make_assembler(by_len, pred_set, first2, first3, cfg):
+    """Build the vectorized per-batch assembly kernel: token arrays ->
+    assembled (subj, pred, obj, qualifiers) rows.  numpy explode +
+    Series.isin hash probes + drop_duplicates first/last election — no
+    per-row Python anywhere."""
+    import numpy as np
+
+    qual_names = [f"qualifier_{s['kind']}" for s in cfg]
+
+    def assemble(url_arr, ts_arr, sidx_arr, tok_lists):
+        nrow = len(tok_lists)
+        if nrow == 0:
+            return None
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, nrow)
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists]
+        )
+        row = np.repeat(np.arange(nrow), counts)
+        starts = np.zeros(nrow, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos = np.arange(total) - np.repeat(starts, counts)
+
+        s1 = pd.Series(flat)
+        same1 = np.empty(total, bool)  # next token in same sentence
+        same1[:-1] = row[1:] == row[:-1]
+        same1[-1] = False
+        nxt = np.roll(flat, -1)
+        same2 = np.empty(total, bool)
+        same2[:-2] = row[2:] == row[:-2]
+        same2[-2:] = False
+        nxt2 = np.roll(flat, -2)
+
+        # longest-match-wins per start: 1-gram, overridden by 2/3-gram
+        m1 = s1.isin(by_len[1]).to_numpy()
+        mlen = np.where(m1, 1, 0)
+        msurf = np.where(m1, flat, None)
+        if by_len[2]:
+            c2 = same1 & s1.isin(first2).to_numpy()
+            g2 = np.empty(total, object)
+            idx = np.nonzero(c2)[0]
+            g2[idx] = pd.Series(flat[idx]).str.cat(
+                pd.Series(nxt[idx]), sep=" "
+            ).to_numpy()
+            m2 = np.zeros(total, bool)
+            m2[idx] = pd.Series(g2[idx]).isin(by_len[2]).to_numpy()
+            mlen = np.where(m2, 2, mlen)
+            msurf = np.where(m2, g2, msurf)
+        if by_len[3]:
+            c3 = same2 & s1.isin(first3).to_numpy()
+            idx = np.nonzero(c3)[0]
+            g3 = np.empty(total, object)
+            g3[idx] = (
+                pd.Series(flat[idx])
+                .str.cat(pd.Series(nxt[idx]), sep=" ")
+                .str.cat(pd.Series(nxt2[idx]), sep=" ")
+                .to_numpy()
+            )
+            m3 = np.zeros(total, bool)
+            m3[idx] = pd.Series(g3[idx]).isin(by_len[3]).to_numpy()
+            mlen = np.where(m3, 3, mlen)
+            msurf = np.where(m3, g3, msurf)
+
+        hit = mlen > 0
+        h = pd.DataFrame(
+            {
+                "row": row[hit],
+                "pos": pos[hit],
+                "len": mlen[hit],
+                "surface": msurf[hit],
+            }
+        )
+        h["is_pred"] = h["surface"].isin(pred_set)
+        ents = h[~h["is_pred"]]
+        preds = h[h["is_pred"]]
+        subj = ents.drop_duplicates("row", keep="first").set_index("row")
+        obj = ents.drop_duplicates("row", keep="last").set_index("row")
+        prd = preds.drop_duplicates("row", keep="first").set_index("row")
+
+        keep = subj.index.intersection(prd.index)
+        if len(keep) == 0:
+            return None
+        sj, ob, pr = subj.loc[keep], obj.loc[keep], prd.loc[keep]
+        ok = ((sj["pos"] + sj["len"]) <= pr["pos"]) & (pr["pos"] < ob["pos"])
+        keep = keep[ok.to_numpy()]
+        if len(keep) == 0:
+            return None
+
+        res = pd.DataFrame(
+            {
+                "url": url_arr[keep],
+                "warc_ts": ts_arr[keep],
+                "sent_idx": sidx_arr[keep].astype("int32"),
+                "subj_surface": subj.loc[keep, "surface"].to_numpy(),
+                "pred_surface": prd.loc[keep, "surface"].to_numpy(),
+                "obj_surface": obj.loc[keep, "surface"].to_numpy(),
+            },
+            index=keep,
+        )
+        for spec, qn in zip(cfg, qual_names):
+            prev_ok = np.empty(total, bool)
+            prev_ok[0] = False
+            prev_ok[1:] = (row[1:] == row[:-1]) & (
+                np.roll(flat, 1)[1:] == spec["trigger_token"]
+            )
+            # str.contains(regex) mirrors rlike (unanchored search)
+            pat = s1.str.contains(spec["pattern"], regex=True).to_numpy() & prev_ok
+            qdf = pd.DataFrame({"row": row[pat], "value": flat[pat]})
+            qmin = qdf.groupby("row")["value"].min()
+            res[qn] = pd.to_numeric(
+                res.index.to_series().map(qmin), errors="coerce"
+            ).astype("Int32")
+        return res.reset_index(drop=True)
+
+    return assemble
+
+
+def assemble_sentences_pandas(
+    sentences: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+) -> DataFrame:
+    """Arrow-vectorized twin of ``assemble_sentences``: the same per-sentence
+    mention/longest-match/election/qualifier logic inside one mapInPandas.
+
+    Why it exists: Spark's higher-order array functions (transform/filter)
+    are interpreted per element, not whole-stage-codegen — on token-level
+    string work they run ~5x slower than Arrow-vectorized pandas and scale
+    worse (allocation-bound).  Same zero-shuffle plan shape as the expression
+    version; property-tested equal output.
+    """
+    by_len, pred_set, first2, first3, cfg = _collect_assembly_vocab(
+        crosswalk, modifier_config
+    )
+    out_schema = _assembled_schema(cfg)
+    kernel = _make_assembler(by_len, pred_set, first2, first3, cfg)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = kernel(
+                pdf["url"].to_numpy(),
+                pdf["warc_ts"].to_numpy(),
+                pdf["sent_idx"].to_numpy(),
+                pdf["tokens"].tolist(),
+            )
+            if res is not None:
+                yield res
+
+    cols = sentences.select("url", "warc_ts", "sent_idx", "tokens")
+    return cols.mapInPandas(run, out_schema)
+
+
+def extract_and_assemble(
+    pages: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+) -> DataFrame:
+    """The whole narrow path — html -> text -> sentences -> assembled triples
+    surface rows — in ONE Arrow stage.
+
+    The staged path (extract_text -> split_sentences -> assembly) crosses the
+    JVM/Python Arrow boundary twice and materializes the token-level sentence
+    frame in between; that frame is several times larger than the input pages
+    and its serialization is data-proportional but does not parallelize
+    cleanly.  Fusing the three steps means Arrow moves (url, warc_ts, html)
+    in and the tiny assembled rows out, nothing else.  The language filter
+    stays Spark-side (parquet predicate pushdown).  Semantics are identical
+    to the staged path (property-tested); the byte-identical-text invariant
+    is still checked by the separate extract_text stage in the runner.
+    """
+    by_len, pred_set, first2, first3, cfg = _collect_assembly_vocab(
+        crosswalk, modifier_config
+    )
+    out_schema = _assembled_schema(cfg)
+    kernel = _make_assembler(by_len, pred_set, first2, first3, cfg)
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            text = _html_to_text(pdf["html"])
+            # split_sentences semantics: split on '\.\s*', keep original
+            # position as sent_idx (posexplode before the empty filter),
+            # tokens = single-space split of the trimmed sentence
+            sl = text.str.split(r"\.\s*", regex=True).tolist()
+            counts = np.fromiter((len(x) for x in sl), np.int64, nrow)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate([np.asarray(x, dtype=object) for x in sl])
+            page_row = np.repeat(np.arange(nrow), counts)
+            starts = np.zeros(nrow, np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            sidx = (np.arange(total) - np.repeat(starts, counts)).astype("int32")
+            ss = pd.Series(flat).str.strip()
+            keep = (ss.str.len() > 0).to_numpy()
+            if not keep.any():
+                continue
+            tok_lists = ss[keep].str.split(" ").tolist()
+            res = kernel(
+                pdf["url"].to_numpy()[page_row[keep]],
+                pdf["warc_ts"].to_numpy()[page_row[keep]],
+                sidx[keep],
+                tok_lists,
+            )
+            if res is not None:
+                yield res
+
+    cols = pages.select("url", "warc_ts", "html")
+    return cols.mapInPandas(run, out_schema)
 
 
 def extract_qualifiers(sentences: DataFrame, modifier_config: DataFrame) -> DataFrame:

@@ -195,16 +195,16 @@ def run_pipeline(
             upstream=["pages", "extracted"],
         )
         if fused and broadcast_vocab:
-            # fused narrow path (assemble_sentences): zero-shuffle from scan
-            # to assembled rows — one stage, one materialization
+            # fully-fused narrow path (extract_and_assemble): html -> assembled
+            # rows in one Arrow stage, zero shuffles, one materialization.
+            # Reads the raw pages table (not the extracted stage) — the
+            # extracted stage still exists for the byte-identity validation.
             assembled = _run(
                 "assembled",
-                lambda: kg.assemble_sentences(
-                    kg.split_sentences(extracted.where(F.col("lang") == "en")),
-                    crosswalk,
-                    modcfg,
+                lambda: kg.extract_and_assemble(
+                    pages.where(F.col("lang") == "en"), crosswalk, modcfg
                 ),
-                upstream=["extracted", "crosswalk", "modifier_config"],
+                upstream=["pages", "crosswalk", "modifier_config"],
                 entity_col="url",
             )
         else:

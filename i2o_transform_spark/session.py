@@ -50,6 +50,12 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
 }
 
+# Shuffle/spill files on tmpfs: the sandbox's /tmp disk serializes concurrent
+# shuffle writers and flattens scaling past ~8 cores.  On a real cluster this
+# is the executors' NVMe local dirs (spark.local.dir via spark-submit).
+if os.path.isdir("/dev/shm"):
+    _BASE_CONF["spark.local.dir"] = "/dev/shm/spark-local"
+
 
 def get_spark(
     app_name: str = "i2o_transform_spark",

@@ -169,11 +169,17 @@ def test_fused_equals_modular_assembly(spark, data):
         kg.extract_qualifiers(sents, data["modifier_config"]),
     )
     fused = kg.assemble_sentences(sents, cw, data["modifier_config"])
+    fused_pd = kg.assemble_sentences_pandas(sents, cw, data["modifier_config"])
+    fused_one = kg.extract_and_assemble(
+        data["pages"].where(F.col("lang") == "en"), cw, data["modifier_config"]
+    )
     cols = [
         "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
         "qualifier_year",
     ]
     a = {tuple(r) for r in modular.select(cols).collect()}
     b = {tuple(r) for r in fused.select(cols).collect()}
+    c = {tuple(r) for r in fused_pd.select(cols).collect()}
+    d2 = {tuple(r) for r in fused_one.select(cols).collect()}
     sents.unpersist()
-    assert a == b and len(a) > 0
+    assert a == b == c == d2 and len(a) > 0

@@ -14,6 +14,9 @@ staying inside codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,18 +120,39 @@ def lsh_bucketed_topk(
     At 10^12 vectors this replaces the O(Q*N) scan with
     O(Q * N * tables / 2^planes); the bucket join shuffles only candidates.
     Returns (query_id, vec_id, rank) — approximate (recall < 1)."""
-    c_buckets, q_buckets = [], []
-    for t in range(num_tables):
-        planes = _fixed_planes(dim, num_planes, seed=42 + 7919 * t)
-        sig = _hyperplane_sig(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
-        qsig = _hyperplane_sig(F.col(q_vec_col), planes) + F.lit(t << 32).cast("long")
-        c_buckets.append(sig)
-        q_buckets.append(qsig)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    # one (tables*planes) x dim matrix; signatures = one matmul per Arrow
+    # batch.  (The expression-tree variant constant-folded tables*planes*dim
+    # multiply-adds into codegen — a compile-time bomb at high dims.)
+    planes_mat = np.array(
+        [
+            row
+            for t in range(num_tables)
+            for row in _fixed_planes(dim, num_planes, seed=42 + 7919 * t)
+        ]
+    )  # (num_tables*num_planes, dim)
+    powers = np.array([1 << i for i in range(num_planes)], dtype=np.int64)
+    table_off = (np.arange(num_tables, dtype=np.int64) << 32)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # n x dim
+        bits = (m @ planes_mat.T) > 0  # n x (tables*planes)
+        per_tab = bits.reshape(len(m), num_tables, num_planes)
+        sigs = (per_tab * powers).sum(axis=2).astype(np.int64) + table_off
+        return pd.Series(list(sigs))
+
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*c_buckets)).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_buckets(F.col(vec_col))).alias("_bucket"),
     )
     q = queries.select(
-        F.col(q_id_col), F.col(q_vec_col), F.explode(F.array(*q_buckets)).alias("_bucket")
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(_buckets(F.col(q_vec_col))).alias("_bucket"),
     )
     joined = c.join(F.broadcast(q), "_bucket")
     cand = joined.where(F.col(id_col) != F.col(q_id_col)).dropDuplicates(

@@ -1,0 +1,133 @@
+"""Regenerate PLANS.md: physical-plan trees for the flagship operators."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def tree_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    tree = txt.split("\n\n")[0]
+    details = "\n".join(
+        line
+        for line in txt.splitlines()
+        if re.match(r"(PushedFilters|ReadSchema)", line.strip())
+    )
+    return tree + ("\n\n[scan detail]\n" + details if details else "")
+
+
+def main() -> None:
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans import kg
+    from i2o_transform_spark.queries import QUERIES
+    from i2o_transform_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    sections = []
+
+    sections.append((
+        "j1_dict_broadcast_join — the dictionary join (fact -> vocab)",
+        tree_of(QUERIES["j1_dict_broadcast_join"](spark, sf)),
+        "`BroadcastHashJoin` — zero shuffle on the fact side; "
+        "`PushedFilters`/`ReadSchema` show predicate pushdown and column "
+        "pruning at the parquet scan; partial `HashAggregate` above the "
+        "single exchange = map-side combine; everything inside "
+        "`WholeStageCodegen` spans.",
+    ))
+    sections.append((
+        "q1_pricing_summary — scan-heavy aggregation",
+        tree_of(QUERIES["q1_pricing_summary"](spark, sf)),
+        "One scan, one exchange; shipdate filter pushed to the reader; "
+        "decimal sums stay in codegen.",
+    ))
+    sections.append((
+        "w1_interval_merge — era/interval-merge window chain",
+        tree_of(QUERIES["w1_interval_merge"](spark, sf)),
+        "The reference's flagship operator (MSSQL/OMOPLoader.sql:1508-1565): "
+        "one exchange on (entity, concept); running-max and row_number share "
+        "one `Window` sort.",
+    ))
+
+    # KG pipeline over a real parquet scan (the bench/runner shape)
+    d = generate(spark, 1000)
+    pdir = os.path.join(tempfile.mkdtemp(prefix="plans_pages_"), "pages")
+    d["pages"].write.mode("overwrite").parquet(pdir)
+    pages = spark.read.parquet(pdir)
+    cw = kg.compile_crosswalk(
+        d["surface_vocab"], d["concept"], d["concept_rel"]
+    ).persist()
+    cm = kg.canonicalize_concepts(cw).persist()
+    cw.count(), cm.count()
+    asm = kg.extract_and_assemble(
+        pages.where(F.col("lang") == "en"), cw, d["modifier_config"]
+    )
+    triples = kg.link_and_emit(asm, cw, cm)
+    t = tree_of(triples)
+    # keep the main data-path spine; the broadcast build sides re-print the
+    # whole (cached) vocabulary-compile lineage, which isn't the point here
+    lines = t.splitlines()
+    cut = next(
+        (i for i, ln in enumerate(lines) if "BroadcastExchange" in ln),
+        len(lines),
+    )
+    spine = "\n".join(lines[:cut]) + (
+        "\n   [... broadcast build sides: cached vocabulary-compile lineage"
+        " (InMemoryTableScan), elided ...]"
+        if cut < len(lines)
+        else ""
+    )
+    detail = t.split("[scan detail]")
+    if len(detail) > 1:
+        spine += "\n\n[scan detail]\n" + detail[1].strip()
+    n_ex = len(re.findall(r"\bExchange\b", "\n".join(lines[:cut])))
+    t = spine
+    sections.append((
+        f"KG pipeline (extract_and_assemble -> link_and_emit) — "
+        f"{n_ex} exchange(s) total",
+        t,
+        "The whole pages -> triples pipeline: ONE `MapInPandas` (the fused "
+        "Arrow stage: html -> text -> sentences -> assembled rows), three "
+        "`BroadcastHashJoin`s for linking, and exactly one `Exchange` — the "
+        "triple-dedup as `HashAggregate` with map-side partial combine (the "
+        "(sent_idx, qualifier) pack keeps the aggregation buffer "
+        "hash-aggregatable; no sort window anywhere).  The lang filter sits "
+        "in the scan's PushedFilters.",
+    ))
+    sections.append((
+        "dd_minhash_lsh — band-bucket join (never all-pairs)",
+        tree_of(QUERIES["dd_minhash_lsh"](spark, sf)),
+        "LSH band explode keeps candidate generation linear; the bucket "
+        "equi-join shuffles only candidates — the 10^12-doc-feasible shape.",
+    ))
+
+    out = [
+        "# PLANS — physical-plan evidence for flagship operators\n\n"
+        "Operator trees from `.explain(\"formatted\")` at sf0.01 (shape is\n"
+        "scale-invariant), plus each scan's PushedFilters/ReadSchema lines.\n"
+        "Regenerate: `python dev/capture_plans.py`.\n"
+    ]
+    for title, plan, note in sections:
+        out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("WROTE PLANS.md; KG exchanges:", n_ex)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -866,24 +866,28 @@ def link_and_emit(
     )
     # deterministic dedup: keep the earliest sentence occurrence per
     # (s, p, o, url) — dropDuplicates alone would keep an arbitrary
-    # qualifier_year when a page repeats the triple.  A hash aggregation
-    # (min_by over the unique-per-group sent_idx) replaces the sort window:
-    # partial aggregation combines map-side, so the one pipeline shuffle
-    # moves already-deduped tuples and never sorts.
+    # qualifier_year when a page repeats the triple.  min_by over a STRUCT
+    # falls back to SortAggregate (struct aggregation buffers aren't
+    # hash-aggregatable), so (sent_idx, qualifier) is packed into one long:
+    # min(long) keeps the whole pipeline in HashAggregate with map-side
+    # partial combine — the one shuffle moves already-deduped tuples and
+    # never sorts.  sent_idx dominates the high bits, so min(packed) ==
+    # min_by(sent_idx); warc_ts is constant per url (min is exact).
+    _QBITS = 21  # qualifier payload: value+1 in [0, 2^21)
+    packed = F.col("sent_idx").cast("long") * F.lit(1 << _QBITS) + (
+        F.coalesce(F.col("qualifier_year").cast("long"), F.lit(-1)) + 1
+    )
+    q = F.col("_p") % (1 << _QBITS)
     deduped = (
         linked.groupBy("subj_id", "pred_id", "obj_id", "url")
-        .agg(
-            F.min_by(
-                F.struct("warc_ts", "sent_idx", "qualifier_year"), F.col("sent_idx")
-            ).alias("_m")
-        )
+        .agg(F.min("warc_ts").alias("warc_ts"), F.min(packed).alias("_p"))
         .select(
             "subj_id",
             "pred_id",
             "obj_id",
             "url",
-            F.col("_m.warc_ts").alias("warc_ts"),
-            F.col("_m.qualifier_year").alias("qualifier_year"),
+            "warc_ts",
+            F.when(q > 0, (q - 1).cast("int")).alias("qualifier_year"),
         )
     )
     return deduped.select(

@@ -1202,19 +1202,22 @@ def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side (sequence+transform, no UDF) and matched against broadcast
     vocabulary sets."""
     docs = _t(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    tri = docs.select(
+    # materialize the token array ONCE per row; the lambda indexes it
+    # (recomputing split() inside the transform lambda is 3x the work)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).where(F.size("w") >= 3)
+    tri = toks.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size(w) >= 3,
-                F.expr(
-                    "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3), "
-                    "i -> struct(split(trim(text), '\\\\s+')[i] as subj, "
-                    "split(trim(text), '\\\\s+')[i+1] as pred, "
-                    "split(trim(text), '\\\\s+')[i+2] as obj))"
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.struct(
+                    F.col("w")[i].alias("subj"),
+                    F.col("w")[i + 1].alias("pred"),
+                    F.col("w")[i + 2].alias("obj"),
                 ),
-            ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string>>"))
+            )
         ).alias("t"),
     ).select("doc_id", "t.subj", "t.pred", "t.obj")
     return (
@@ -1976,3 +1979,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = extract_media_metadata(media)
     out = frame_sample_plan(meta, every_n=10)
     return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+@query(
+    "u4_config_modifier",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id, regexp_split_to_array(text, '\.\s*') AS arr
+      FROM documents
+    ), sents AS (
+      SELECT doc_id, i - 1 AS sent_idx, trim(arr[i]) AS sentence
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM raw) x
+      WHERE length(trim(arr[i])) > 0
+    ), toks AS (
+      SELECT doc_id, sent_idx, string_split(sentence, ' ') AS w FROM sents
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+           'speed_obj' AS kind, w[i] AS value
+    FROM (SELECT doc_id, sent_idx, w, unnest(range(2, len(w) + 1)) AS i
+          FROM toks) x
+    WHERE regexp_matches(w[i], '^[a-z]+$') AND w[i-1] = 'fast'
+    """,
+)
+def u4_config_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: config-driven modifier extraction (build_modifiers,
+    MSSQL/OMOPLoader.sql:1690-1759) — the reference's only generic operator:
+    each i2o_config_modifier row generates one span scan (token matching
+    ``pattern`` whose predecessor is ``trigger_token``).  Here the config
+    table drives kg.extract_qualifiers over sentences split from the
+    documents corpus."""
+    from i2o_transform_spark.plans.kg import extract_qualifiers, split_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    sents = split_sentences(
+        docs.select(
+            F.col("doc_id").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            "text",
+        )
+    )
+    cfg = spark.createDataFrame(
+        [("speed_obj", "fast", "^[a-z]+$", "qualifier_speed_obj")],
+        "kind string, trigger_token string, pattern string, target_column string",
+    )
+    out = extract_qualifiers(sents, cfg)
+    return out.select(
+        F.col("url").alias("doc_id"), "sent_idx", "kind", "value"
+    )

@@ -84,7 +84,7 @@ def run_headline() -> None:
     # warmup run first — python UDF workers + codegen JIT are fixed costs
     # that belong to the session, not the measured pipeline.
     kg_throughput(spark, n_pages=2000)
-    kg = kg_throughput(spark, n_pages=KG_BENCH_PAGES)
+    kg = kg_throughput(spark, n_pages=KG_BENCH_PAGES, repeats=2)
     timings["kg_pipeline"] = kg["sec"]
 
     total = round(sum(timings.values()), 3)

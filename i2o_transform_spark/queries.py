@@ -2026,3 +2026,58 @@ def u4_config_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("url").alias("doc_id"), "sent_idx", "kind", "value"
     )
+
+
+@query(
+    "st_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: tumbling-window counts (watermark + window agg).  The
+    identical code path runs on a readStream DataFrame
+    (tests/test_streaming.py proves stream == batch); registered here in its
+    batch form so the oracle gate covers the aggregation semantics."""
+    from i2o_transform_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "st_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: gap-based session windows per user — the streaming
+    analogue of the reference's era interval merge (W1,
+    MSSQL/OMOPLoader.sql:1508-1565): events closer than the gap chain into
+    one session.  The oracle derives the same sessions with the classic
+    gaps-and-islands window SQL."""
+    from i2o_transform_spark.streaming.windowed import sessionize_events
+
+    return sessionize_events(_t(spark, sf_dir, "events"))

@@ -1,0 +1,87 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.9 — no watermarks, no state),
+so streaming here is an *extension*: the same declarative transformations
+run unchanged on a batch DataFrame or a `readStream` DataFrame — Spark's
+unified API means the operator is written once and the correctness oracle is
+the batch execution of the identical plan (tested in
+tests/test_streaming.py by replaying the events parquet through a file
+stream and comparing to the batch result).
+
+Scale notes: windowed aggregation state is bounded by the watermark (late
+rows beyond it are dropped and their state evicted); the shuffle key is
+(window, group) — at 10^12 events the window column prefix keeps state
+partition-prunable and the per-trigger shuffle proportional to the trigger's
+data, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type.
+
+    Works identically on batch and streaming inputs; the watermark is only
+    attached when the input is streaming (it is meaningless — and an
+    analysis error — on some batch plans).
+    Output: (window_start, event_type, n_events, sum_value).
+    """
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so the
+    # cast is value-preserving
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window).alias("_w"), F.col(group_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming analogue of the
+    reference's era/interval merge (W1, MSSQL/OMOPLoader.sql:1508-1565):
+    events closer than ``gap`` chain into one session exactly like era rows
+    closer than 30 days merge into one era.
+    Output: (user_id, session_start, session_end, n_events)."""
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, gap)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_s"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("_s.start").alias("session_start"),
+            F.col("_s.end").alias("session_end"),
+            "n_events",
+        )
+    )

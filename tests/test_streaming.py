@@ -1,0 +1,78 @@
+"""Structured Streaming equivalence tests: the same operator run as a file
+stream (replaying the events parquet) must produce the batch result.
+
+This is the streaming correctness oracle — Spark's unified API means the
+batch execution of the identical plan defines expected output; the stream
+run proves watermarking/state semantics don't change it for on-time data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.sources.tables import load_table
+from i2o_transform_spark.streaming.windowed import (
+    sessionize_events,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stream_events(spark):
+    """File-stream the events table (the source needs a directory, the
+    testdata ships one file -> stage a symlink dir)."""
+    import tempfile
+
+    batch = load_table(spark, SF_DIR, "events")
+    d = os.path.join(tempfile.gettempdir(), "i2o_stream_events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(SF_DIR, "events.parquet"), link)
+    return spark.readStream.schema(batch.schema).parquet(d)
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_counts_stream_equals_batch(spark):
+    batch = windowed_event_counts(load_table(spark, SF_DIR, "events"))
+    stream = _run_stream_to_memory(
+        spark, windowed_event_counts(_stream_events(spark)), "win_counts"
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert batch.count() > 0
+
+
+def test_sessionize_stream_equals_batch(spark):
+    batch = sessionize_events(load_table(spark, SF_DIR, "events"))
+    stream = _run_stream_to_memory(
+        spark, sessionize_events(_stream_events(spark)), "sessions"
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert batch.count() > 0
+
+
+def test_watermark_attached_only_when_streaming(spark):
+    batch = windowed_event_counts(load_table(spark, SF_DIR, "events"))
+    assert not batch.isStreaming
+    sdf = windowed_event_counts(_stream_events(spark))
+    assert sdf.isStreaming

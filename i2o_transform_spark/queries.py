@@ -2081,3 +2081,21 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i2o_transform_spark.streaming.windowed import sessionize_events
 
     return sessionize_events(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "st_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: applyInPandasWithState custom stateful operator
+    (per-user running totals with processing-time state eviction) in its
+    batch form; tests/test_streaming.py proves the stream run's final state
+    equals this aggregation."""
+    from i2o_transform_spark.streaming.windowed import stateful_running_totals
+
+    return stateful_running_totals(_t(spark, sf_dir, "events"))

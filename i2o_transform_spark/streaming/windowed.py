@@ -85,3 +85,82 @@ def sessionize_events(
             "n_events",
         )
     )
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, state evicted after ``timeout_minutes`` of
+    processing-time inactivity.
+
+    This is the escape hatch for operators Spark's built-in windowed
+    aggregations can't express (per-key accumulators with custom eviction);
+    state is one tiny tuple per live key, partitioned by user_id — at
+    10^12 events the state store scales with distinct active users per
+    timeout horizon, not with history.  Batch inputs take the equivalent
+    one-shot groupBy (same output schema, no state) so the batch run is the
+    correctness oracle for the stream run.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    if not events.isStreaming:
+        return (
+            events.groupBy(user_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col(user_col).alias("user_id"), "n_events", "total_value"
+            )
+        )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 3)))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select(user_col, "value")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )

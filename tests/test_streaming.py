@@ -76,3 +76,40 @@ def test_watermark_attached_only_when_streaming(spark):
     assert not batch.isStreaming
     sdf = windowed_event_counts(_stream_events(spark))
     assert sdf.isStreaming
+
+
+def test_stateful_running_totals_stream_equals_batch(spark):
+    """applyInPandasWithState custom operator: after one availableNow pass
+    over the whole input, the latest per-user state equals the batch
+    aggregation (rounding to the stream's accumulator precision)."""
+    from pyspark.sql.window import Window
+
+    from i2o_transform_spark.streaming.windowed import stateful_running_totals
+
+    batch = stateful_running_totals(load_table(spark, SF_DIR, "events"))
+    sdf = stateful_running_totals(_stream_events(spark))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("state_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.table("state_totals")
+    # keep the LAST update per user (update mode emits one row per trigger)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    latest = (
+        updates.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in latest.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

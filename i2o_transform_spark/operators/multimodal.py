@@ -26,6 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -108,3 +111,89 @@ def frame_sample_plan(meta: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+FEATURE_DIM = 8
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Feature extraction over a binary column via mapInPandas.
+
+    STUB compute (no image libs in-container): feature i is a deterministic
+    function of payload size — replace the inner lambda with a real encoder
+    (CLIP/resnet) when available.  The Spark-side contract is the real part:
+    Arrow-batched binary in, fixed-length ``array<float>`` out, schema and
+    partitioning preserved, payload never crosses a shuffle.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf[media_col].map(
+                lambda b: len(b) if b is not None else 0
+            )
+            feats = [
+                [float(((n * (i + 1)) % 1000) / 1000.0) for i in range(dim)]
+                for n in n_bytes
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(process, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize plumbing over a binary column via mapInPandas.
+
+    STUB decode/resample (PIL absent): the fake emits the first
+    ``width*height//64`` payload bytes so output size is deterministic;
+    swap in `PIL.Image.open(...).resize(...)` when the lib exists.  What the
+    engine owns — Arrow binary batching, bounded output size, payload pruned
+    from every downstream exchange — is real and oracle-checked.
+    """
+    cap = max(1, width * height // 64)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[media_col].map(
+                lambda b: (b or b"")[:cap]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                }
+            )
+
+    out = df.select(id_col, media_col).mapInPandas(process, _RESIZE_SCHEMA)
+    return out

@@ -2099,3 +2099,57 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i2o_transform_spark.streaming.windowed import stateful_running_totals
 
     return stateful_running_totals(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS feat_idx,
+           round(((octet_length(encode(text)) * (i + 1)) % 1000) / 1000.0, 3)
+             AS value
+    FROM documents, unnest(range(8)) AS t(i)
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: binary payload -> fixed-length
+    array<float> via Arrow-batched mapInPandas (deterministic stub compute;
+    real plumbing — see operators/multimodal.extract_features).  The vector
+    is exploded to (doc_id, feat_idx, value) rows for the oracle compare."""
+    from i2o_transform_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    out = extract_features(media)
+    return out.select(
+        "doc_id", F.posexplode(F.col("features")).alias("feat_idx", "_v")
+    ).select(
+        "doc_id",
+        "feat_idx",
+        F.round(F.col("_v").cast("double"), 3).alias("value"),
+    )
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id, 64 AS width, 64 AS height,
+           CAST(least(octet_length(encode(text)), 64) AS BIGINT)
+             AS resized_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: binary in -> bounded binary out via
+    mapInPandas (stub resample; oracle checks the deterministic output
+    size contract)."""
+    from i2o_transform_spark.operators.multimodal import resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    out = resize_media(media, width=64, height=64)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length(F.col("resized")).cast("long").alias("resized_bytes"),
+    )

@@ -2153,3 +2153,26 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.length(F.col("resized")).cast("long").alias("resized_bytes"),
     )
+
+
+@query("kg_pipeline_triples")  # deterministic datagen; P/R gate in pytest
+def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production pipeline end-to-end at fixture scale: synthetic pages
+    -> fused extract/assemble (one Arrow stage) -> link -> dedup -> triples.
+    Rows-only here (content hashing not DuckDB-expressible); the P/R >= 0.95
+    gate against construction goldens runs in tests/test_kg_pipeline.py."""
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans.kg import (
+        canonicalize_concepts,
+        compile_crosswalk,
+        extract_and_assemble,
+        link_and_emit,
+    )
+
+    d = generate(spark, 2000)
+    cw = compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
+    cm = canonicalize_concepts(cw)
+    asm = extract_and_assemble(
+        d["pages"].where(F.col("lang") == "en"), cw, d["modifier_config"]
+    )
+    return link_and_emit(asm, cw, cm)

@@ -37,6 +37,7 @@ Scale notes (100 TB / 10^12 pages):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,6 +58,69 @@ from i2o_transform_spark.operators.joins import salted_join
 
 MAX_SURFACE_TOKENS = 3
 
+# One regex/whitespace dialect for BOTH engines.  The Spark (modular) path is
+# the semantic definition: Java regex `\s` is ASCII-only and F.trim strips
+# only ' '.  The pandas kernels therefore compile every pattern with re.ASCII
+# (making Python's \s/\w/\d/\b match the Java default) and strip only spaces,
+# so fused==modular holds on tabs/newlines/Unicode whitespace too — not just
+# on ASCII fixtures (ADVICE r01).
+SENT_SPLIT_PATTERN = r"\.\s*"
+_SENT_SPLIT_RE = re.compile(SENT_SPLIT_PATTERN, re.ASCII)
+# Soft cap on inlined/broadcast vocabulary size: past this the literal
+# IN-set / driver-snapshot paths stop being "broadcast-sized by definition"
+# and callers must take the salted modular path (detect_mentions with
+# broadcast_vocab=False).  assemble-time check, not advisory (VERDICT r01).
+MAX_BROADCAST_VOCAB = 250_000
+
+
+def _compile_qualifier_patterns(cfg: list[dict]) -> list[dict]:
+    """Validate + compile modifier_config patterns for the pandas kernels.
+
+    Ensures one regex dialect: patterns must be valid Python `re` under
+    re.ASCII (matching Java's ASCII-default \\s/\\w/\\d) and may not use
+    Java-only constructs (\\p{...} classes, possessive quantifiers) that
+    Python would silently mis-read or reject at run time on an executor.
+    Returns cfg with a compiled `_re` per spec.  Raises ValueError at plan
+    build time — on the driver — for anything divergent.
+    """
+    out = []
+    for spec in cfg:
+        pat = spec["pattern"]
+        if re.search(r"\\[pP]\{", pat) or re.search(r"[*+?}][+]", pat):
+            raise ValueError(
+                f"modifier pattern {pat!r} uses Java-only regex constructs; "
+                "use the common Java/Python subset"
+            )
+        try:
+            rx = re.compile(pat, re.ASCII)
+        except re.error as e:
+            raise ValueError(
+                f"modifier pattern {pat!r} is not valid in the common "
+                f"Java/Python regex dialect: {e}"
+            ) from e
+        out.append({**spec, "_re": rx})
+    return out
+
+
+def _check_no_dual_domain(surf_rows) -> None:
+    """Reject vocabularies where one surface_form maps to both 'Predicate'
+    and an entity domain.  The mention-election semantics (longest-match then
+    entity/predicate routing) are only deterministic when the partition is
+    exclusive — the modular path's max_by tie-break would otherwise pick an
+    arbitrary kind.  Asserted at plan build time for every assembly path
+    (ADVICE r01)."""
+    doms: dict[str, set] = {}
+    for r in surf_rows:
+        doms.setdefault(r.surface_form, set()).add(
+            "P" if r.canon_domain == "Predicate" else "E"
+        )
+    dual = sorted(s for s, d in doms.items() if len(d) > 1)
+    if dual:
+        raise ValueError(
+            "surface forms mapped to both Predicate and an entity domain "
+            f"(ambiguous mention routing): {dual[:10]}"
+        )
+
 _EXTRACT_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -68,11 +132,14 @@ _EXTRACT_SCHEMA = StructType(
 
 
 
+_P_BODY_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)  # DOTALL: body may span \n
+
+
 def _html_to_text(html_bytes: "pd.Series") -> "pd.Series":
     """Vectorized html -> text (the byte-identical extraction core): decode,
     <p>-body extract, entity-unescape in reverse order of escaping."""
     html = html_bytes.str.decode("utf-8", errors="replace").fillna("")
-    body = html.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
+    body = html.str.extract(_P_BODY_RE, expand=False).fillna("")
     return (
         body.str.replace("&lt;", "<", regex=False)
         .str.replace("&gt;", ">", regex=False)
@@ -265,7 +332,9 @@ def split_sentences(docs: DataFrame) -> DataFrame:
     sent = docs.select(
         "url",
         "warc_ts",
-        F.posexplode(F.split(F.col("text"), r"\.\s*")).alias("sent_idx", "sentence"),
+        F.posexplode(F.split(F.col("text"), SENT_SPLIT_PATTERN)).alias(
+            "sent_idx", "sentence"
+        ),
     ).where(F.length(F.trim(F.col("sentence"))) > 0)
     return sent.withColumn("tokens", F.split(F.trim(F.col("sentence")), " ")).drop(
         "sentence"
@@ -397,6 +466,13 @@ def assemble_sentences(
     modular path with ``broadcast_vocab=False`` (salted repartition join).
     """
     surf_rows = crosswalk.select("surface_form", "canon_domain").distinct().collect()
+    _check_no_dual_domain(surf_rows)  # exclusive routing precondition
+    if len(surf_rows) > MAX_BROADCAST_VOCAB:
+        raise ValueError(
+            f"vocabulary ({len(surf_rows)} surfaces) exceeds "
+            f"MAX_BROADCAST_VOCAB={MAX_BROADCAST_VOCAB}; use the salted "
+            "modular path (detect_mentions(broadcast_vocab=False))"
+        )
     by_len: dict[int, list[str]] = {1: [], 2: [], 3: []}
     pred_surfaces: list[str] = []
     for r in surf_rows:
@@ -503,8 +579,21 @@ def assemble_sentences(
 
 
 def _collect_assembly_vocab(crosswalk: DataFrame, modifier_config: DataFrame):
-    """Driver-side vocab/config snapshot for the pandas assembly kernels."""
+    """Driver-side vocab/config snapshot for the pandas assembly kernels.
+
+    Enforces the assembly preconditions at plan build time: exclusive
+    entity/predicate domains, vocab within MAX_BROADCAST_VOCAB (past it the
+    caller must use the salted modular path), and qualifier patterns valid in
+    the common Java/Python regex dialect (compiled here with re.ASCII so the
+    kernels match rlike's ASCII \\s/\\w/\\d semantics)."""
     surf_rows = crosswalk.select("surface_form", "canon_domain").distinct().collect()
+    _check_no_dual_domain(surf_rows)
+    if len(surf_rows) > MAX_BROADCAST_VOCAB:
+        raise ValueError(
+            f"vocabulary ({len(surf_rows)} surfaces) exceeds "
+            f"MAX_BROADCAST_VOCAB={MAX_BROADCAST_VOCAB}; use the salted "
+            "modular path (detect_mentions(broadcast_vocab=False))"
+        )
     by_len: dict[int, set] = {1: set(), 2: set(), 3: set()}
     pred_set: set = set()
     for r in surf_rows:
@@ -515,7 +604,9 @@ def _collect_assembly_vocab(crosswalk: DataFrame, modifier_config: DataFrame):
             pred_set.add(r.surface_form)
     first2 = {x.split(" ")[0] for x in by_len[2]}
     first3 = {x.split(" ")[0] for x in by_len[3]}
-    cfg = [r.asDict() for r in modifier_config.collect()]
+    cfg = _compile_qualifier_patterns(
+        [r.asDict() for r in modifier_config.collect()]
+    )
     return by_len, pred_set, first2, first3, cfg
 
 
@@ -640,8 +731,10 @@ def _make_assembler(by_len, pred_set, first2, first3, cfg):
             prev_ok[1:] = (row[1:] == row[:-1]) & (
                 np.roll(flat, 1)[1:] == spec["trigger_token"]
             )
-            # str.contains(regex) mirrors rlike (unanchored search)
-            pat = s1.str.contains(spec["pattern"], regex=True).to_numpy() & prev_ok
+            # contains(compiled re.ASCII regex) mirrors rlike: unanchored
+            # search with Java's ASCII \s/\w/\d semantics (ADVICE r01)
+            rx = spec.get("_re") or re.compile(spec["pattern"], re.ASCII)
+            pat = s1.str.contains(rx, regex=True).to_numpy() & prev_ok
             qdf = pd.DataFrame({"row": row[pat], "value": flat[pat]})
             qmin = qdf.groupby("row")["value"].min()
             res[qn] = pd.to_numeric(
@@ -664,13 +757,15 @@ def assemble_sentences_pandas(
     worse (allocation-bound).  Same zero-shuffle plan shape as the expression
     version; property-tested equal output.
     """
-    by_len, pred_set, first2, first3, cfg = _collect_assembly_vocab(
-        crosswalk, modifier_config
-    )
-    out_schema = _assembled_schema(cfg)
-    kernel = _make_assembler(by_len, pred_set, first2, first3, cfg)
+    vocab = _collect_assembly_vocab(crosswalk, modifier_config)
+    out_schema = _assembled_schema(vocab[4])
+    # ship the vocab once per executor as a Spark broadcast variable, not as
+    # task-closure capture: the closure is serialized into EVERY task, the
+    # broadcast once per executor and cached (VERDICT r01 What's-wrong #1)
+    bc = sentences.sparkSession.sparkContext.broadcast(vocab)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _make_assembler(*bc.value)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -703,24 +798,24 @@ def extract_and_assemble(
     to the staged path (property-tested); the byte-identical-text invariant
     is still checked by the separate extract_text stage in the runner.
     """
-    by_len, pred_set, first2, first3, cfg = _collect_assembly_vocab(
-        crosswalk, modifier_config
-    )
-    out_schema = _assembled_schema(cfg)
-    kernel = _make_assembler(by_len, pred_set, first2, first3, cfg)
+    vocab = _collect_assembly_vocab(crosswalk, modifier_config)
+    out_schema = _assembled_schema(vocab[4])
+    bc = pages.sparkSession.sparkContext.broadcast(vocab)
 
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _make_assembler(*bc.value)
         for pdf in batches:
             nrow = len(pdf)
             if nrow == 0:
                 continue
             text = _html_to_text(pdf["html"])
-            # split_sentences semantics: split on '\.\s*', keep original
-            # position as sent_idx (posexplode before the empty filter),
-            # tokens = single-space split of the trimmed sentence
-            sl = text.str.split(r"\.\s*", regex=True).tolist()
+            # split_sentences semantics, Java dialect: split on '\.\s*' with
+            # ASCII \s (matching Spark/Java regex), keep original position as
+            # sent_idx (posexplode before the empty filter), trim = spaces
+            # only (F.trim strips only ' '), tokens = single-space split
+            sl = text.str.split(_SENT_SPLIT_RE, regex=True).tolist()
             counts = np.fromiter((len(x) for x in sl), np.int64, nrow)
             total = int(counts.sum())
             if total == 0:
@@ -730,7 +825,7 @@ def extract_and_assemble(
             starts = np.zeros(nrow, np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             sidx = (np.arange(total) - np.repeat(starts, counts)).astype("int32")
-            ss = pd.Series(flat).str.strip()
+            ss = pd.Series(flat).str.strip(" ")
             keep = (ss.str.len() > 0).to_numpy()
             if not keep.any():
                 continue
@@ -874,8 +969,14 @@ def link_and_emit(
     # never sorts.  sent_idx dominates the high bits, so min(packed) ==
     # min_by(sent_idx); warc_ts is constant per url (min is exact).
     _QBITS = 21  # qualifier payload: value+1 in [0, 2^21)
+    # clamp before packing: a config-driven qualifier outside [0, 2^21-2]
+    # would silently overflow into the sent_idx bits, corrupting both the
+    # min-ordering and the decoded value (ADVICE r01) — out-of-range values
+    # are treated as absent (null), exactly like a non-matching qualifier
+    _qual = F.col("qualifier_year").cast("long")
+    _qual_safe = F.when(_qual.between(0, (1 << _QBITS) - 2), _qual)
     packed = F.col("sent_idx").cast("long") * F.lit(1 << _QBITS) + (
-        F.coalesce(F.col("qualifier_year").cast("long"), F.lit(-1)) + 1
+        F.coalesce(_qual_safe, F.lit(-1)) + 1
     )
     q = F.col("_p") % (1 << _QBITS)
     deduped = (

@@ -18,6 +18,39 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _mem_total_gib() -> float:
+    """Host RAM in GiB from /proc/meminfo (0.0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
+def _sandbox_profile() -> bool:
+    """Whether to apply the aggressive single-JVM benchmark profile
+    (pre-touched fixed heap, tmpfs shuffle dirs).
+
+    Explicit override via SPARK_GRAFT_SANDBOX=1/0; otherwise auto-enable only
+    when the host clearly has headroom (>= 2x the requested heap), so small
+    hosts keep a lazily-grown heap and disk-backed local dirs.
+    """
+    env = os.environ.get("SPARK_GRAFT_SANDBOX")
+    if env is not None:
+        return env not in ("0", "false", "")
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    try:
+        heap_gib = float(heap.lower().rstrip("gm")) * (
+            1.0 if heap.lower().endswith("g") else 1.0 / 1024
+        )
+    except ValueError:
+        heap_gib = 16.0
+    return _mem_total_gib() >= 2.0 * heap_gib
+
+
 # At 100 TB these become spark-submit --conf flags; the values here are the
 # local[32]/128GiB harness profile.
 _BASE_CONF: dict[str, str] = {
@@ -41,20 +74,24 @@ _BASE_CONF: dict[str, str] = {
     #   observed as GC threads pegged at 100% *system* time and local[32]
     #   running 4x slower than local[8].  Pre-touching the whole heap at
     #   startup moves that cost out of the measured path entirely.
-    "spark.driver.extraJavaOptions": (
-        "-XX:+UseParallelGC -Xms"
-        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-        + " -XX:+AlwaysPreTouch"
-    ),
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
 }
 
-# Shuffle/spill files on tmpfs: the sandbox's /tmp disk serializes concurrent
-# shuffle writers and flattens scaling past ~8 cores.  On a real cluster this
-# is the executors' NVMe local dirs (spark.local.dir via spark-submit).
-if os.path.isdir("/dev/shm"):
-    _BASE_CONF["spark.local.dir"] = "/dev/shm/spark-local"
+if _sandbox_profile():
+    # Benchmark-sandbox profile (gated — see _sandbox_profile): fixed
+    # pre-touched heap, and shuffle/spill on tmpfs because the sandbox's /tmp
+    # disk serializes concurrent shuffle writers and flattens scaling past ~8
+    # cores.  On a real cluster the heap stays lazy and spark.local.dir is the
+    # executors' NVMe local dirs via spark-submit.
+    _BASE_CONF["spark.driver.extraJavaOptions"] = (
+        "-XX:+UseParallelGC -Xms"
+        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        + " -XX:+AlwaysPreTouch"
+    )
+    if os.path.isdir("/dev/shm"):
+        _BASE_CONF["spark.local.dir"] = "/dev/shm/spark-local"
 
 
 def get_spark(

@@ -143,6 +143,13 @@ def stateful_running_totals(
     def update(key, pdfs, state):
         import pandas as pd  # noqa: PLC0415
 
+        if state.hasTimedOut:
+            # Eviction path: the key saw no data for timeout_minutes.  Drop
+            # the state (bounding the store to active keys) and emit nothing —
+            # the last data-driven update already carried the final totals, so
+            # a farewell row here would be a duplicate.
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)

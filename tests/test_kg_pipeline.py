@@ -183,3 +183,151 @@ def test_fused_equals_modular_assembly(spark, data):
     d2 = {tuple(r) for r in fused_one.select(cols).collect()}
     sents.unpersist()
     assert a == b == c == d2 and len(a) > 0
+
+
+def _pages_df(spark, rows):
+    """(url, text) rows -> input_hint-shaped pages with <p>-wrapped html."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    data = []
+    for url, text in rows:
+        esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        html = f"<html><body><p>{esc}</p></body></html>".encode()
+        data.append((url, ts, html, text, "en"))
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_fused_equals_modular_on_messy_whitespace(spark, data):
+    """ADVICE r01: fused==modular must hold beyond ASCII fixtures — tabs and
+    newlines after the period (consumed by ASCII \\s*), NBSP (NOT whitespace
+    in the Java dialect: must survive in both engines), and leading spaces.
+    pandas .str.strip() would eat the NBSP while Spark trim() keeps it; both
+    paths must now agree on every row."""
+    rows = [
+        ("https://x.example/1",
+         "acme corp acquired globex corp.\t stark corp sued hooli corp."
+         "\n wonka corp owns tyrell corp in 2001. acme co bought initech corp."),
+        ("https://x.example/2",
+         "  umbrella corp employs tyrell corp in 1995.\t\nbank of gotham"
+         " launched oscorp corp."),
+        ("https://x.example/3", " \t\nacme corp founded zorg corp."),
+    ]
+    pages = _pages_df(spark, rows)
+    cw = kg.compile_crosswalk(
+        data["surface_vocab"], data["concept"], data["concept_rel"]
+    )
+    sents = kg.split_sentences(kg.extract_text(pages))
+    modular = kg.assemble_triples(
+        kg.detect_mentions(sents, cw),
+        kg.extract_qualifiers(sents, data["modifier_config"]),
+    )
+    fused_pd = kg.assemble_sentences_pandas(sents, cw, data["modifier_config"])
+    fused_one = kg.extract_and_assemble(pages, cw, data["modifier_config"])
+    cols = [
+        "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
+        "qualifier_year",
+    ]
+    a = {tuple(r) for r in modular.select(cols).collect()}
+    c = {tuple(r) for r in fused_pd.select(cols).collect()}
+    d2 = {tuple(r) for r in fused_one.select(cols).collect()}
+    assert a == c == d2
+    assert len(a) >= 4  # the tab/newline-separated sentences did assemble
+    # and at least one qualifier survived the messy whitespace
+    assert any(t[-1] is not None for t in a)
+
+
+def test_dual_domain_vocab_rejected(spark, data):
+    """ADVICE r01: a surface mapped to both Predicate and an entity domain
+    makes mention routing ambiguous — every assembly path must reject it at
+    plan build time."""
+    cw = spark.createDataFrame(
+        [("acme corp", 1000, "acme corp", "Organization"),
+         ("acme corp", 5000, "acme corp", "Predicate")],
+        "surface_form string, concept_id long, canon_name string, "
+        "canon_domain string",
+    )
+    sents = kg.split_sentences(kg.extract_text(data["pages"])).limit(1)
+    with pytest.raises(ValueError, match="Predicate and an entity domain"):
+        kg.assemble_sentences_pandas(sents, cw, data["modifier_config"])
+    with pytest.raises(ValueError, match="Predicate and an entity domain"):
+        kg.assemble_sentences(sents, cw, data["modifier_config"])
+
+
+def test_invalid_modifier_pattern_rejected(spark, data):
+    """Qualifier patterns must be valid in the common Java/Python regex
+    dialect; Java-only \\p{...} classes are rejected at plan build time."""
+    bad_cfg = spark.createDataFrame(
+        [("year", "in", r"^\p{Digit}{4}$", "qualifier_year")],
+        "kind string, trigger_token string, pattern string, target_column string",
+    )
+    cw = kg.compile_crosswalk(
+        data["surface_vocab"], data["concept"], data["concept_rel"]
+    )
+    sents = kg.split_sentences(kg.extract_text(data["pages"])).limit(1)
+    with pytest.raises(ValueError, match="Java-only"):
+        kg.assemble_sentences_pandas(sents, cw, bad_cfg)
+
+
+def test_qualifier_overflow_clamped(spark, data):
+    """ADVICE r01: a qualifier >= 2^21-1 must NOT overflow into the sent_idx
+    bits of the dedup packing — it is treated as absent (null), and the
+    triple still emits."""
+    import datetime
+
+    cw = kg.compile_crosswalk(
+        data["surface_vocab"], data["concept"], data["concept_rel"]
+    )
+    cm = kg.canonicalize_concepts(cw)
+    assembled = spark.createDataFrame(
+        [("https://x.example/1", datetime.datetime(2024, 1, 1), 0,
+          "acme corp", "acquired", "globex corp", 5_000_000),
+         ("https://x.example/1", datetime.datetime(2024, 1, 1), 1,
+          "acme corp", "acquired", "globex corp", -3),
+         ("https://x.example/2", datetime.datetime(2024, 1, 1), 0,
+          "stark corp", "sued", "hooli corp", 2001)],
+        "url string, warc_ts timestamp, sent_idx int, subj_surface string, "
+        "pred_surface string, obj_surface string, qualifier_year int",
+    )
+    out = {
+        (r.url, r.qualifier_year)
+        for r in kg.link_and_emit(assembled, cw, cm).collect()
+    }
+    assert out == {("https://x.example/1", None), ("https://x.example/2", 2001)}
+
+
+def test_fused_equals_modular_with_10x_vocab(spark, data):
+    """VERDICT r01 #6: the broadcast-variable vocab path must stay equal to
+    the modular path at a vocabulary ~10x the fixture (padding surfaces that
+    never occur in the text must not perturb routing or matching)."""
+    cw = kg.compile_crosswalk(
+        data["surface_vocab"], data["concept"], data["concept_rel"]
+    )
+    n = cw.count()
+    pad = spark.range(9 * n).select(
+        F.concat(F.lit("padsurf"), F.col("id").cast("string")).alias("surface_form"),
+        (F.col("id") + 900_000).alias("concept_id"),
+        F.concat(F.lit("pad "), F.col("id").cast("string")).alias("canon_name"),
+        F.when(F.col("id") % 7 == 0, F.lit("Predicate"))
+        .otherwise(F.lit("Organization"))
+        .alias("canon_domain"),
+    )
+    big_cw = cw.unionByName(pad)
+    sents = kg.split_sentences(
+        kg.extract_text(data["pages"]).where(F.col("lang") == "en")
+    ).limit(500).persist()
+    modular = kg.assemble_triples(
+        kg.detect_mentions(sents, big_cw),
+        kg.extract_qualifiers(sents, data["modifier_config"]),
+    )
+    fused_pd = kg.assemble_sentences_pandas(sents, big_cw, data["modifier_config"])
+    cols = [
+        "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
+        "qualifier_year",
+    ]
+    a = {tuple(r) for r in modular.select(cols).collect()}
+    c = {tuple(r) for r in fused_pd.select(cols).collect()}
+    sents.unpersist()
+    assert a == c and len(a) > 0

@@ -49,17 +49,66 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Deterministic fake decode (real decoders unavailable in-container).
+    """Deterministic fake decode for container formats with no in-container
+    decoder (video/audio — ffmpeg absent).
 
-    STUB: replace with PIL.Image.open / av.open when the libs exist.  The
-    fake derives (width, height, n_frames) purely from the payload bytes so
-    tests are stable.
+    STUB: replace with av.open / soundfile when the libs exist.  The fake
+    derives (width, height, n_frames) purely from the payload bytes so tests
+    are stable.  Still images do NOT take this path — their headers are
+    parsed for real by :func:`parse_image_header`.
     """
     n = len(payload)
     width = (n % 640) + 1
     height = ((n // 7) % 480) + 1
     n_frames = 1 if media_type == "image" else (n % 250) + 1
     return width, height, n_frames
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (all SOFn except the
+# DHT/JPG/DAC markers that share the 0xC0 block)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xDA)) | {0x01}  # RSTn, SOI/EOI, TEM
+
+
+def parse_image_header(payload: bytes):
+    """Real, dependency-free image header parse: (format, width, height), or
+    None if the payload is not a recognizable PNG/JPEG/GIF.
+
+    Reads only the published container headers (PNG IHDR, JPEG SOFn segment
+    walk, GIF logical screen descriptor) — no pixel decode, so it is O(header)
+    per payload regardless of image size, which is exactly what a 100 TB
+    metadata pass wants.
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return "png", width, height
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return "gif", width, height
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker in _JPEG_STANDALONE:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return "jpeg", width, height
+            i += 2 + seg_len
+    return None
 
 
 def extract_media_metadata(
@@ -70,33 +119,127 @@ def extract_media_metadata(
 ) -> DataFrame:
     """Vectorized metadata extraction over a binary column via mapInPandas.
 
+    Still-image payloads (PNG/JPEG/GIF) get a REAL header parse —
+    ``media_type`` is replaced by the detected format and (width, height)
+    come from the container header.  Unrecognized payloads (video/audio
+    containers; no ffmpeg in-container) fall back to the deterministic
+    ``_decode_stub`` with their declared type.
+
     Input partitioning is preserved (narrow op, zero shuffle); output carries
     only small typed columns so downstream plans never move the payload.
     """
     id_name, media_name, type_name = id_col, media_col, type_col
 
+    def _meta(payload, mtype):
+        payload = payload if payload is not None else b""
+        parsed = parse_image_header(payload)
+        if parsed is not None:
+            fmt, width, height = parsed
+            return fmt, width, height, 1
+        return (mtype, *_decode_stub(payload, mtype))
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                _decode_stub(payload if payload is not None else b"", mtype)
+                _meta(payload, mtype)
                 for payload, mtype in zip(pdf[media_name], pdf[type_name])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_name].astype("int64"),
-                    "media_type": pdf[type_name],
+                    "media_type": [m[0] for m in metas],
                     "n_bytes": [
                         len(p) if p is not None else 0 for p in pdf[media_name]
                     ],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "n_frames": [m[2] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                    "n_frames": [m[3] for m in metas],
                 }
             )
 
     return df.select(id_col, media_col, type_col).mapInPandas(
         process, MEDIA_META_SCHEMA
     )
+
+
+# Byte sizes of the synthesized fixtures below (header-only images)
+SYNTH_PNG_BYTES = 33
+SYNTH_JPEG_BYTES = 41
+SYNTH_GIF_BYTES = 14
+
+
+def synth_image_bytes(fmt: str, width: int, height: int) -> bytes:
+    """Deterministic, spec-conformant image *header* bytes for fixtures.
+
+    Emits the real container headers (PNG signature+IHDR, JPEG
+    SOI+APP0+SOF0+EOI, GIF89a logical screen descriptor) with the given
+    dimensions — enough for any header-reading decoder, no pixel data (the
+    PNG CRC and JPEG entropy stream are absent, so full decoders would
+    reject them; header parsers, including :func:`parse_image_header`, read
+    them exactly like PIL-produced files).
+    """
+    import struct
+
+    if fmt == "png":
+        return (
+            _PNG_SIG
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", width, height)
+            + b"\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00"  # CRC placeholder (not header-relevant)
+        )
+    if fmt == "jpeg":
+        return (
+            b"\xff\xd8"  # SOI
+            + b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"  # APP0
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width)
+            + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"  # SOF0 components
+            + b"\xff\xd9"  # EOI
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + b"\xf0\x00\x00"  # GCT flags / bg / aspect
+            + b"\x3b"  # trailer
+        )
+    raise ValueError(f"unknown fixture format {fmt!r}")
+
+
+def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture generator: (id) -> (id, media:binary, media_type:'image') with
+    real PNG/JPEG/GIF headers, dimensions a pure function of the id
+    (format = id%3, width = id%640+1, height = id%480+1) so an SQL oracle can
+    predict the parsed metadata without reading bytes."""
+    fmts = ["png", "jpeg", "gif"]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [
+                        synth_image_bytes(
+                            fmts[i % 3], i % 640 + 1, i % 480 + 1
+                        )
+                        for i in ids
+                    ],
+                    "media_type": "image",
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(process, schema)
 
 
 def frame_sample_plan(meta: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1143,25 +1143,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_media_metadata",
     oracle="""
     SELECT doc_id,
-           'video' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-           CAST((octet_length(encode(text)) // 7) % 480 + 1 AS INT) AS height,
-           CAST(octet_length(encode(text)) % 250 + 1 AS INT) AS n_frames
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                WHEN 1 THEN 'jpeg' ELSE 'gif' END AS media_type,
+           CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33
+                WHEN 1 THEN 41 ELSE 14 END AS BIGINT) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS INT) AS width,
+           CAST(doc_id % 480 + 1 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
     FROM documents
     """,
 )
 def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary column -> typed metadata via
-    Arrow-batched mapInPandas (decode stubbed deterministically; the Spark
-    side — schema, batching, pruning — is real and oracle-checked)."""
+    """Multimodal metadata: binary column -> typed metadata via Arrow-batched
+    mapInPandas with a REAL dependency-free header decode (PNG IHDR / JPEG
+    SOFn walk / GIF screen descriptor — operators/multimodal.py
+    parse_image_header).  The fixture media are spec-conformant image headers
+    whose dimensions are a pure function of doc_id, so the DuckDB oracle
+    predicts the parsed values without reading bytes — a wrong parse fails
+    the value hash."""
+    from i2o_transform_spark.operators.multimodal import synth_image_media
+
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("media"),
-        F.lit("video").alias("media_type"),
-    )
-    return extract_media_metadata(media)
+    return extract_media_metadata(synth_image_media(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,88 @@ def test_salted_join_equivalence(spark):
     salted = salted_join(big, small, "k", salt_buckets=8).select("k", "v", "name")
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+# --- real image header parsing (operators/multimodal.py) ----------------------
+
+# Well-known minimal real files (public domain byte sequences): a 1x1
+# transparent PNG and a 1x1 GIF, as produced by standard encoders.
+_PNG_1x1 = __import__("base64").b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+    "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+_GIF_1x1 = __import__("base64").b64decode(
+    "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+)
+
+
+def test_parse_image_header_real_files():
+    from i2o_transform_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_PNG_1x1) == ("png", 1, 1)
+    assert parse_image_header(_GIF_1x1) == ("gif", 1, 1)
+
+
+def test_parse_image_header_synth_roundtrip():
+    from i2o_transform_spark.operators.multimodal import (
+        parse_image_header,
+        synth_image_bytes,
+    )
+
+    for fmt in ("png", "jpeg", "gif"):
+        for w, h in [(1, 1), (640, 480), (65535, 1), (1920, 1080)]:
+            assert parse_image_header(synth_image_bytes(fmt, w, h)) == (fmt, w, h)
+
+
+def test_parse_image_header_jpeg_segment_walk():
+    """SOF dims must be found even behind extra APPn/COM segments, and a
+    stream with no SOF (or corrupt markers) must return None."""
+    import struct
+
+    from i2o_transform_spark.operators.multimodal import (
+        parse_image_header,
+        synth_image_bytes,
+    )
+
+    base = synth_image_bytes("jpeg", 321, 123)
+    # splice two extra segments (COM and APP2) between APP0 and SOF0
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    app2 = b"\xff\xe2" + struct.pack(">H", 6) + b"ICCP"
+    spliced = base[:20] + com + app2 + base[20:]
+    assert parse_image_header(spliced) == ("jpeg", 321, 123)
+    # no SOF before stream end -> None
+    assert parse_image_header(b"\xff\xd8" + com + b"\xff\xd9") is None
+    # corrupt marker stream -> None
+    assert parse_image_header(b"\xff\xd8\x00\x00\x00\x00") is None
+
+
+def test_parse_image_header_rejects_non_images():
+    from i2o_transform_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"plain text payload, definitely not an image") is None
+    assert parse_image_header(_PNG_1x1[:10]) is None  # truncated header
+
+
+def test_extract_media_metadata_real_parse(spark):
+    """End-to-end: synthesized real headers through the Arrow metadata pass;
+    video payloads (unparseable) fall back to the documented stub."""
+    from i2o_transform_spark.operators.multimodal import (
+        extract_media_metadata,
+        synth_image_media,
+    )
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    meta = extract_media_metadata(synth_image_media(docs))
+    rows = {r.doc_id: r for r in meta.collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        assert r.media_type == ["png", "jpeg", "gif"][i % 3]
+        assert (r.width, r.height, r.n_frames) == (i % 640 + 1, i % 480 + 1, 1)
+    # unparseable payload keeps declared type + stub dims
+    vid = spark.createDataFrame(
+        [(1, b"notanimage" * 3, "video")],
+        "doc_id long, media binary, media_type string",
+    )
+    r = extract_media_metadata(vid).collect()[0]
+    assert r.media_type == "video" and r.n_frames == 30 % 250 + 1

@@ -2179,3 +2179,343 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["pages"].where(F.col("lang") == "en"), cw, d["modifier_config"]
     )
     return link_and_emit(asm, cw, cm)
+
+
+# ---------------------------------------------------------------------------
+# Hard-signal companions for the approximate/iterative queries (VERDICT r01
+# #3): each rows-only query above gets a driver-checkable companion whose
+# DuckDB oracle is either exactly derivable in SQL or a constant gate row —
+# so the round artifact itself certifies the recall/P-R properties that were
+# previously only pytest-visible.
+# ---------------------------------------------------------------------------
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup fixture: documents + 20% duplicated (offset ids)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+@query(
+    "dd_minhash_recall_check",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM d
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), df_cut AS (
+      SELECT greatest(2, CAST(floor((SELECT COUNT(*) FROM d) * 0.10) AS BIGINT)) AS cut
+    ), keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= (SELECT cut FROM df_cut)
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(1 AS INT) AS recall_ge_090
+    FROM exact
+    """,
+)
+def dd_minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to dd_minhash_lsh: emits (n_exact, recall_ge_090).  n_exact
+    (count of exact-Jaccard>=0.5 pairs) is recomputed by the DuckDB oracle
+    from scratch; recall of the LSH candidates against that exact set must
+    clear the same >=0.9 gate as tests/test_operators.py, value-hashed in the
+    round artifact."""
+    from i2o_transform_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    dup = _dup_docs(spark, sf_dir)
+    exact = ngram_jaccard_pairs(dup, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    lsh = minhash_lsh_pairs(dup, "doc_id", "text", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    hits = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("_n_hit"))
+    ).join(exact.agg(F.count(F.lit(1)).alias("_n_ex")), how="cross").select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("_n_hit") >= F.lit(0.9) * F.col("_n_ex"))
+        .cast("int")
+        .alias("recall_ge_090"),
+    )
+
+
+@query(
+    "dd_simhash_recall_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           CAST(1 AS INT) AS all_identical_found
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def dd_simhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to dd_simhash: the duplicated docs are byte-identical, so
+    their simhashes are equal (Hamming 0) and the 8-chunk pigeonhole blocking
+    GUARANTEES every such pair is emitted.  n_found must equal the oracle's
+    independent count of duplicated docs — a miss breaks the value hash."""
+    from i2o_transform_spark.operators.dedup import simhash_near_dupes
+
+    dup = _dup_docs(spark, sf_dir)
+    pairs = simhash_near_dupes(dup, "doc_id", "text", max_hamming=3)
+    expected = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+    )
+    found = expected.join(pairs, ["id_a", "id_b"], "left_semi")
+    return expected.agg(
+        F.count(F.lit(1)).cast("long").alias("n_identical_pairs")
+    ).crossJoin(found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))).select(
+        "n_identical_pairs",
+        "n_found",
+        (F.col("n_found") == F.col("n_identical_pairs")).cast("int").alias(
+            "all_identical_found"
+        ),
+    )
+
+
+@query(
+    "ann_lsh_recall_check",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+      ) t WHERE rank <= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_topk,
+           CAST(1 AS INT) AS recall_ge_050
+    FROM exact
+    """,
+)
+def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to ann_lsh_topk: recall@5 of the LSH-bucketed ANN against
+    the exact brute-force top-5 (itself recomputed independently by the
+    DuckDB oracle).  Random near-orthogonal embeddings are LSH's worst case;
+    the >=0.5 gate mirrors tests/test_operators.py."""
+    from i2o_transform_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
+    # wider-recall profile (fewer planes, more tables) than the throughput
+    # default: the gate is about recall, measured at its worst case
+    approx = lsh_bucketed_topk(
+        emb, q, k=5, dim=64, num_planes=4, num_tables=8
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_topk")
+    ).crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit"))).select(
+        "n_exact_topk",
+        (F.col("_n_hit") >= F.lit(0.5) * F.col("n_exact_topk"))
+        .cast("int")
+        .alias("recall_ge_050"),
+    )
+
+
+@query(
+    "kg_canonical_map",
+    oracle="""
+    SELECT CAST(1000 + i AS BIGINT) AS concept_id,
+           CAST(1000 + i AS BIGINT) AS canon_id
+    FROM range(21) t(i)
+    UNION ALL
+    SELECT CAST(2000 + i AS BIGINT), CAST(1000 + i AS BIGINT) FROM range(5) t(i)
+    UNION ALL
+    SELECT CAST(5000 + i AS BIGINT), CAST(5000 + i AS BIGINT) FROM range(8) t(i)
+    """,
+)
+def kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to kg_canonical_nodes: the full (concept_id -> canon_id)
+    mapping from blocked-CC canonicalization, value-checked row by row
+    against the construction-time expectation — identity everywhere except
+    the 5 alias concepts (2000+k), which must merge into their canonical
+    twins (1000+k).  Turns the iterative-CC query into a hard driver signal
+    (datagen vocab is scale-independent, so this holds at every sf)."""
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans.kg import (
+        canonicalize_concepts,
+        compile_crosswalk,
+    )
+
+    d = generate(spark, 10)
+    cw = compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
+    return canonicalize_concepts(cw).select("concept_id", "canon_id")
+
+
+@query(
+    "kg_pipeline_pr_check",
+    oracle="""
+    SELECT CAST(1 AS INT) AS precision_ge_095,
+           CAST(1 AS INT) AS recall_ge_095,
+           CAST(1 AS INT) AS has_triples
+    """,
+)
+def kg_pipeline_pr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to kg_pipeline_triples: computes triple precision/recall
+    against the generator's construction goldens (derived from sampling
+    choices, never from text) inside the query and emits the BASELINE.md
+    P/R >= 0.95 gate as value-hashed booleans — the round artifact now
+    carries the north-rule correctness criterion directly."""
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans.kg import (
+        canonicalize_concepts,
+        compile_crosswalk,
+        extract_and_assemble,
+        link_and_emit,
+    )
+
+    d = generate(spark, 2000)
+    cw = compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
+    cm = canonicalize_concepts(cw)
+    asm = extract_and_assemble(
+        d["pages"].where(F.col("lang") == "en"), cw, d["modifier_config"]
+    )
+    emitted = (
+        link_and_emit(asm, cw, cm)
+        .select("subj_id", "pred_id", "obj_id")
+        .distinct()
+        .persist()
+    )
+    golden = d["golden_triples"].persist()
+    tp = emitted.join(golden, ["subj_id", "pred_id", "obj_id"]).count()
+    n_e, n_g = emitted.count(), golden.count()
+    emitted.unpersist()
+    golden.unpersist()
+    return spark.createDataFrame(
+        [(int(tp >= 0.95 * n_e), int(tp >= 0.95 * n_g), int(n_e > 0))],
+        "precision_ge_095 int, recall_ge_095 int, has_triples int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global re-keying (reference PHS_MRN_PID_mapping/
+# Patient_Num_to_AoU_id_migration.sql:27-76; VERDICT r01 missing #3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rk_global_rekey",
+    oracle="""
+    WITH hop_b AS (
+      SELECT c_name, c_nationkey, c_custkey + 9000000 AS new_id FROM customer
+    ), map AS (
+      SELECT a.c_custkey AS old_key, MIN(b.new_id) AS new_key
+      FROM customer a
+      JOIN hop_b b ON a.c_name = b.c_name AND a.c_nationkey = b.c_nationkey
+      GROUP BY a.c_custkey
+    )
+    SELECT o.o_orderkey, CAST(m.new_key AS BIGINT) AS o_custkey, o.o_totalprice
+    FROM orders o JOIN map m ON o.o_custkey = m.old_key
+    """,
+)
+def rk_global_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-pass global re-keying (the reference's patient_num -> aou_id
+    migration): compose the two hop tables on their shared natural key, then
+    swap the key column of a fact table in one mapping join — the reference's
+    per-row cursor UPDATE loop, recast as a broadcastable equi-join."""
+    from i2o_transform_spark.operators.rekey import compose_mapping, rekey_table
+
+    cust = _t(spark, sf_dir, "customer")
+    hop_a = cust.select(
+        F.col("c_custkey").alias("old_key"), "c_name", "c_nationkey"
+    )
+    hop_b = cust.select(
+        "c_name", "c_nationkey", (F.col("c_custkey") + 9000000).alias("new_key")
+    )
+    mapping = compose_mapping(
+        hop_a, hop_b, ["c_name", "c_nationkey"], "old_key", "new_key"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return rekey_table(orders, "o_custkey", mapping).select(
+        "o_orderkey", F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_totalprice",
+    )
+
+
+@query(
+    "rk_rekey_report",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmapped,
+           CAST(CASE WHEN SUM(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INT) AS complete
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(CASE WHEN SUM(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INT)
+    FROM orders
+    """,
+)
+def rk_rekey_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration's completeness gate as a declarative report: with a
+    partial mapping (even keys only), every table reports its unmapped count
+    and completeness flag — the reference's per-table null-count prints
+    (migration.sql:78-95), in one pass, no cursor."""
+    from i2o_transform_spark.operators.rekey import rekey_report
+
+    cust = _t(spark, sf_dir, "customer")
+    mapping = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("old_key"),
+        (F.col("c_custkey") + 9000000).alias("new_key"),
+    )
+    tables = {
+        "customer": cust.select(F.col("c_custkey").alias("person_id")),
+        "orders": _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("person_id")
+        ),
+    }
+    return rekey_report(tables, "person_id", mapping)

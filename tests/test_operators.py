@@ -296,3 +296,41 @@ def test_compose_mapping_two_hop(spark):
     m = {r.old_key: r.new_key for r in
          compose_mapping(a, b, ["mrn", "fac"], "old_key", "new_key").collect()}
     assert m == {1: 900, 2: 901}  # facility must match (F2 row ignored)
+
+
+def test_label_propagation_chain_converges():
+    """Pointer doubling must resolve a long chain in O(log d) rounds —
+    plain hash-min would need `length` rounds and time out max_iter."""
+    from i2o_transform_spark.operators.graph import label_propagation_components
+    from i2o_transform_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    n = 3000
+    edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    roots = label_propagation_components(edges, max_iter=30)
+    agg = roots.groupBy("root").count().collect()
+    assert len(agg) == 1 and agg[0]["root"] == 0 and agg[0]["count"] == n
+
+
+def test_blocked_cc_oversized_block_spills_to_global(spark):
+    """VERDICT r01 #5: a pathological block (here: a 10^5-node chain under
+    ONE blocking key) must not land on a single union-find task — it is
+    carved out and resolved by the distributed iterative algorithm, and the
+    result still composes with normal blocks via min-root."""
+    from i2o_transform_spark.operators.graph import blocked_connected_components
+
+    n = 100_000
+    hot = spark.range(n - 1).selectExpr(
+        "'hot' AS block", "id AS src", "id + 1 AS dst"
+    )
+    normal = spark.createDataFrame(
+        [("b1", 1_000_000, 1_000_001), ("b2", 2_000_000, 2_000_001)],
+        "block string, src long, dst long",
+    )
+    roots = blocked_connected_components(
+        hot.unionByName(normal), max_block_edges=1_000
+    )
+    got = roots.groupBy("root").count().collect()
+    by_root = {r["root"]: r["count"] for r in got}
+    assert by_root[0] == n            # the whole chain collapsed to node 0
+    assert by_root[1_000_000] == 2 and by_root[2_000_000] == 2

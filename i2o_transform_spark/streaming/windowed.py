@@ -140,6 +140,27 @@ def stateful_running_totals(
         ]
     )
 
+    update = make_running_totals_update(timeout_minutes)
+
+    return (
+        events.select(user_col, "value")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )
+
+
+def make_running_totals_update(timeout_minutes: int = 60):
+    """The per-key state-update function for :func:`stateful_running_totals`,
+    exposed at module level so the timeout/eviction branch is unit-testable
+    without a streaming query (ADVICE r01: the eviction path was unexercised
+    by availableNow one-shot triggers)."""
+
     def update(key, pdfs, state):
         import pandas as pd  # noqa: PLC0415
 
@@ -160,14 +181,4 @@ def stateful_running_totals(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
-    return (
-        events.select(user_col, "value")
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf="ProcessingTimeTimeout",
-        )
-    )
+    return update

@@ -113,3 +113,49 @@ def test_stateful_running_totals_stream_equals_batch(spark):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_timeout_evicts_state():
+    """ADVICE r01: on ProcessingTimeTimeout the update function must remove
+    the state and emit nothing (no duplicate farewell row, no re-armed
+    timer); on data it must accumulate and re-arm."""
+    import pandas as pd
+
+    from i2o_transform_spark.streaming.windowed import make_running_totals_update
+
+    class FakeState:
+        def __init__(self, exists=False, value=None, timed_out=False):
+            self.exists = exists
+            self._value = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.updated = None
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self.updated = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    update = make_running_totals_update(timeout_minutes=60)
+
+    # data path: accumulates, re-arms, emits one row
+    st = FakeState(exists=True, value=(2, 10.0))
+    out = list(update((7,), iter([pd.DataFrame({"value": [1.5, 2.5]})]), st))
+    assert st.updated == (4, 14.0) and st.timeout_set == 60 * 60 * 1000
+    assert len(out) == 1 and out[0]["n_events"].iloc[0] == 4
+    assert not st.removed
+
+    # timeout path: state removed, nothing emitted, timer NOT re-armed
+    st2 = FakeState(exists=True, value=(4, 14.0), timed_out=True)
+    out2 = list(update((7,), iter([]), st2))
+    assert st2.removed and out2 == []
+    assert st2.updated is None and st2.timeout_set is None

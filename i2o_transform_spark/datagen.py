@@ -171,6 +171,7 @@ def build_vocab_spec() -> VocabSpec:
 _LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "en", "de", "fr", "es"]
 HOT_SUBJ_PCT = 30  # % of sentences whose subject is surface 0 (hot-key skew)
 YEAR_PCT = 40      # % of sentences carrying an 'in YYYY' qualifier
+AMOUNT_PCT = 30    # % of sentences carrying a 'for NNN' qualifier (NNN 100-999)
 
 
 def _h(*cols) -> F.Column:
@@ -213,6 +214,11 @@ def generate(
     year = F.when(
         has_year, (F.pmod(_h(pid, six, sd, F.lit("yr")), F.lit(30)) + 1990).cast("int")
     )
+    has_amount = F.pmod(_h(pid, six, sd, F.lit("ha")), F.lit(100)) < AMOUNT_PCT
+    amount = F.when(
+        has_amount,
+        (F.pmod(_h(pid, six, sd, F.lit("am")), F.lit(900)) + 100).cast("int"),
+    )
 
     chosen = sentences.select(
         "page_id",
@@ -221,6 +227,7 @@ def generate(
         pred_i.alias("pred_i"),
         obj_i.alias("obj_i"),
         year.alias("year"),
+        amount.alias("amount"),
     )
     sentence_text = F.concat(
         F.element_at(ent_surf_arr, F.col("subj_i") + 1),
@@ -230,6 +237,8 @@ def generate(
         F.element_at(ent_surf_arr, F.col("obj_i") + 1),
         F.when(F.col("year").isNotNull(),
                F.concat(F.lit(" in "), F.col("year").cast("string"))).otherwise(F.lit("")),
+        F.when(F.col("amount").isNotNull(),
+               F.concat(F.lit(" for "), F.col("amount").cast("string"))).otherwise(F.lit("")),
         F.lit("."),
     )
     with_sent = chosen.withColumn("sentence", sentence_text)
@@ -241,7 +250,7 @@ def generate(
             ), lambda st: st.sentence)
         ).alias("text"),
         F.collect_list(
-            F.struct("sent_idx", "subj_i", "pred_i", "obj_i", "year")
+            F.struct("sent_idx", "subj_i", "pred_i", "obj_i", "year", "amount")
         ).alias("_choices"),
     )
 
@@ -305,7 +314,10 @@ def generate(
         "concept_id_1 long, concept_id_2 long, relationship_id string",
     )
     modifier_config = spark.createDataFrame(
-        [("year", "in", "^[0-9]{4}$", "qualifier_year")],
+        [
+            ("year", "in", "^[0-9]{4}$", "qualifier_year"),
+            ("amount", "for", "^[0-9]{1,3}$", "qualifier_amount"),
+        ],
         "kind string, trigger_token string, pattern string, target_column string",
     )
 

@@ -732,9 +732,16 @@ def _make_assembler(by_len, pred_set, first2, first3, cfg):
                 np.roll(flat, 1)[1:] == spec["trigger_token"]
             )
             # contains(compiled re.ASCII regex) mirrors rlike: unanchored
-            # search with Java's ASCII \s/\w/\d semantics (ADVICE r01)
+            # search with Java's ASCII \s/\w/\d semantics (ADVICE r01).
+            # Regex only runs on trigger-following tokens (a tiny fraction of
+            # the batch), not the whole flat token array per config row.
             rx = spec.get("_re") or re.compile(spec["pattern"], re.ASCII)
-            pat = s1.str.contains(rx, regex=True).to_numpy() & prev_ok
+            cand = np.nonzero(prev_ok)[0]
+            pat = np.zeros(total, bool)
+            if cand.size:
+                pat[cand] = (
+                    pd.Series(flat[cand]).str.contains(rx, regex=True).to_numpy()
+                )
             qdf = pd.DataFrame({"row": row[pat], "value": flat[pat]})
             qmin = qdf.groupby("row")["value"].min()
             res[qn] = pd.to_numeric(
@@ -875,13 +882,22 @@ def extract_qualifiers(sentences: DataFrame, modifier_config: DataFrame) -> Data
     return result
 
 
-def assemble_triples(mentions: DataFrame, qualifiers: DataFrame) -> DataFrame:
+def assemble_triples(
+    mentions: DataFrame,
+    qualifiers: DataFrame,
+    qualifier_kinds: tuple[str, ...] = ("year",),
+) -> DataFrame:
     """Per-sentence triple assembly (the J3 composite-key reassembly recast):
     subject = earliest entity mention, object = latest entity mention,
     predicate = earliest predicate mention between/after the subject.
     Sentences lacking any of the three emit nothing.
+
+    ``qualifier_kinds`` mirrors the modifier_config rows (the reference's
+    one-temp-table-per-modifier reassembly, MSSQL/OMOPLoader.sql:1034-1045):
+    each kind pivots to its own ``qualifier_<kind>`` column, elected as the
+    min matching token per sentence.
     Output: (url, warc_ts, sent_idx, subj_surface, pred_surface, obj_surface,
-    qualifier_year)."""
+    qualifier_<kind>...)."""
     ent = mentions.where(F.col("kind") != "Predicate")
     pred = mentions.where(F.col("kind") == "Predicate")
     # both aggregations group on (url, sent_idx) so the subsequent join
@@ -895,10 +911,13 @@ def assemble_triples(mentions: DataFrame, qualifiers: DataFrame) -> DataFrame:
     pred_agg = pred.groupBy("url", "sent_idx").agg(
         F.min_by(F.struct("start", "surface"), F.col("start")).alias("pred")
     )
-    years = (
-        qualifiers.where(F.col("kind") == "year")
-        .groupBy("url", "sent_idx")
-        .agg(F.min("value").cast("int").alias("qualifier_year"))
+    quals = qualifiers.groupBy("url", "sent_idx").agg(
+        *[
+            F.min(F.when(F.col("kind") == k, F.col("value")))
+            .cast("int")
+            .alias(f"qualifier_{k}")
+            for k in qualifier_kinds
+        ]
     )
     return (
         ent_agg.join(pred_agg, ["url", "sent_idx"])
@@ -906,7 +925,7 @@ def assemble_triples(mentions: DataFrame, qualifiers: DataFrame) -> DataFrame:
             (F.col("subj.start") + F.col("subj.len") <= F.col("pred.start"))
             & (F.col("pred.start") < F.col("obj.start"))
         )
-        .join(years, ["url", "sent_idx"], "left")
+        .join(quals, ["url", "sent_idx"], "left")
         .select(
             "url",
             "warc_ts",
@@ -914,7 +933,7 @@ def assemble_triples(mentions: DataFrame, qualifiers: DataFrame) -> DataFrame:
             F.col("subj.surface").alias("subj_surface"),
             F.col("pred.surface").alias("pred_surface"),
             F.col("obj.surface").alias("obj_surface"),
-            "qualifier_year",
+            *[F.col(f"qualifier_{k}") for k in qualifier_kinds],
         )
     )
 
@@ -960,37 +979,59 @@ def link_and_emit(
         .join(obj_cw, "obj_surface")
     )
     # deterministic dedup: keep the earliest sentence occurrence per
-    # (s, p, o, url) — dropDuplicates alone would keep an arbitrary
-    # qualifier_year when a page repeats the triple.  min_by over a STRUCT
-    # falls back to SortAggregate (struct aggregation buffers aren't
-    # hash-aggregatable), so (sent_idx, qualifier) is packed into one long:
-    # min(long) keeps the whole pipeline in HashAggregate with map-side
-    # partial combine — the one shuffle moves already-deduped tuples and
-    # never sorts.  sent_idx dominates the high bits, so min(packed) ==
-    # min_by(sent_idx); warc_ts is constant per url (min is exact).
-    _QBITS = 21  # qualifier payload: value+1 in [0, 2^21)
-    # clamp before packing: a config-driven qualifier outside [0, 2^21-2]
-    # would silently overflow into the sent_idx bits, corrupting both the
-    # min-ordering and the decoded value (ADVICE r01) — out-of-range values
-    # are treated as absent (null), exactly like a non-matching qualifier
-    _qual = F.col("qualifier_year").cast("long")
-    _qual_safe = F.when(_qual.between(0, (1 << _QBITS) - 2), _qual)
-    packed = F.col("sent_idx").cast("long") * F.lit(1 << _QBITS) + (
-        F.coalesce(_qual_safe, F.lit(-1)) + 1
-    )
-    q = F.col("_p") % (1 << _QBITS)
-    deduped = (
-        linked.groupBy("subj_id", "pred_id", "obj_id", "url")
-        .agg(F.min("warc_ts").alias("warc_ts"), F.min(packed).alias("_p"))
-        .select(
-            "subj_id",
-            "pred_id",
-            "obj_id",
-            "url",
-            "warc_ts",
-            F.when(q > 0, (q - 1).cast("int")).alias("qualifier_year"),
+    # (s, p, o, url) — dropDuplicates alone would keep arbitrary qualifiers
+    # when a page repeats the triple.  min_by over a STRUCT falls back to
+    # SortAggregate (struct aggregation buffers aren't hash-aggregatable),
+    # so (sent_idx, qualifiers...) is packed into one long: min(long) keeps
+    # the whole pipeline in HashAggregate with map-side partial combine —
+    # the one shuffle moves already-deduped tuples and never sorts.
+    # sent_idx dominates the high bits, so min(packed) == min_by(sent_idx);
+    # warc_ts is constant per url (min is exact).  Qualifier columns are
+    # auto-detected from the assembled schema (one per modifier_config row).
+    _QBITS = 21  # per-qualifier payload: value+1 in [0, 2^21)
+    qual_cols = [c for c in assembled.columns if c.startswith("qualifier_")]
+    if len(qual_cols) > 2:
+        # 63-bit budget: sent_idx needs >= 20 bits, each qualifier 21 —
+        # beyond two, fall back to the exact (slower) struct-min ordering
+        deduped = (
+            linked.groupBy("subj_id", "pred_id", "obj_id", "url")
+            .agg(
+                F.min("warc_ts").alias("warc_ts"),
+                F.min_by(
+                    F.struct("sent_idx", *qual_cols), F.col("sent_idx")
+                ).alias("_m"),
+            )
+            .select(
+                "subj_id", "pred_id", "obj_id", "url", "warc_ts",
+                *[F.col(f"_m.{c}").alias(c) for c in qual_cols],
+            )
         )
-    )
+    else:
+        packed = F.col("sent_idx").cast("long")
+        for c in qual_cols:
+            # clamp before packing: a config-driven qualifier outside
+            # [0, 2^21-2] would silently overflow into the neighboring bits,
+            # corrupting both the min-ordering and the decoded value
+            # (ADVICE r01) — out-of-range values are treated as absent
+            # (null), exactly like a non-matching qualifier
+            qv = F.col(c).cast("long")
+            safe = F.when(qv.between(0, (1 << _QBITS) - 2), qv)
+            packed = packed * F.lit(1 << _QBITS) + (
+                F.coalesce(safe, F.lit(-1)) + 1
+            )
+        decoded = []
+        rem = F.col("_p")
+        for c in reversed(qual_cols):
+            qp = rem % (1 << _QBITS)
+            decoded.append(F.when(qp > 0, (qp - 1).cast("int")).alias(c))
+            # exact integer shift — float division would lose bits past 2^53
+            rem = F.shiftright(rem, _QBITS)
+        decoded.reverse()
+        deduped = (
+            linked.groupBy("subj_id", "pred_id", "obj_id", "url")
+            .agg(F.min("warc_ts").alias("warc_ts"), F.min(packed).alias("_p"))
+            .select("subj_id", "pred_id", "obj_id", "url", "warc_ts", *decoded)
+        )
     return deduped.select(
         content_id("subj_id", "pred_id", "obj_id", "url").alias("triple_id"),
         "subj_id",
@@ -998,7 +1039,7 @@ def link_and_emit(
         "obj_id",
         "url",
         "warc_ts",
-        "qualifier_year",
+        *qual_cols,
     )
 
 

@@ -195,6 +195,14 @@ def run_pipeline(
             upstream=["pages", "extracted"],
         )
         if fused and broadcast_vocab:
+            # the fused/broadcast paths hard-require a broadcast-sized vocab
+            # (plans/kg.MAX_BROADCAST_VOCAB); past the threshold, auto-switch
+            # to the salted modular path instead of failing mid-pipeline
+            n_vocab = crosswalk.select("surface_form").distinct().count()
+            if n_vocab > kg.MAX_BROADCAST_VOCAB:
+                fused = False
+                broadcast_vocab = False
+        if fused and broadcast_vocab:
             # fully-fused narrow path (extract_and_assemble): html -> assembled
             # rows in one Arrow stage, zero shuffles, one materialization.
             # Reads the raw pages table (not the extracted stage) — the
@@ -226,9 +234,10 @@ def run_pipeline(
                 upstream=["extracted", "modifier_config"],
                 entity_col="url",
             )
+            kinds = tuple(r.kind for r in modcfg.select("kind").collect())
             assembled = _run(
                 "assembled",
-                lambda: kg.assemble_triples(mentions, qualifiers),
+                lambda: kg.assemble_triples(mentions, qualifiers, kinds),
                 upstream=["mentions", "qualifiers"],
                 entity_col="url",
             )

@@ -88,6 +88,12 @@ def test_qualifier_assembly(spark, data, pipeline_out):
     assert n > 0
     years = with_year.select(F.min("qualifier_year"), F.max("qualifier_year")).collect()[0]
     assert 1990 <= years[0] and years[1] <= 2019
+    with_amount = t.where(F.col("qualifier_amount").isNotNull())
+    assert with_amount.count() > 0
+    amounts = with_amount.select(
+        F.min("qualifier_amount"), F.max("qualifier_amount")
+    ).collect()[0]
+    assert 100 <= amounts[0] and amounts[1] <= 999
 
 
 def test_resume_after_kill(spark, tmp_path):
@@ -167,6 +173,7 @@ def test_fused_equals_modular_assembly(spark, data):
     modular = kg.assemble_triples(
         kg.detect_mentions(sents, cw),
         kg.extract_qualifiers(sents, data["modifier_config"]),
+        qualifier_kinds=("year", "amount"),
     )
     fused = kg.assemble_sentences(sents, cw, data["modifier_config"])
     fused_pd = kg.assemble_sentences_pandas(sents, cw, data["modifier_config"])
@@ -175,7 +182,7 @@ def test_fused_equals_modular_assembly(spark, data):
     )
     cols = [
         "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
-        "qualifier_year",
+        "qualifier_year", "qualifier_amount",
     ]
     a = {tuple(r) for r in modular.select(cols).collect()}
     b = {tuple(r) for r in fused.select(cols).collect()}
@@ -223,20 +230,22 @@ def test_fused_equals_modular_on_messy_whitespace(spark, data):
     modular = kg.assemble_triples(
         kg.detect_mentions(sents, cw),
         kg.extract_qualifiers(sents, data["modifier_config"]),
+        qualifier_kinds=("year", "amount"),
     )
     fused_pd = kg.assemble_sentences_pandas(sents, cw, data["modifier_config"])
     fused_one = kg.extract_and_assemble(pages, cw, data["modifier_config"])
     cols = [
         "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
-        "qualifier_year",
+        "qualifier_year", "qualifier_amount",
     ]
     a = {tuple(r) for r in modular.select(cols).collect()}
     c = {tuple(r) for r in fused_pd.select(cols).collect()}
     d2 = {tuple(r) for r in fused_one.select(cols).collect()}
     assert a == c == d2
     assert len(a) >= 4  # the tab/newline-separated sentences did assemble
-    # and at least one qualifier survived the messy whitespace
-    assert any(t[-1] is not None for t in a)
+    # and at least one year qualifier survived the messy whitespace
+    # (cols[-2] = qualifier_year; no fixture sentence carries an amount)
+    assert any(t[-2] is not None for t in a)
 
 
 def test_dual_domain_vocab_rejected(spark, data):
@@ -283,19 +292,24 @@ def test_qualifier_overflow_clamped(spark, data):
     cm = kg.canonicalize_concepts(cw)
     assembled = spark.createDataFrame(
         [("https://x.example/1", datetime.datetime(2024, 1, 1), 0,
-          "acme corp", "acquired", "globex corp", 5_000_000),
+          "acme corp", "acquired", "globex corp", 5_000_000, 250),
          ("https://x.example/1", datetime.datetime(2024, 1, 1), 1,
-          "acme corp", "acquired", "globex corp", -3),
+          "acme corp", "acquired", "globex corp", -3, None),
          ("https://x.example/2", datetime.datetime(2024, 1, 1), 0,
-          "stark corp", "sued", "hooli corp", 2001)],
+          "stark corp", "sued", "hooli corp", 2001, 3_000_000)],
         "url string, warc_ts timestamp, sent_idx int, subj_surface string, "
-        "pred_surface string, obj_surface string, qualifier_year int",
+        "pred_surface string, obj_surface string, qualifier_year int, "
+        "qualifier_amount int",
     )
+    # clamped per column: year keeps/loses independently of amount
     out = {
-        (r.url, r.qualifier_year)
+        (r.url, r.qualifier_year, r.qualifier_amount)
         for r in kg.link_and_emit(assembled, cw, cm).collect()
     }
-    assert out == {("https://x.example/1", None), ("https://x.example/2", 2001)}
+    assert out == {
+        ("https://x.example/1", None, 250),
+        ("https://x.example/2", 2001, None),
+    }
 
 
 def test_fused_equals_modular_with_10x_vocab(spark, data):
@@ -321,11 +335,12 @@ def test_fused_equals_modular_with_10x_vocab(spark, data):
     modular = kg.assemble_triples(
         kg.detect_mentions(sents, big_cw),
         kg.extract_qualifiers(sents, data["modifier_config"]),
+        qualifier_kinds=("year", "amount"),
     )
     fused_pd = kg.assemble_sentences_pandas(sents, big_cw, data["modifier_config"])
     cols = [
         "url", "sent_idx", "subj_surface", "pred_surface", "obj_surface",
-        "qualifier_year",
+        "qualifier_year", "qualifier_amount",
     ]
     a = {tuple(r) for r in modular.select(cols).collect()}
     c = {tuple(r) for r in fused_pd.select(cols).collect()}

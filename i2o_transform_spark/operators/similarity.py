@@ -169,3 +169,108 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means on a BOUNDED, deterministic sample — the IVF coarse
+    quantizer.  At 10^12 vectors the sample stays 4096 rows (one bounded
+    collect, standard IVF practice: train the quantizer on a sample, assign
+    the full corpus distributed); determinism comes from ordering the sample
+    by id rather than sampling randomly.  Returns L2-normalized centroids
+    (n_centroids x dim), so nearest-by-cosine == argmax dot product."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic init: spread seeds across the ordered sample
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)  # spherical: max cosine
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the k-means-partitioned scale
+    path, complementing the LSH variant above.  Coarse quantizer: spherical
+    k-means centroids (trained on a bounded sample, shipped to executors as
+    a Spark BROADCAST VARIABLE, not closure-captured literals).  Each corpus
+    vector is assigned to its nearest centroid cell map-side (one matmul per
+    Arrow batch); each query probes its ``n_probe`` nearest cells.  Scoring
+    touches only corpus rows in probed cells: O(Q * N * n_probe/C) instead
+    of O(Q * N).  At 100 TB the cell assignment doubles as the partitioning
+    key, so a cell's postings list is co-located and the probe join shuffles
+    nothing but candidates.  Returns (query_id, vec_id, rank) — approximate
+    (recall < 1, grows with n_probe)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    sc = corpus.sparkSession.sparkContext
+    bc_cents = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    n_probe = min(n_probe, len(centroids))
+
+    @pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        cents = bc_cents.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        cents = bc_cents.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T  # n x C
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    c = corpus.select(id_col, vec_col, _cell(F.col(vec_col)).alias("_cell"))
+    q = queries.select(
+        q_id_col,
+        q_vec_col,
+        F.explode(_probe_cells(F.col(q_vec_col))).alias("_cell"),
+    )
+    cand = c.join(F.broadcast(q), "_cell").where(F.col(id_col) != F.col(q_id_col))
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )

@@ -1135,6 +1135,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+@query("ann_ivf_topk")  # approximate: recall certified by ann_ivf_recall_check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) approximate top-k — the second ANN scale
+    path: spherical-kmeans coarse quantizer trained on a bounded sample,
+    centroids shipped as a broadcast variable, corpus assigned to cells
+    map-side, queries probe their n_probe nearest cells only."""
+    from i2o_transform_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, _query_vectors(spark, sf_dir), k=5, n_centroids=16, n_probe=8
+    )
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -2105,6 +2120,29 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_dedup_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: exactly-once event dedup under at-least-once delivery.
+    The input is the events table replayed twice (every event delivered as a
+    duplicate); the operator collapses it back to one row per event_id —
+    streaming via dropDuplicatesWithinWatermark (state bounded by the
+    watermark horizon, proven stream==batch in tests/test_streaming.py),
+    batch via dropDuplicates.  The oracle is the pristine events table."""
+    from i2o_transform_spark.streaming.windowed import dedup_events
+
+    ev = _t(spark, sf_dir, "events")
+    replayed = ev.unionAll(ev)  # at-least-once: every event delivered twice
+    return dedup_events(replayed).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
     "mm_feature_extract",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS feat_idx,
@@ -2348,6 +2386,58 @@ def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_bucketed_topk(
         emb, q, k=5, dim=64, num_planes=4, num_tables=8
     ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_topk")
+    ).crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit"))).select(
+        "n_exact_topk",
+        (F.col("_n_hit") >= F.lit(0.5) * F.col("n_exact_topk"))
+        .cast("int")
+        .alias("recall_ge_050"),
+    )
+
+
+@query(
+    "ann_ivf_recall_check",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+      ) t WHERE rank <= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_topk,
+           CAST(1 AS INT) AS recall_ge_050
+    FROM exact
+    """,
+)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to ann_ivf_topk: recall@5 of the IVF ANN against the exact
+    brute-force top-5 (recomputed independently by the DuckDB oracle).
+    Random near-orthogonal embeddings are the worst case for a coarse
+    quantizer (weak cluster structure), so the gate mirrors the LSH one:
+    probing 8/16 cells must recover >=50% of the true top-5."""
+    from i2o_transform_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=8).select(
+        "query_id", "vec_id"
+    )
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
     return exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_topk")

@@ -87,6 +87,33 @@ def sessionize_events(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    key_cols: "list[str] | None" = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup — at-least-once upstream delivery (replayed
+    Kafka offsets, retried webhook posts) collapses to one row per event id.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps one state entry per
+    key only until the watermark passes the entry's event time, so the state
+    store is bounded by the late-data horizon (``watermark``), not by
+    history — the property that makes this runnable forever on a 10^12-event
+    stream.  Batch: plain ``dropDuplicates`` on the same keys (one shuffle,
+    map-side partial dedup) — the correctness oracle for the stream run.
+    Duplicate rows are byte-identical replays, so which one survives is
+    immaterial and the operator is deterministic.
+    """
+    key_cols = key_cols or ["event_id"]
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return src.dropDuplicates(key_cols)
+
+
 def stateful_running_totals(
     events: DataFrame,
     ts_col: str = "ts",

@@ -136,6 +136,35 @@ def test_ann_lsh_recall_vs_brute_force(spark, request):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF coarse quantizer: probing 8 of 16 cells on worst-case random
+    embeddings must recover >= 50% of the exact top-10 (same bar as LSH),
+    and the full-probe configuration (n_probe == n_centroids) must be EXACT
+    — every corpus row is scored, so IVF degrades gracefully to brute
+    force."""
+    from i2o_transform_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, n_centroids=16, n_probe=16).collect()
+    }
+    assert full == exact
+
+
 def test_blocked_cc(spark):
     edges = spark.createDataFrame(
         [("b1", 1, 2), ("b1", 2, 3), ("b2", 10, 11), ("b2", 3, 4)],

@@ -1,0 +1,132 @@
+"""Physical-plan regression tests — the scale claims as hard signals.
+
+PLANS.md documents the plans we want; these tests pin them.  A future edit
+that silently drops a pushed filter, turns a broadcast join into a
+sort-merge, or introduces a cartesian product in a scale path fails CI here,
+not at 100 TB.
+
+Plans are obtained from ``df.explain("formatted")`` (analysis only — nothing
+executes except the handful of bounded driver-side collects some builders
+perform, e.g. IVF centroid training on <=4096 rows).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from i2o_transform_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def shuffle_count(plan: str) -> int:
+    # \bExchange\b matches shuffle Exchange nodes only ('BroadcastExchange'
+    # has a word char before the E); the (N) headline lines double-count, so
+    # count tree nodes
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_q1_scan_agg_plan(spark):
+    """Scan-heavy agg: filter pushed to parquet, columns pruned, exactly one
+    shuffle, all compute inside whole-stage codegen."""
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # column pruning: the 16-col lineitem scan must read only what q1 uses
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1) and "l_orderkey" not in m.group(1)
+    assert shuffle_count(plan) == 1
+    # map-side combine: partial aggregation below the exchange
+    assert "partial_sum" in plan
+
+
+def test_q1_executes_in_whole_stage_codegen(spark):
+    """After execution (AQE finalizes the plan), the scan->filter->partial-agg
+    pipeline must sit inside WholeStageCodegen spans — the JVM-side fast
+    path, no interpreted row iterators."""
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' prefixes mark whole-stage-codegen membership in plan toString;
+    # the scan-side pipeline (filter + partial agg) must be inside one
+    assert "*(1) HashAggregate" in executed and "*(1) Filter" in executed
+
+
+def test_j1_dictionary_join_is_broadcast(spark):
+    """The dictionary join must broadcast the vocab side: no shuffle of the
+    fact table for the join, no sort-merge fallback."""
+    plan = plan_of(QUERIES["j1_dict_broadcast_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p1_path_prefix_pushdown(spark):
+    """The path-prefix predicate (reference's ontology c_fullname LIKE
+    'prefix%') must reach the parquet reader as a StartsWith filter."""
+    plan = plan_of(QUERIES["p1_path_prefix"](spark, SF_DIR))
+    assert "StringStartsWith" in plan or "StartsWith" in plan
+
+
+def test_kg_pipeline_single_shuffle(spark):
+    """The flagship pages->triples pipeline: ONE fused MapInPandas stage, at
+    most one shuffle on the data path (the triple-dedup HashAggregate), no
+    sort-based aggregation, no cartesian product."""
+    plan = plan_of(QUERIES["kg_pipeline_triples"](spark, SF_DIR))
+    # data-path spine = everything before the broadcast build sides
+    spine = plan.split("BroadcastExchange")[0]
+    # one fused Arrow stage: exactly one MapInPandas NODE (each node prints
+    # twice in formatted mode — tree line + '(N) Node' detail header)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert shuffle_count(spine) <= 1
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in spine
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_merge_single_shuffle(spark):
+    """Era merge (gaps-and-islands): the running-max and the island number
+    share one (entity, concept) exchange — no range join, no second sort
+    partitioning."""
+    plan = plan_of(QUERIES["w1_interval_merge"](spark, SF_DIR))
+    assert shuffle_count(plan) <= 2  # window exchange + final agg
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_scale_paths(spark):
+    """Sweep: no scale-path query may contain a cartesian product or an
+    un-broadcast nested-loop join.  Whitelist = operators DOCUMENTED as
+    bounded-side cross joins (exact brute-force baseline, broadcast-grid
+    codegen, scalar-aggregate companions)."""
+    whitelisted = {
+        "ann_cosine_topk",  # exact baseline: crossJoin vs broadcast query set
+        "ann_lsh_recall_check",  # exact recompute + 1x1 scalar crossJoin
+        "ann_ivf_recall_check",
+        "dd_minhash_recall_check",
+        "dd_simhash_recall_check",
+        "dd_embedding_cosine",  # blocked; companion scalar crossJoin
+        "j10_cross_join",  # the reference's codegen grid — bounded dims
+        "a4_decorrelated_scalar",  # scalar subquery -> 1-row broadcast
+        "kg_pipeline_pr_check",  # P/R companion: scalar crossJoins
+        "u3_branch_routing",  # demographics grid codegen — bounded
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in whitelisted:
+            continue
+        try:
+            plan = plan_of(fn(spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001 — a builder needing sf0.01 fixtures
+            offenders.append((name, f"explain failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders

@@ -115,6 +115,43 @@ def test_stateful_running_totals_stream_equals_batch(spark):
     assert got == want and len(want) > 0
 
 
+def test_dedup_events_stream_equals_batch(spark):
+    """Exactly-once dedup under at-least-once delivery: the stream replays
+    every event twice (two copies of the parquet in the source dir);
+    dropDuplicatesWithinWatermark must collapse them to exactly the pristine
+    events table (== the batch dropDuplicates result)."""
+    import tempfile
+
+    from i2o_transform_spark.streaming.windowed import dedup_events
+
+    batch_events = load_table(spark, SF_DIR, "events")
+    d = os.path.join(tempfile.gettempdir(), "i2o_stream_events_dup")
+    os.makedirs(d, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(d, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF_DIR, "events.parquet"), link)
+    sdf = spark.readStream.schema(batch_events.schema).parquet(d)
+
+    # watermark longer than the fixture's time span: every replayed duplicate
+    # is inside the dedup horizon no matter how the files split into batches
+    deduped = dedup_events(sdf, watermark="365 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = spark.table("dedup_events")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    want = _rows(dedup_events(batch_events.unionAll(batch_events)), cols)
+    assert _rows(stream, cols) == want
+    assert len(want) == batch_events.count()  # collapsed back to pristine
+
+
 def test_stateful_timeout_evicts_state():
     """ADVICE r01: on ProcessingTimeTimeout the update function must remove
     the state and emit nothing (no duplicate farewell row, no re-armed

@@ -725,11 +725,16 @@ def _make_assembler(by_len, pred_set, first2, first3, cfg):
             },
             index=keep,
         )
+        if cfg:
+            # shared across config rows: same-sentence mask + previous token
+            same_prev = np.empty(total, bool)
+            same_prev[0] = False
+            same_prev[1:] = row[1:] == row[:-1]
+            prev_tok = np.roll(flat, 1)
         for spec, qn in zip(cfg, qual_names):
-            prev_ok = np.empty(total, bool)
-            prev_ok[0] = False
-            prev_ok[1:] = (row[1:] == row[:-1]) & (
-                np.roll(flat, 1)[1:] == spec["trigger_token"]
+            prev_ok = np.zeros(total, bool)
+            prev_ok[1:] = same_prev[1:] & (
+                prev_tok[1:] == spec["trigger_token"]
             )
             # contains(compiled re.ASCII regex) mirrors rlike: unanchored
             # search with Java's ASCII \s/\w/\d semantics (ADVICE r01).
@@ -742,8 +747,18 @@ def _make_assembler(by_len, pred_set, first2, first3, cfg):
                 pat[cand] = (
                     pd.Series(flat[cand]).str.contains(rx, regex=True).to_numpy()
                 )
+            # per-sentence STRING min (the modular path's F.min over the
+            # string value column — lexicographic, then cast).  groupby.min
+            # on object dtype is a per-group Python fallback (~100x slower
+            # than the rest of this kernel); stable-sort + keep-first is the
+            # same min in vectorized form.
             qdf = pd.DataFrame({"row": row[pat], "value": flat[pat]})
-            qmin = qdf.groupby("row")["value"].min()
+            fst = qdf.sort_values(["row", "value"], kind="stable").drop_duplicates(
+                "row", keep="first"
+            )
+            qmin = pd.Series(
+                fst["value"].to_numpy(), index=fst["row"].to_numpy()
+            )
             res[qn] = pd.to_numeric(
                 res.index.to_series().map(qmin), errors="coerce"
             ).astype("Int32")

@@ -983,6 +983,70 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "ta_top_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ), ranked AS (
+      SELECT token, CAST(n AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+      FROM c
+    )
+    SELECT token, n, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def ta_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 most frequent whitespace tokens — the
+    tokenizer-training / vocab-coverage primitive of an LLM data pipeline.
+    The count is a map-side-combined hash aggregate; the top-k is
+    ``orderBy().limit()`` -> TakeOrderedAndProject (distributed partial
+    top-k per partition, NO global sort — at 100 TB only k rows per
+    partition reach the driver-side merge); ties break on the token so the
+    result is total-ordered and reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.select(
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@query(
+    "ta_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          <= CASE WHEN lang = 'en' THEN '7f' ELSE '19' END
+    """,
+)
+def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive: keep
+    ~50% of English documents and ~10% of every other language.  The sample
+    key is a bucket of md5(doc_id) compared against a per-stratum hex
+    threshold, so membership is a pure function of the row (reproducible
+    across runs, engines, and cluster sizes; no RNG state, no seed
+    plumbing), the filter is map-side only (zero shuffle), and re-mixing
+    ratios means editing thresholds, not re-shuffling data."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit("7f")).otherwise(F.lit("19"))
+    return docs.where(bucket <= threshold).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup
 # ---------------------------------------------------------------------------
@@ -1054,6 +1118,81 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ngram_jaccard_pairs(dup, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "dd_dup_clusters",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM d
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), df_cut AS (
+      SELECT greatest(2, CAST(floor((SELECT COUNT(*) FROM d) * 0.10) AS BIGINT)) AS cut
+    ), keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= (SELECT cut FROM df_cut)
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY a
+    """,
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the pairwise Jaccard evidence (dd_ngram_jaccard)
+    closed into connected components, emitting (doc_id, canonical_id) with
+    canonical = min doc id of the component — the keep/drop decision a
+    training-data dedup actually needs (A near B near C must collapse to ONE
+    survivor even when A-C alone is below threshold).  Components are
+    resolved by the iterative hash-min label propagation operator (pointer
+    doubling, O(log diameter) rounds); the DuckDB oracle independently
+    recomputes the transitive closure with a recursive CTE."""
+    from i2o_transform_spark.operators.graph import label_propagation_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = ngram_jaccard_pairs(dup, "doc_id", "text", n=3, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comps = label_propagation_components(edges)
+    return comps.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("root").cast("long").alias("canonical_id"),
+    )
 
 
 @query("dd_minhash_lsh")  # no SQL oracle: xxhash64 not reproducible in DuckDB

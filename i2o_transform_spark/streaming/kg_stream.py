@@ -1,0 +1,76 @@
+"""Streaming KG construction — the fused pipeline on a page stream.
+
+The reference is a batch reload (``OMOPclear`` + full refresh); a crawl is
+naturally a stream of WARC segments.  Spark's unified API means the fused
+extraction stage (``plans/kg.extract_and_assemble`` — one stateless
+mapInPandas, no shuffle) runs UNCHANGED on a ``readStream`` of pages in
+append mode, and the shuffle-bearing tail (link + canonical map + triple
+dedup) runs per micro-batch inside ``foreachBatch`` with cross-batch dedup
+against the sink.
+
+Scale notes:
+* extraction state is zero — each micro-batch is embarrassingly parallel,
+  so ingest throughput == batch throughput at the same core count;
+* cross-batch dedup is an anti-join against only the sink's triple_id
+  column (columnar parquet scan of one column), not the full sink;
+  triple ids are content-derived, so replayed/retried batches converge to
+  the same rows — the sink is idempotent at the row level even under
+  at-least-once micro-batch semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_assembled(
+    pages_stream: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+) -> DataFrame:
+    """The fused html -> assembled-surface-rows stage on a streaming pages
+    DataFrame.  Stateless (no watermark, no aggregation) -> append mode;
+    the plan is the same single MapInPandas as the batch path, so
+    stream == batch row-for-row (tests/test_streaming.py)."""
+    from i2o_transform_spark.plans.kg import extract_and_assemble
+
+    return extract_and_assemble(
+        pages_stream.where(F.col("lang") == "en"), crosswalk, modifier_config
+    )
+
+
+def stream_triples_to_sink(
+    pages_stream: DataFrame,
+    crosswalk: DataFrame,
+    canon_map: DataFrame,
+    modifier_config: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """End-to-end streaming triples: fused extraction in the stream plan,
+    link + dedup + cross-batch anti-join + parquet append per micro-batch.
+
+    Returns the started StreamingQuery.  Within a micro-batch,
+    ``link_and_emit`` dedups (s, p, o, url); across batches the sink's
+    existing triple_ids are anti-joined so a page seen in two WARC segments
+    (or a replayed batch) emits nothing new.
+    """
+    from i2o_transform_spark.plans.kg import link_and_emit
+
+    assembled = stream_assembled(pages_stream, crosswalk, modifier_config)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples = link_and_emit(batch_df, crosswalk, canon_map)
+        if os.path.exists(os.path.join(sink_dir, "_SUCCESS")):
+            seen = spark.read.parquet(sink_dir).select("triple_id")
+            triples = triples.join(seen, "triple_id", "left_anti")
+        triples.write.mode("append").parquet(sink_dir)
+
+    return (
+        assembled.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

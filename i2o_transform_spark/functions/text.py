@@ -68,3 +68,45 @@ def codelist_explode(col: Column | str) -> Column:
     return F.when(
         F.coalesce(F.length(F.trim(cleaned)), F.lit(0)) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(cleaned, ","))
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL form — the webtext dedup/join key primitive.
+
+    Contract (each rule is a pure composable expression, all JVM-side
+    regexp/array built-ins, no UDF):
+      1. fragment removed;
+      2. scheme and host lowercased;
+      3. default port dropped (:80 for http, :443 for https);
+      4. duplicate slashes in the path collapsed, trailing slash stripped
+         (root stays ``/``; an empty path becomes ``/``);
+      5. query parameters sorted lexicographically by their ``k=v`` string
+         (stable canonical order for hash/dedup keys); an empty query drops
+         the ``?``.
+
+    Two crawls of the same resource under cosmetically different URLs then
+    collapse to one key for exact dedup (dd_exact_duplicates) and for
+    url-keyed joins.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, "#.*$", "")
+    parts = F.split(no_frag, r"\?", 2)
+    base = F.get(parts, 0)
+    qs = F.get(parts, 1)  # null when no '?'
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    after = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    raw_path = F.regexp_replace(after, r"^[^/]*", "")
+    collapsed = F.regexp_replace(raw_path, "/{2,}", "/")
+    stripped = F.regexp_replace(collapsed, "/$", "")
+    path = F.when(F.length(stripped) == 0, F.lit("/")).otherwise(stripped)
+    sorted_q = F.array_join(F.array_sort(F.split(qs, "&")), "&")
+    query = F.when(
+        qs.isNotNull() & (F.length(qs) > 0), F.concat(F.lit("?"), sorted_q)
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, query)

@@ -191,8 +191,11 @@ def train_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(x))
     # deterministic init: spread seeds across the ordered sample
     idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
     cents = x[idx].copy()

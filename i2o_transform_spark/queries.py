@@ -1047,6 +1047,87 @@ def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket <= threshold).select("doc_id", "lang", "source")
 
 
+@query(
+    "ta_url_normalize",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'HTTPS://Example.COM:443/Products//Item/' || doc_id
+                      || '/?b=2&a=1&c=' || doc_id || '#frag'
+          WHEN 1 THEN 'http://example.com:80/a//b/' || doc_id
+          WHEN 2 THEN 'https://Sub.Example.com/' || doc_id || '/'
+          ELSE 'HTTP://EXAMPLE.com:8080?z=1&y=' || doc_id
+        END AS url
+      FROM documents
+    ), p AS (
+      SELECT doc_id, url,
+        split_part(regexp_replace(url, '#.*$', ''), '?', 1) AS base,
+        CASE WHEN strpos(regexp_replace(url, '#.*$', ''), '?') > 0
+             THEN split_part(regexp_replace(url, '#.*$', ''), '?', 2) END AS qs
+      FROM u
+    ), h AS (
+      SELECT doc_id, url, qs,
+        lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after
+      FROM p
+    ), n AS (
+      SELECT doc_id, url, qs, scheme,
+        lower(regexp_extract(after, '^([^/]*)', 1)) AS hostport,
+        regexp_replace(regexp_replace(regexp_replace(after, '^[^/]*', ''),
+                                      '/{2,}', '/', 'g'),
+                       '/$', '') AS stripped
+      FROM h
+    )
+    SELECT doc_id, url,
+      scheme || '://'
+      || CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END
+      || CASE WHEN length(stripped) = 0 THEN '/' ELSE stripped END
+      || CASE WHEN qs IS NOT NULL AND length(qs) > 0
+              THEN '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+              ELSE '' END AS norm_url
+    FROM n
+    """,
+)
+def ta_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/text.normalize_url): fragment strip,
+    scheme/host lowercase, default-port drop, slash collapse, sorted query
+    params — the dedup/join key for crawls that see one resource under
+    cosmetically different URLs.  Messy fixture URLs are synthesized
+    deterministically from doc_id (4 variants covering every rule); the
+    oracle re-implements the whole contract independently in SQL, so any
+    divergence in any rule fails the value hash."""
+    from i2o_transform_spark.functions.text import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://Example.COM:443/Products//Item/"), sid,
+                F.lit("/?b=2&a=1&c="), sid, F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://example.com:80/a//b/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Sub.Example.com/"), sid, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("HTTP://EXAMPLE.com:8080?z=1&y="), sid))
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        normalize_url(url).alias("norm_url"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup
 # ---------------------------------------------------------------------------

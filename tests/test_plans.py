@@ -101,6 +101,24 @@ def test_interval_merge_single_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_stratified_sample_is_map_only(spark):
+    """Deterministic sampling must be a pure map-side filter: zero
+    exchanges, and the lang/doc_id columns it needs are the only ones
+    scanned."""
+    plan = plan_of(QUERIES["ta_stratified_sample"](spark, SF_DIR))
+    assert shuffle_count(plan) == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1)  # the wide column stays unread
+
+
+def test_top_tokens_uses_partial_topk(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k merged at the driver), never a global sort of all distinct
+    tokens."""
+    plan = plan_of(QUERIES["ta_top_tokens"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_no_cartesian_in_scale_paths(spark):
     """Sweep: no scale-path query may contain a cartesian product or an
     un-broadcast nested-loop join.  Whitelist = operators DOCUMENTED as

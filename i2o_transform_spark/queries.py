@@ -2829,3 +2829,104 @@ def rk_rekey_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     return rekey_report(tables, "person_id", mapping)
+
+
+# ---------------------------------------------------------------------------
+# Embedding entity-link scoring (north_star: "dictionary/embedding
+# entity-link scoring") — ambiguous surface forms resolved to the
+# argmax-cosine candidate against the mention's context embedding
+# ---------------------------------------------------------------------------
+
+_EL_ORACLE = r"""
+    WITH surf AS (
+      SELECT * FROM (VALUES (0,'spark'),(1,'customer'),(2,'table'),
+                            (3,'row'),(4,'data'),(5,'window')) s(i, surface)
+    ), cand AS (
+      SELECT surface, vec_id AS entity_id, embedding
+      FROM embeddings JOIN surf ON vec_id % 6 = i
+      WHERE vec_id < 18
+    ), toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), mention AS (
+      SELECT DISTINCT doc_id, tok AS surface FROM toks
+      WHERE tok IN ('spark','customer','table','row','data','window')
+    ), scored AS (
+      SELECT m.surface, m.doc_id, c.entity_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS sim
+      FROM mention m
+      JOIN embeddings e ON e.vec_id = m.doc_id
+      JOIN cand c ON c.surface = m.surface
+    ), best AS (
+      SELECT surface, doc_id, entity_id,
+             row_number() OVER (PARTITION BY surface, doc_id
+                                ORDER BY sim DESC, entity_id) AS rn
+      FROM scored
+    )
+    SELECT surface, entity_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best WHERE rn = 1
+    GROUP BY surface, entity_id
+"""
+
+
+def _el_mentions_and_candidates(spark: SparkSession, sf_dir: str):
+    """Shared setup: ambiguous dictionary (3 candidate entities per KG_SUBJ
+    surface, embeddings drawn deterministically from the embeddings table)
+    and the mention frame (distinct doc x surface occurrences, context = the
+    doc's embedding)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    surf = F.array(*[F.lit(s) for s in KG_SUBJ])
+    cands = emb.where(F.col("vec_id") < 18).select(
+        F.element_at(surf, (F.col("vec_id") % 6 + 1).cast("int")).alias("surface"),
+        F.col("vec_id").alias("entity_id"),
+        F.col("embedding").alias("emb"),
+    )
+    mentions = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("surface"),
+        )
+        .where(F.col("surface").isin(*KG_SUBJ))
+        .distinct()
+        .join(emb.select(F.col("vec_id").alias("doc_id"),
+                         F.col("embedding").alias("ctx")), "doc_id")
+    )
+    return mentions, cands
+
+
+@query("el_embedding_link", oracle=_EL_ORACLE)
+def el_embedding_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding entity-link scoring, pure-DataFrame path: the candidate
+    dictionary (surface -> 3 entities) is broadcast pre-grouped so the
+    mention frame joins 1:1 (no fan-out) and the argmax-cosine election is a
+    map-side array fold — the dictionary join of the reference
+    (MSSQL/OMOPLoader.sql:763-764) upgraded with score-based disambiguation
+    instead of 1->many fan-out.  Zero added shuffle: the only exchange is
+    the final per-entity count."""
+    from i2o_transform_spark.operators.entity_link import embedding_disambiguate
+
+    mentions, cands = _el_mentions_and_candidates(spark, sf_dir)
+    linked = embedding_disambiguate(mentions, cands, out_col="entity_id")
+    return linked.groupBy("surface", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query("el_embedding_link_arrow", oracle=_EL_ORACLE)
+def el_embedding_link_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS twin of el_embedding_link: per-surface candidate matrices
+    ship as a broadcast variable, each Arrow batch scored with one numpy
+    matmul per surface group — the path for high-dim embeddings / large
+    candidate sets where the interpreted array fold loses to BLAS.  Same
+    oracle: both physical strategies must produce identical links."""
+    from i2o_transform_spark.operators.entity_link import (
+        embedding_disambiguate_pandas,
+    )
+
+    mentions, cands = _el_mentions_and_candidates(spark, sf_dir)
+    linked = embedding_disambiguate_pandas(mentions, cands, out_col="entity_id")
+    return linked.groupBy("surface", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -363,3 +363,88 @@ def test_blocked_cc_oversized_block_spills_to_global(spark):
     by_root = {r["root"]: r["count"] for r in got}
     assert by_root[0] == n            # the whole chain collapsed to node 0
     assert by_root[1_000_000] == 2 and by_root[2_000_000] == 2
+
+
+def test_embedding_disambiguate_paths_agree(spark):
+    """JVM array-fold path == Arrow matmul path, incl. deterministic
+    lowest-id tie-break and argmax correctness on planted geometry."""
+    from i2o_transform_spark.operators.entity_link import (
+        embedding_disambiguate,
+        embedding_disambiguate_pandas,
+    )
+
+    mentions = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0]),
+            (2, "a", [0.0, 1.0, 0.0]),
+            (3, "b", [0.5, 0.5, 0.0]),
+            (4, "oov", [1.0, 1.0, 1.0]),  # no candidates -> dropped
+        ],
+        "doc_id long, surface string, ctx array<double>",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("a", 10, [1.0, 0.1, 0.0]),
+            ("a", 11, [0.1, 1.0, 0.0]),
+            ("b", 20, [1.0, 0.0, 0.0]),
+            ("b", 21, [0.0, 0.0, 1.0]),
+        ],
+        "surface string, entity_id long, emb array<double>",
+    )
+    jvm = embedding_disambiguate(mentions, cands).orderBy("doc_id").collect()
+    arrow = (
+        embedding_disambiguate_pandas(mentions, cands).orderBy("doc_id").collect()
+    )
+    assert [(r.doc_id, r.entity_id) for r in jvm] == [(1, 10), (2, 11), (3, 20)]
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in arrow]
+
+    # exact tie -> lowest entity id, both paths
+    m2 = spark.createDataFrame(
+        [(1, "t", [1.0, 0.0])], "doc_id long, surface string, ctx array<double>"
+    )
+    c2 = spark.createDataFrame(
+        [("t", 7, [1.0, 0.0]), ("t", 3, [1.0, 0.0])],
+        "surface string, entity_id long, emb array<double>",
+    )
+    assert embedding_disambiguate(m2, c2).collect()[0].entity_id == 3
+    assert embedding_disambiguate_pandas(m2, c2).collect()[0].entity_id == 3
+
+
+def test_embedding_disambiguate_random_equivalence(spark):
+    """Property check: on random float32 vectors the two physical paths
+    elect the same entity for every mention (scores differ at O(0.1),
+    far beyond double error)."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.entity_link import (
+        embedding_disambiguate,
+        embedding_disambiguate_pandas,
+    )
+
+    rng = np.random.default_rng(11)
+    surfaces = [f"s{i}" for i in range(8)]
+    cand_rows = [
+        (s, 100 * i + j, rng.standard_normal(16).astype(np.float32).tolist())
+        for i, s in enumerate(surfaces)
+        for j in range(4)
+    ]
+    men_rows = [
+        (k, surfaces[k % 8], rng.standard_normal(16).astype(np.float32).tolist())
+        for k in range(200)
+    ]
+    cands = spark.createDataFrame(
+        cand_rows, "surface string, entity_id long, emb array<float>"
+    )
+    mentions = spark.createDataFrame(
+        men_rows, "doc_id long, surface string, ctx array<float>"
+    )
+    a = {
+        r.doc_id: r.entity_id
+        for r in embedding_disambiguate(mentions, cands).collect()
+    }
+    b = {
+        r.doc_id: r.entity_id
+        for r in embedding_disambiguate_pandas(mentions, cands).collect()
+    }
+    assert len(a) == 200
+    assert a == b

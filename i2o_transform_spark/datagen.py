@@ -47,6 +47,22 @@ SRC_BASE = 3000     # non-standard source concept ids ('Maps to' -> canonical)
 INVALID_ID = 4000   # standard-but-invalid concept (dropped by crosswalk)
 PRED_BASE = 5000    # canonical predicate concept ids
 PRED_SRC_BASE = 6000
+AMB_BASE = 7000     # ambiguous-surface entity pair (embedding-disambiguated)
+
+# Planted lexical ambiguity (with_ambiguity=True): ONE surface form that the
+# ontology maps to TWO distinct standard entities.  The sentence's trailing
+# cue phrase decides which one is meant; entity descriptors mirror the cue
+# phrases so embedding entity-link scoring (cosine vs the sentence's
+# hashing-trick context embedding) recovers the planted truth.  Cue/
+# descriptor tokens occupy 6 distinct crc32 buckets at CTX_DIM=64 (asserted
+# in build_vocab_spec) giving a +-3 score margin over single-token noise.
+AMB_SURFACE = "mercury group"
+AMB_NAMES = ["mercury automotive holdings", "hermes publishing house"]
+AMB_CUES = [
+    ["automotive", "cars", "engines"],
+    ["publishing", "books", "authors"],
+]
+AMB_PCT = 12  # % of sentences whose subject is the ambiguous surface
 
 _PRED_NAMES = [
     "acquired", "founded", "employs", "located in",
@@ -81,9 +97,12 @@ class VocabSpec:
     rel_rows: list[tuple] = field(default_factory=list)
     # concept_id -> merged root id (identity unless alias)
     merge_map: dict[int, int] = field(default_factory=dict)
+    # concept_id -> descriptor tokens (entity-embedding input); defaults to
+    # the concept name's tokens, overridden for the ambiguous pair
+    descriptors: dict[int, list[str]] = field(default_factory=dict)
 
 
-def build_vocab_spec() -> VocabSpec:
+def build_vocab_spec(with_ambiguity: bool = False) -> VocabSpec:
     s = VocabSpec()
     _v, _c, _r = s.vocab_rows, s.concept_rows, s.rel_rows
 
@@ -163,6 +182,34 @@ def build_vocab_spec() -> VocabSpec:
                   code_list="'01','02'")
         s.pred_surfaces.append((syn, [PRED_BASE + t for t in targets]))
 
+    # --- ambiguous entity pair (embedding entity-link scoring) ---------------
+    if with_ambiguity:
+        import zlib
+
+        from i2o_transform_spark.plans.kg import CTX_DIM
+
+        for k in range(2):
+            cid = AMB_BASE + k
+            _c.append((cid, f"C{cid}", "ORG", "Organization", "S", None,
+                       AMB_NAMES[k]))
+            s.merge_map[cid] = cid
+            # one surface, two standard self-mappings -> compile_crosswalk
+            # keeps both (1->many, MSSQL/OMOPLoader.sql:763-764); embedding
+            # scoring picks one per mention
+            vocab_row(AMB_SURFACE, f"\\KG\\ENTITY\\mercury\\{k}\\", 4, False,
+                      True, f"ORG:C{cid}", "Organization")
+            s.descriptors[cid] = AMB_CUES[k]
+        cue_toks = [t for cue in AMB_CUES for t in cue]
+        buckets = {zlib.crc32(t.encode()) % CTX_DIM for t in cue_toks}
+        assert len(buckets) == len(cue_toks), (
+            "cue descriptor tokens collide in the hashing-trick buckets; "
+            "the planted disambiguation margin is broken"
+        )
+
+    # default descriptors: the concept name's tokens
+    for row in _c:
+        s.descriptors.setdefault(row[0], row[6].split(" "))
+
     return s
 
 
@@ -183,14 +230,21 @@ def generate(
     n_pages: int,
     seed: int = SEED,
     n_sites: int = 50,
+    with_ambiguity: bool = False,
 ) -> dict[str, DataFrame]:
     """Build all pipeline input tables + goldens at ``n_pages`` scale.
 
     Returns dict of DataFrames: pages, surface_vocab, concept, concept_rel,
-    modifier_config, golden_triples, pages_internal (with generator choices,
-    for test introspection).
+    modifier_config, entity_embeddings, golden_triples, pages_internal (with
+    generator choices, for test introspection).
+
+    ``with_ambiguity`` plants the AMB_SURFACE lexical ambiguity: AMB_PCT of
+    sentences get the ambiguous subject plus a trailing cue phrase, and the
+    goldens expect the cue-determined entity — solvable only by embedding
+    entity-link scoring (link_and_emit(entity_embeddings=...)), not by the
+    dictionary join alone.
     """
-    spec = build_vocab_spec()
+    spec = build_vocab_spec(with_ambiguity)
     n_ent = len(spec.entity_surfaces)
     n_pred = len(spec.pred_surfaces)
     ent_surf_arr = F.array(*[F.lit(t[0]) for t in spec.entity_surfaces])
@@ -219,6 +273,13 @@ def generate(
         has_amount,
         (F.pmod(_h(pid, six, sd, F.lit("am")), F.lit(900)) + 100).cast("int"),
     )
+    if with_ambiguity:
+        is_amb = F.pmod(_h(pid, six, sd, F.lit("amb")), F.lit(100)) < AMB_PCT
+        amb_cue = F.when(
+            is_amb, F.pmod(_h(pid, six, sd, F.lit("cue")), F.lit(2)).cast("int")
+        ).otherwise(F.lit(-1))
+    else:
+        amb_cue = F.lit(-1)
 
     chosen = sentences.select(
         "page_id",
@@ -228,9 +289,13 @@ def generate(
         obj_i.alias("obj_i"),
         year.alias("year"),
         amount.alias("amount"),
+        amb_cue.alias("amb_cue"),
     )
+    cue_arr = F.array(*[F.lit(" ".join(c)) for c in AMB_CUES])
     sentence_text = F.concat(
-        F.element_at(ent_surf_arr, F.col("subj_i") + 1),
+        F.when(F.col("amb_cue") >= 0, F.lit(AMB_SURFACE)).otherwise(
+            F.element_at(ent_surf_arr, F.col("subj_i") + 1)
+        ),
         F.lit(" "),
         F.element_at(pred_surf_arr, F.col("pred_i") + 1),
         F.lit(" "),
@@ -239,6 +304,10 @@ def generate(
                F.concat(F.lit(" in "), F.col("year").cast("string"))).otherwise(F.lit("")),
         F.when(F.col("amount").isNotNull(),
                F.concat(F.lit(" for "), F.col("amount").cast("string"))).otherwise(F.lit("")),
+        F.when(F.col("amb_cue") >= 0,
+               F.concat(F.lit(" "),
+                        F.element_at(cue_arr, F.col("amb_cue") + 1))
+               ).otherwise(F.lit("")),
         F.lit("."),
     )
     with_sent = chosen.withColumn("sentence", sentence_text)
@@ -250,7 +319,8 @@ def generate(
             ), lambda st: st.sentence)
         ).alias("text"),
         F.collect_list(
-            F.struct("sent_idx", "subj_i", "pred_i", "obj_i", "year", "amount")
+            F.struct("sent_idx", "subj_i", "pred_i", "obj_i", "year", "amount",
+                     "amb_cue")
         ).alias("_choices"),
     )
 
@@ -341,14 +411,26 @@ def generate(
             F.col("c.pred_i").alias("pred_i"),
             F.col("c.obj_i").alias("obj_i"),
             F.col("c.year").alias("year"),
+            F.col("c.amb_cue").alias("amb_cue"),
         )
     )
+    # subject: the cue-determined ambiguous entity when planted, else the
+    # pool mapping (left join + null filter == the old inner join when no
+    # ambiguity exists)
+    subj_map = ent_map.withColumnRenamed("canon", "_subj_mapped")
     golden = (
         exploded.join(
-            F.broadcast(ent_map.withColumnRenamed("canon", "subj_id")),
-            exploded.subj_i == ent_map.idx,
+            F.broadcast(subj_map), exploded.subj_i == subj_map.idx, "left"
         )
         .drop("idx")
+        .withColumn(
+            "subj_id",
+            F.when(
+                F.col("amb_cue") >= 0, F.lit(AMB_BASE) + F.col("amb_cue")
+            ).otherwise(F.col("_subj_mapped")),
+        )
+        .where(F.col("subj_id").isNotNull())
+        .drop("_subj_mapped")
         .join(
             F.broadcast(pred_map.withColumnRenamed("canon", "pred_id")),
             F.col("pred_i") == pred_map.idx,
@@ -363,6 +445,19 @@ def generate(
         .distinct()
     )
 
+    # entity descriptor embeddings (driver-side: the dictionary is vocab-
+    # sized) — same crc32 hashing-trick encoder as the assembly kernels
+    from i2o_transform_spark.operators.entity_link import hashing_trick_embed_py
+    from i2o_transform_spark.plans.kg import CTX_DIM
+
+    entity_embeddings = spark.createDataFrame(
+        [
+            (cid, hashing_trick_embed_py(toks, CTX_DIM))
+            for cid, toks in sorted(spec.descriptors.items())
+        ],
+        "concept_id long, emb array<double>",
+    )
+
     return {
         "pages": pages,
         "pages_internal": pages_internal,
@@ -370,6 +465,7 @@ def generate(
         "concept": concept,
         "concept_rel": concept_rel,
         "modifier_config": modifier_config,
+        "entity_embeddings": entity_embeddings,
         "golden_triples": golden,
         "spec": spec,  # python-side, for unit tests
     }

@@ -92,6 +92,7 @@ def embedding_disambiguate(
     vec_col: str = "emb",
     out_col: str = "entity_id",
     keep_score: bool = False,
+    drop_ctx: bool = True,
 ) -> DataFrame:
     """Resolve each mention row to the argmax-cosine candidate, map-side.
 
@@ -124,12 +125,12 @@ def embedding_disambiguate(
     if keep_score:
         out = out.withColumn("score", F.col("_best.s"))
     # restore the mention frame's column order (join moved the key first)
-    keep = [c for c in mentions.columns if c != ctx_col] + [out_col]
+    keep = [c for c in mentions.columns if drop_ctx is False or c != ctx_col]
+    keep.append(out_col)
     if keep_score:
         keep.append("score")
-    return (
-        out.drop("_best", ctx_col).where(F.col(out_col).isNotNull()).select(*keep)
-    )
+    drop = ["_best"] + ([ctx_col] if drop_ctx else [])
+    return out.drop(*drop).where(F.col(out_col).isNotNull()).select(*keep)
 
 
 def embedding_disambiguate_pandas(
@@ -204,28 +205,70 @@ def embedding_disambiguate_pandas(
     return mentions.mapInPandas(run, out_schema)
 
 
-def hashing_trick_embed(
-    tokens_col: Column, dim: int = 64, seed: int = 7
-) -> Column:
+def hashing_trick_embed(tokens_col: Column, dim: int = 64) -> Column:
     """Deterministic hashing-trick bag-of-words embedding, pure JVM.
 
-    Each token adds +-1 (sign from one hash bit) at ``xxhash64 % dim`` —
-    the classic feature-hashing sketch.  Used as the *deterministic,
-    dependency-free* context/entity encoder for the linking stage: on a real
-    cluster this column is replaced by a model-served vector; everything
-    downstream (scoring, election, plans) is encoder-agnostic.  Stays inside
-    codegen — no UDF.  The numpy twin is
-    :func:`i2o_transform_spark.plans.kg.hashing_trick_embed_np`."""
+    Each token adds +-1 at bucket ``crc32(token) % dim`` (sign from crc bit
+    16) — the classic feature-hashing sketch.  CRC-32 is chosen because the
+    identical algorithm exists on both sides of the engine (JVM ``F.crc32``
+    and Python ``zlib.crc32``), so this column-expression encoder and the
+    vectorized numpy twin :func:`hashing_trick_embed_np` (used inside the
+    fused Arrow assembly kernel) are bit-equal — the fused==modular pipeline
+    equivalence extends to the context embeddings.  On a real cluster the
+    encoder is swapped for a model-served vector; everything downstream
+    (scoring, election, plans) is encoder-agnostic.
+
+    Sums of +-1 are exact in doubles, so the embedding is order-independent
+    and reproducible at any parallelism."""
 
     def _acc(acc, t):
-        hv = F.xxhash64(t, F.lit(seed))
-        idx = F.pmod(hv, F.lit(dim))
-        sign = F.when(F.pmod(F.shiftright(hv, 32), F.lit(2)) == 0, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        )
+        hv = F.crc32(F.encode(t, "utf-8"))
+        idx = F.pmod(hv, F.lit(dim)).cast("int")
+        sign = F.when(
+            F.pmod(F.shiftright(hv, 16), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
         return F.transform(
-            acc, lambda v, i: F.when(i == idx.cast("int"), v + sign).otherwise(v)
+            acc, lambda v, i: F.when(i == idx, v + sign).otherwise(v)
         )
 
     zero = F.array_repeat(F.lit(0.0), dim)
     return F.aggregate(tokens_col, zero, _acc)
+
+
+def hashing_trick_embed_np(
+    flat_tokens: "np.ndarray", row_ids: "np.ndarray", n_rows: int, dim: int = 64
+) -> "np.ndarray":
+    """Vectorized numpy twin of :func:`hashing_trick_embed`.
+
+    ``flat_tokens`` is an object array of str (all rows' tokens exploded),
+    ``row_ids`` the parallel row index.  crc32 runs once per *unique* token
+    (token vocabularies repeat massively in web text), then one
+    ``np.add.at`` scatter builds the whole (n_rows, dim) matrix — no
+    per-row Python."""
+    import zlib
+
+    out = np.zeros((n_rows, dim), dtype=np.float64)
+    if len(flat_tokens) == 0:
+        return out
+    uniq, inv = np.unique(flat_tokens, return_inverse=True)
+    h = np.fromiter(
+        (zlib.crc32(str(t).encode("utf-8")) for t in uniq),
+        np.uint32,
+        len(uniq),
+    ).astype(np.int64)
+    idx = (h % dim)[inv]
+    sign = np.where(((h >> 16) & 1) == 0, 1.0, -1.0)[inv]
+    np.add.at(out, (row_ids, idx), sign)
+    return out
+
+
+def hashing_trick_embed_py(tokens: list[str], dim: int = 64) -> list[float]:
+    """Scalar twin for driver-side dictionary building (datagen entity
+    descriptors) — same buckets/signs as the JVM and numpy encoders."""
+    import zlib
+
+    v = [0.0] * dim
+    for t in tokens:
+        h = zlib.crc32(t.encode("utf-8"))
+        v[h % dim] += 1.0 if ((h >> 16) & 1) == 0 else -1.0
+    return v

@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -71,6 +73,12 @@ _SENT_SPLIT_RE = re.compile(SENT_SPLIT_PATTERN, re.ASCII)
 # and callers must take the salted modular path (detect_mentions with
 # broadcast_vocab=False).  assemble-time check, not advisory (VERDICT r01).
 MAX_BROADCAST_VOCAB = 250_000
+# Default width of the hashing-trick context embedding emitted by the
+# assembly stages (ctx_dim=) for embedding entity-link scoring.  64 keeps
+# the planted cue-token buckets collision-free (datagen asserts it) while
+# the assembled row stays small; a model-served encoder replaces this on a
+# real cluster.
+CTX_DIM = 64
 
 
 def _compile_qualifier_patterns(cfg: list[dict]) -> list[dict]:
@@ -445,7 +453,10 @@ def detect_mentions(
 
 
 def assemble_sentences(
-    sentences: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+    sentences: DataFrame,
+    crosswalk: DataFrame,
+    modifier_config: DataFrame,
+    ctx_dim: int | None = None,
 ) -> DataFrame:
     """Fused narrow-path assembly: mention detection + longest-match-wins +
     subject/predicate/object election + qualifier extraction computed as pure
@@ -552,6 +563,11 @@ def assemble_sentences(
         )
         qual_cols.append(val.cast("int").alias(f"qualifier_{spec['kind']}"))
 
+    ctx_cols = []
+    if ctx_dim:
+        from i2o_transform_spark.operators.entity_link import hashing_trick_embed
+
+        ctx_cols = [hashing_trick_embed(T, ctx_dim).alias("ctx")]
     out = sentences.select(
         "url",
         "warc_ts",
@@ -560,6 +576,7 @@ def assemble_sentences(
         pred.alias("pred"),
         obj.alias("obj"),
         *qual_cols,
+        *ctx_cols,
     )
     return out.where(
         F.col("subj").isNotNull()
@@ -575,6 +592,7 @@ def assemble_sentences(
         F.col("pred.surface").alias("pred_surface"),
         F.col("obj.surface").alias("obj_surface"),
         *[F.col(f"qualifier_{s['kind']}") for s in cfg],
+        *(["ctx"] if ctx_dim else []),
     )
 
 
@@ -610,25 +628,30 @@ def _collect_assembly_vocab(crosswalk: DataFrame, modifier_config: DataFrame):
     return by_len, pred_set, first2, first3, cfg
 
 
-def _assembled_schema(cfg: list[dict]) -> StructType:
-    return StructType(
-        [
-            StructField("url", StringType()),
-            StructField("warc_ts", TimestampType()),
-            StructField("sent_idx", IntegerType()),
-            StructField("subj_surface", StringType()),
-            StructField("pred_surface", StringType()),
-            StructField("obj_surface", StringType()),
-        ]
-        + [StructField(f"qualifier_{s['kind']}", IntegerType()) for s in cfg]
-    )
+def _assembled_schema(cfg: list[dict], ctx_dim: int | None = None) -> StructType:
+    fields = [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("sent_idx", IntegerType()),
+        StructField("subj_surface", StringType()),
+        StructField("pred_surface", StringType()),
+        StructField("obj_surface", StringType()),
+    ] + [StructField(f"qualifier_{s['kind']}", IntegerType()) for s in cfg]
+    if ctx_dim:
+        fields.append(StructField("ctx", ArrayType(DoubleType())))
+    return StructType(fields)
 
 
-def _make_assembler(by_len, pred_set, first2, first3, cfg):
+def _make_assembler(by_len, pred_set, first2, first3, cfg, ctx_dim=None):
     """Build the vectorized per-batch assembly kernel: token arrays ->
-    assembled (subj, pred, obj, qualifiers) rows.  numpy explode +
+    assembled (subj, pred, obj, qualifiers[, ctx]) rows.  numpy explode +
     Series.isin hash probes + drop_duplicates first/last election — no
-    per-row Python anywhere."""
+    per-row Python anywhere.  With ``ctx_dim`` the kernel also emits the
+    sentence's hashing-trick context embedding (crc32 buckets, bit-equal to
+    the JVM encoder ``operators.entity_link.hashing_trick_embed``) for
+    downstream embedding entity-link scoring — computed from the already-
+    exploded token array with one np.add.at scatter, so it is free of any
+    extra pass over the text."""
     import numpy as np
 
     qual_names = [f"qualifier_{s['kind']}" for s in cfg]
@@ -762,13 +785,23 @@ def _make_assembler(by_len, pred_set, first2, first3, cfg):
             res[qn] = pd.to_numeric(
                 res.index.to_series().map(qmin), errors="coerce"
             ).astype("Int32")
+        if ctx_dim:
+            from i2o_transform_spark.operators.entity_link import (
+                hashing_trick_embed_np,
+            )
+
+            ctx = hashing_trick_embed_np(flat, row, nrow, ctx_dim)
+            res["ctx"] = list(ctx[keep.to_numpy()])
         return res.reset_index(drop=True)
 
     return assemble
 
 
 def assemble_sentences_pandas(
-    sentences: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+    sentences: DataFrame,
+    crosswalk: DataFrame,
+    modifier_config: DataFrame,
+    ctx_dim: int | None = None,
 ) -> DataFrame:
     """Arrow-vectorized twin of ``assemble_sentences``: the same per-sentence
     mention/longest-match/election/qualifier logic inside one mapInPandas.
@@ -780,14 +813,14 @@ def assemble_sentences_pandas(
     version; property-tested equal output.
     """
     vocab = _collect_assembly_vocab(crosswalk, modifier_config)
-    out_schema = _assembled_schema(vocab[4])
+    out_schema = _assembled_schema(vocab[4], ctx_dim)
     # ship the vocab once per executor as a Spark broadcast variable, not as
     # task-closure capture: the closure is serialized into EVERY task, the
     # broadcast once per executor and cached (VERDICT r01 What's-wrong #1)
     bc = sentences.sparkSession.sparkContext.broadcast(vocab)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _make_assembler(*bc.value)
+        kernel = _make_assembler(*bc.value, ctx_dim=ctx_dim)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -805,7 +838,10 @@ def assemble_sentences_pandas(
 
 
 def extract_and_assemble(
-    pages: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+    pages: DataFrame,
+    crosswalk: DataFrame,
+    modifier_config: DataFrame,
+    ctx_dim: int | None = None,
 ) -> DataFrame:
     """The whole narrow path — html -> text -> sentences -> assembled triples
     surface rows — in ONE Arrow stage.
@@ -821,13 +857,13 @@ def extract_and_assemble(
     is still checked by the separate extract_text stage in the runner.
     """
     vocab = _collect_assembly_vocab(crosswalk, modifier_config)
-    out_schema = _assembled_schema(vocab[4])
+    out_schema = _assembled_schema(vocab[4], ctx_dim)
     bc = pages.sparkSession.sparkContext.broadcast(vocab)
 
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _make_assembler(*bc.value)
+        kernel = _make_assembler(*bc.value, ctx_dim=ctx_dim)
         for pdf in batches:
             nrow = len(pdf)
             if nrow == 0:
@@ -954,7 +990,11 @@ def assemble_triples(
 
 
 def link_and_emit(
-    assembled: DataFrame, crosswalk: DataFrame, canon_map: DataFrame
+    assembled: DataFrame,
+    crosswalk: DataFrame,
+    canon_map: DataFrame,
+    entity_embeddings: DataFrame | None = None,
+    ctx: DataFrame | None = None,
 ) -> DataFrame:
     """Entity/predicate linking + canonical-id application + dedup + ids.
 
@@ -962,37 +1002,93 @@ def link_and_emit(
     MSSQL/OMOPLoader.sql:763-764), then the CC merge map.  Triple ids are
     content-derived (SURVEY §1.3) — deterministic across retries/cluster
     sizes.  Dedup: one row per (subj, pred, obj, url) — the reference's
-    per-insert DISTINCT (A5)."""
+    per-insert DISTINCT (A5).
+
+    With ``entity_embeddings`` (concept_id, emb) the entity side switches
+    from 1->many fan-out to **embedding entity-link scoring** (north_star):
+    each subject/object surface resolves to the argmax-cosine candidate
+    against the sentence's context embedding — the assembled frame must
+    carry a ``ctx`` column (assembly stages' ``ctx_dim=``), or a separate
+    ``ctx`` frame (url, sent_idx, ctx) is joined.  Disambiguation is
+    map-side (broadcast pre-grouped candidates + aggregate fold,
+    operators.entity_link) — it adds no shuffle; predicates keep the
+    reference's fan-out semantics (a predicate synonym genuinely means
+    several canonical relations)."""
     cw = crosswalk.join(
         canon_map, "concept_id"
     ).select(
         F.col("surface_form"),
+        F.col("concept_id"),
         F.col("canon_id"),
         F.col("canon_domain"),
     ).distinct()
-    subj_cw = F.broadcast(
-        cw.where(F.col("canon_domain") != "Predicate").select(
-            F.col("surface_form").alias("subj_surface"),
-            F.col("canon_id").alias("subj_id"),
-        )
-    )
-    obj_cw = F.broadcast(
-        cw.where(F.col("canon_domain") != "Predicate").select(
-            F.col("surface_form").alias("obj_surface"),
-            F.col("canon_id").alias("obj_id"),
-        )
-    )
     pred_cw = F.broadcast(
         cw.where(F.col("canon_domain") == "Predicate").select(
             F.col("surface_form").alias("pred_surface"),
             F.col("canon_id").alias("pred_id"),
+        ).distinct()
+    )
+    if entity_embeddings is not None:
+        from i2o_transform_spark.operators.entity_link import (
+            embedding_disambiguate,
         )
-    )
-    linked = (
-        assembled.join(subj_cw, "subj_surface")
-        .join(pred_cw, "pred_surface")
-        .join(obj_cw, "obj_surface")
-    )
+
+        if ctx is not None:
+            assembled = assembled.join(ctx, ["url", "sent_idx"])
+        if "ctx" not in assembled.columns:
+            raise ValueError(
+                "embedding linking needs a ctx column: assemble with "
+                "ctx_dim=... or pass a ctx frame (url, sent_idx, ctx)"
+            )
+        # one embedding per (surface, canonical entity); when several source
+        # concepts merged into one canon id, the min-concept_id embedding is
+        # the deterministic representative
+        ent_cand = (
+            cw.where(F.col("canon_domain") != "Predicate")
+            .join(F.broadcast(entity_embeddings), "concept_id")
+            .groupBy("surface_form", "canon_id")
+            .agg(F.min_by("emb", "concept_id").alias("emb"))
+        )
+        linked = embedding_disambiguate(
+            assembled,
+            ent_cand.select(
+                F.col("surface_form").alias("subj_surface"),
+                F.col("canon_id").alias("entity_id"),
+                "emb",
+            ),
+            surface_col="subj_surface",
+            out_col="subj_id",
+            drop_ctx=False,
+        )
+        linked = embedding_disambiguate(
+            linked,
+            ent_cand.select(
+                F.col("surface_form").alias("obj_surface"),
+                F.col("canon_id").alias("entity_id"),
+                "emb",
+            ),
+            surface_col="obj_surface",
+            out_col="obj_id",
+        )
+        linked = linked.join(pred_cw, "pred_surface")
+    else:
+        subj_cw = F.broadcast(
+            cw.where(F.col("canon_domain") != "Predicate").select(
+                F.col("surface_form").alias("subj_surface"),
+                F.col("canon_id").alias("subj_id"),
+            ).distinct()
+        )
+        obj_cw = F.broadcast(
+            cw.where(F.col("canon_domain") != "Predicate").select(
+                F.col("surface_form").alias("obj_surface"),
+                F.col("canon_id").alias("obj_id"),
+            ).distinct()
+        )
+        linked = (
+            assembled.join(subj_cw, "subj_surface")
+            .join(pred_cw, "pred_surface")
+            .join(obj_cw, "obj_surface")
+        )
     # deterministic dedup: keep the earliest sentence occurrence per
     # (s, p, o, url) — dropDuplicates alone would keep arbitrary qualifiers
     # when a page repeats the triple.  min_by over a STRUCT falls back to

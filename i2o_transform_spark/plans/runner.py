@@ -147,13 +147,25 @@ def run_pipeline(
     broadcast_vocab: bool = True,
     fused: bool = True,
     stop_after: str | None = None,
+    disambiguate: bool = False,
 ) -> dict[str, DataFrame]:
     """Full KG pipeline over synthesized pages (tests/bench) — on a cluster
     the pages stage is the Iceberg scan instead.  ``stop_after`` aborts the
-    run after the named stage (kill-and-resume testing)."""
-    params = {"n_pages": n_pages, "seed": seed, "broadcast_vocab": broadcast_vocab}
+    run after the named stage (kill-and-resume testing).
+
+    ``disambiguate`` turns on embedding entity-link scoring: datagen plants
+    the ambiguous surface + cue phrases, assembly emits the sentence context
+    embedding, and link_and_emit resolves entity surfaces by argmax cosine
+    against the entity_embeddings stage instead of 1->many fan-out."""
+    params = {
+        "n_pages": n_pages,
+        "seed": seed,
+        "broadcast_vocab": broadcast_vocab,
+        "disambiguate": disambiguate,
+    }
     r = Runner(spark, out_dir, params)
-    d = generate(spark, n_pages, seed)
+    d = generate(spark, n_pages, seed, with_ambiguity=disambiguate)
+    ctx_dim = kg.CTX_DIM if disambiguate else None
 
     outputs: dict[str, DataFrame] = {}
 
@@ -210,7 +222,8 @@ def run_pipeline(
             assembled = _run(
                 "assembled",
                 lambda: kg.extract_and_assemble(
-                    pages.where(F.col("lang") == "en"), crosswalk, modcfg
+                    pages.where(F.col("lang") == "en"), crosswalk, modcfg,
+                    ctx_dim=ctx_dim,
                 ),
                 upstream=["pages", "crosswalk", "modifier_config"],
                 entity_col="url",
@@ -241,10 +254,44 @@ def run_pipeline(
                 upstream=["mentions", "qualifiers"],
                 entity_col="url",
             )
+        ent_emb = None
+        ctx_frame = None
+        if disambiguate:
+            ent_emb = _run(
+                "entity_embeddings",
+                lambda: d["entity_embeddings"],
+                entity_col="concept_id",
+            )
+            if "ctx" not in assembled.columns:
+                # modular path: the context embedding is its own narrow
+                # stage over the sentence frame (fused assembly emits it
+                # in-line instead)
+                from i2o_transform_spark.operators.entity_link import (
+                    hashing_trick_embed,
+                )
+
+                ctx_frame = _run(
+                    "sentence_ctx",
+                    lambda: kg.split_sentences(
+                        extracted.where(F.col("lang") == "en")
+                    ).select(
+                        "url",
+                        "sent_idx",
+                        hashing_trick_embed(F.col("tokens"), kg.CTX_DIM).alias(
+                            "ctx"
+                        ),
+                    ),
+                    upstream=["extracted"],
+                    entity_col="url",
+                )
         triples = _run(
             "triples",
-            lambda: kg.link_and_emit(assembled, crosswalk, canon_map),
-            upstream=["assembled", "crosswalk", "canon_map"],
+            lambda: kg.link_and_emit(
+                assembled, crosswalk, canon_map,
+                entity_embeddings=ent_emb, ctx=ctx_frame,
+            ),
+            upstream=["assembled", "crosswalk", "canon_map"]
+            + (["entity_embeddings"] if disambiguate else []),
             entity_col="subj_id",
             partition_by=["pred_id"],
         )
@@ -273,6 +320,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-broadcast-vocab", action="store_true")
+    ap.add_argument("--disambiguate", action="store_true",
+                    help="embedding entity-link scoring over planted ambiguity")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -285,6 +334,7 @@ def main() -> None:
         n_pages=args.n_pages,
         seed=args.seed,
         broadcast_vocab=not args.no_broadcast_vocab,
+        disambiguate=args.disambiguate,
     )
     r: Runner = outs["_runner"]  # type: ignore[assignment]
     n_triples = outs["triples"].count()

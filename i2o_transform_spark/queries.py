@@ -2930,3 +2930,61 @@ def el_embedding_link_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linked.groupBy("surface", "entity_id").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "el_kg_disambig_check",
+    oracle="""
+    SELECT CAST(1 AS INT) AS amb_exact,
+           CAST(1 AS INT) AS pr_exact,
+           CAST(1 AS INT) AS has_amb
+    """,
+)
+def el_kg_disambig_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-pipeline embedding entity-link scoring gate: with planted lexical
+    ambiguity (datagen AMB_SURFACE + cue phrases), the fused pipeline with
+    link_and_emit(entity_embeddings=...) must recover the cue-determined
+    entity for EVERY ambiguous mention and keep overall triples == goldens
+    exactly — the dictionary join alone would fan each ambiguous mention
+    out to both entities and fail this."""
+    from i2o_transform_spark.datagen import AMB_BASE, generate
+    from i2o_transform_spark.plans.kg import (
+        CTX_DIM,
+        canonicalize_concepts,
+        compile_crosswalk,
+        extract_and_assemble,
+        link_and_emit,
+    )
+
+    d = generate(spark, 1000, with_ambiguity=True)
+    cw = compile_crosswalk(d["surface_vocab"], d["concept"], d["concept_rel"])
+    cm = canonicalize_concepts(cw)
+    asm = extract_and_assemble(
+        d["pages"].where(F.col("lang") == "en"), cw, d["modifier_config"],
+        ctx_dim=CTX_DIM,
+    )
+    emitted = (
+        link_and_emit(asm, cw, cm, entity_embeddings=d["entity_embeddings"])
+        .select("subj_id", "pred_id", "obj_id")
+        .distinct()
+        .persist()
+    )
+    golden = d["golden_triples"].select(
+        "subj_id", "pred_id", "obj_id"
+    ).distinct().persist()
+    tp = emitted.join(golden, ["subj_id", "pred_id", "obj_id"]).count()
+    n_e, n_g = emitted.count(), golden.count()
+    amb_e = emitted.where(F.col("subj_id") >= AMB_BASE)
+    amb_g = golden.where(F.col("subj_id") >= AMB_BASE)
+    amb_tp = amb_e.join(amb_g, ["subj_id", "pred_id", "obj_id"]).count()
+    n_ae, n_ag = amb_e.count(), amb_g.count()
+    emitted.unpersist()
+    golden.unpersist()
+    return spark.createDataFrame(
+        [(
+            int(n_ae == n_ag == amb_tp and n_ag > 0),
+            int(n_e == n_g == tp),
+            int(n_ag > 0),
+        )],
+        "amb_exact int, pr_exact int, has_amb int",
+    )

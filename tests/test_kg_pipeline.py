@@ -346,3 +346,130 @@ def test_fused_equals_modular_with_10x_vocab(spark, data):
     c = {tuple(r) for r in fused_pd.select(cols).collect()}
     sents.unpersist()
     assert a == c and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Embedding entity-link scoring (planted ambiguity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def amb_data(spark):
+    return generate(spark, N_PAGES, with_ambiguity=True)
+
+
+def _amb_cw(data):
+    return kg.compile_crosswalk(
+        data["surface_vocab"], data["concept"], data["concept_rel"]
+    )
+
+
+def test_embedding_link_recovers_planted_truth(spark, amb_data):
+    """The cue-determined entity is recovered for EVERY ambiguous mention
+    (planted margin 3 vs single-token hash noise), and overall P/R vs the
+    goldens stays exact — the dictionary join alone cannot do this (it
+    would fan every ambiguous mention out to both entities)."""
+    from i2o_transform_spark.datagen import AMB_BASE
+
+    cw = _amb_cw(amb_data)
+    canon = kg.canonicalize_concepts(cw)
+    assembled = kg.extract_and_assemble(
+        amb_data["pages"].where(F.col("lang") == "en"),
+        cw,
+        amb_data["modifier_config"],
+        ctx_dim=kg.CTX_DIM,
+    )
+    triples = kg.link_and_emit(
+        assembled, cw, canon, entity_embeddings=amb_data["entity_embeddings"]
+    )
+    got = triples.select("subj_id", "pred_id", "obj_id").distinct()
+    gold = amb_data["golden_triples"].select(
+        "subj_id", "pred_id", "obj_id"
+    ).distinct()
+    n_got, n_gold = got.count(), gold.count()
+    inter = got.join(gold, ["subj_id", "pred_id", "obj_id"]).count()
+    assert n_gold > 0 and n_got == n_gold == inter, (n_got, n_gold, inter)
+    # the ambiguous subset is non-trivial and exactly right
+    amb_gold = {tuple(r) for r in gold.where(F.col("subj_id") >= AMB_BASE).collect()}
+    amb_got = {tuple(r) for r in got.where(F.col("subj_id") >= AMB_BASE).collect()}
+    assert len(amb_gold) > 10
+    assert amb_got == amb_gold
+
+
+def test_ctx_embedding_bitequal_across_paths(spark, amb_data):
+    """The crc32 hashing-trick context embedding is bit-equal between the
+    JVM column-expression encoder (expression assembly) and the numpy
+    scatter in the Arrow kernel (pandas + fully-fused assembly)."""
+    cw = _amb_cw(amb_data)
+    sents = kg.split_sentences(
+        kg.extract_text(amb_data["pages"]).where(F.col("lang") == "en")
+    ).persist()
+    cols = ["url", "sent_idx", "subj_surface", "pred_surface", "obj_surface"]
+
+    def key(df):
+        return {
+            tuple(r[c] for c in cols) + (tuple(r["ctx"]),)
+            for r in df.select(*cols, "ctx").collect()
+        }
+
+    expr = key(kg.assemble_sentences(
+        sents, cw, amb_data["modifier_config"], ctx_dim=kg.CTX_DIM))
+    pand = key(kg.assemble_sentences_pandas(
+        sents, cw, amb_data["modifier_config"], ctx_dim=kg.CTX_DIM))
+    fused = key(kg.extract_and_assemble(
+        amb_data["pages"].where(F.col("lang") == "en"),
+        cw, amb_data["modifier_config"], ctx_dim=kg.CTX_DIM))
+    sents.unpersist()
+    assert len(expr) > 0
+    assert expr == pand == fused
+
+
+def test_disambiguation_modular_equals_fused(spark, amb_data):
+    """link_and_emit with an in-line ctx column (fused assembly) and with a
+    separately-joined ctx frame (modular assembly) emit identical triples."""
+    cw = _amb_cw(amb_data)
+    canon = kg.canonicalize_concepts(cw)
+    ee = amb_data["entity_embeddings"]
+    pages_en = amb_data["pages"].where(F.col("lang") == "en")
+    fused_t = kg.link_and_emit(
+        kg.extract_and_assemble(
+            pages_en, cw, amb_data["modifier_config"], ctx_dim=kg.CTX_DIM
+        ),
+        cw, canon, entity_embeddings=ee,
+    )
+    from i2o_transform_spark.operators.entity_link import hashing_trick_embed
+
+    sents = kg.split_sentences(kg.extract_text(pages_en)).persist()
+    modular_assembled = kg.assemble_triples(
+        kg.detect_mentions(sents, cw),
+        kg.extract_qualifiers(sents, amb_data["modifier_config"]),
+        qualifier_kinds=("year", "amount"),
+    )
+    ctx_frame = sents.select(
+        "url", "sent_idx",
+        hashing_trick_embed(F.col("tokens"), kg.CTX_DIM).alias("ctx"),
+    )
+    modular_t = kg.link_and_emit(
+        modular_assembled, cw, canon, entity_embeddings=ee, ctx=ctx_frame
+    )
+    cols = ["subj_id", "pred_id", "obj_id", "url",
+            "qualifier_year", "qualifier_amount"]
+    a = {tuple(r) for r in fused_t.select(cols).collect()}
+    b = {tuple(r) for r in modular_t.select(cols).collect()}
+    sents.unpersist()
+    assert len(a) > 0 and a == b
+
+
+def test_runner_disambiguate_end_to_end(spark, tmp_path):
+    """The stage DAG with disambiguate=True: entity_embeddings stage
+    persisted, triples match the ambiguity goldens, lineage intact."""
+    outs = run_pipeline(spark, str(tmp_path / "amb"), n_pages=200,
+                        disambiguate=True)
+    got = _emitted(outs)
+    gold = generate(spark, 200, with_ambiguity=True)["golden_triples"].select(
+        "subj_id", "pred_id", "obj_id"
+    ).distinct()
+    inter = got.join(gold, ["subj_id", "pred_id", "obj_id"]).count()
+    n_got, n_gold = got.count(), gold.count()
+    assert inter / n_got >= 0.99 and inter / n_gold >= 0.99
+    assert "entity_embeddings" in outs

@@ -2988,3 +2988,109 @@ def el_kg_disambig_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "amb_exact int, pr_exact int, has_amb int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the materialized KG (degrees, PageRank hubs)
+# ---------------------------------------------------------------------------
+
+def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (subj -> obj) co-mention edges from the trigram extraction —
+    the materialized edge table a KG consumer queries."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).where(F.size("w") >= 3)
+    tri = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.struct(
+                    F.col("w")[i].alias("subj"), F.col("w")[i + 2].alias("obj")
+                ),
+            )
+        ).alias("t")
+    ).select("t.subj", "t.obj")
+    return (
+        tri.where(F.col("subj").isin(*KG_SUBJ) & F.col("obj").isin(*KG_OBJ))
+        .select("subj", "obj")
+        .distinct()
+    )
+
+
+_KG_EDGE_SQL = r"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), tri AS (
+      SELECT w[i] AS subj, w[i+2] AS obj
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks
+            WHERE len(w) >= 3) x
+    ), e AS (
+      SELECT DISTINCT subj, obj FROM tri
+      WHERE subj IN ('spark','customer','table','row','data','window')
+        AND obj  IN ('key','column','value','batch','stream','vector')
+    )
+"""
+
+
+@query(
+    "kg_graph_degrees",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, h AS (
+      SELECT subj AS node, 1 AS o, 0 AS i FROM e
+      UNION ALL
+      SELECT obj AS node, 0 AS o, 1 AS i FROM e
+    )
+    SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg,
+           CAST(SUM(i) AS BIGINT) AS in_deg
+    FROM h GROUP BY node
+    """,
+)
+def kg_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the materialized KG edge table: single hash agg
+    over a map-side union — no join, one shuffle."""
+    from i2o_transform_spark.operators.graph import degrees
+
+    return degrees(_kg_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+@query(
+    "kg_pagerank_check",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(1 AS INT) AS sum_is_one
+    FROM (SELECT subj AS node FROM e UNION SELECT obj FROM e) t
+    """,
+)
+def kg_pagerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank invariant gate (companion to kg_pagerank_hubs): the
+    dangling-corrected power iteration conserves probability mass exactly —
+    sum(rank) == 1 at 1e-6 — and covers every node.  Exact rank values are
+    pytest-gated against a dense numpy reference
+    (tests/test_operators.py::test_degrees_and_pagerank_vs_numpy)."""
+    from i2o_transform_spark.operators.graph import pagerank
+
+    pr = pagerank(_kg_edges(spark, sf_dir), iterations=10,
+                  src="subj", dst="obj")
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-6).cast("int").alias("sum_is_one"),
+    )
+
+
+@query("kg_pagerank_hubs")  # rows-only: oracled companion kg_pagerank_check
+def kg_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top hub entities by PageRank over the KG edge table (rank quantized
+    to 1e-8 so the output is float-order independent)."""
+    from i2o_transform_spark.operators.graph import pagerank
+
+    pr = pagerank(_kg_edges(spark, sf_dir), iterations=10,
+                  src="subj", dst="obj")
+    return (
+        pr.select(
+            "node", F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8")
+        )
+        .orderBy(F.col("rank_e8").desc(), "node")
+        .limit(10)
+    )

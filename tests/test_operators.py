@@ -448,3 +448,34 @@ def test_embedding_disambiguate_random_equivalence(spark):
     }
     assert len(a) == 200
     assert a == b
+
+
+def test_degrees_and_pagerank_vs_numpy(spark):
+    """pagerank (fixed-iteration, dangling-corrected) matches a dense numpy
+    power iteration to 1e-9, ranks sum to 1, degrees exact."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.graph import degrees, pagerank
+
+    # small digraph incl. a dangling node (3) and a 2-cycle
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0), (4, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    deg = {r.node: (r.out_deg, r.in_deg) for r in degrees(edges).collect()}
+    assert deg[0] == (2, 2) and deg[3] == (0, 2) and deg[4] == (2, 0)
+
+    K, d, n = 12, 0.85, 5
+    got = {r.node: r.rank for r in pagerank(edges, iterations=K, damping=d).collect()}
+    A = np.zeros((n, n))
+    for s, t in edge_list:
+        A[t, s] = 1.0
+    out = A.sum(axis=0)
+    P = np.zeros((n, n))
+    np.divide(A, out, out=P, where=out > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(K):
+        dang = r[out == 0].sum()
+        r = (1 - d) / n + d * (P @ r + dang / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])

@@ -101,16 +101,30 @@ def embedding_disambiguate(
     Returns the mention frame + ``out_col`` (and ``score`` when asked);
     mentions whose surface has no candidate are dropped (inner join, the
     reference's dictionary-join semantics)."""
-    grouped = group_candidates(candidates, surface_col, entity_col, vec_col)
-    joined = mentions.join(F.broadcast(grouped), surface_col)
-    ctxn = _norm(F.col(ctx_col))
+    # L2-normalize candidates on the dictionary side (tiny, computed once)
+    # so the per-mention fold never recomputes candidate norms
+    cand_n = candidates.select(
+        surface_col,
+        entity_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / _norm(F.col(vec_col)),
+        ).alias(vec_col),
+    )
+    grouped = group_candidates(cand_n, surface_col, entity_col, vec_col)
+    # hoist the mention-side norm out of the candidate fold: Catalyst does
+    # not CSE across lambda bodies, so inlining it would recompute a
+    # dim-length aggregate once per candidate
+    joined = mentions.join(F.broadcast(grouped), surface_col).withColumn(
+        "_ctxn", _norm(F.col(ctx_col))
+    )
     # score every candidate once, then fold for the argmax; strict > keeps
     # the first (lowest-id, array is id-sorted) candidate on exact ties
     scored = F.transform(
         F.col("_cands"),
         lambda c: F.struct(
             c["e"].cast("long").alias("e"),
-            (_dot(c["v"], F.col(ctx_col)) / (_norm(c["v"]) * ctxn)).alias("s"),
+            (_dot(c["v"], F.col(ctx_col)) / F.col("_ctxn")).alias("s"),
         ),
     )
     init = F.struct(
@@ -129,7 +143,7 @@ def embedding_disambiguate(
     keep.append(out_col)
     if keep_score:
         keep.append("score")
-    drop = ["_best"] + ([ctx_col] if drop_ctx else [])
+    drop = ["_best", "_ctxn"] + ([ctx_col] if drop_ctx else [])
     return out.drop(*drop).where(F.col(out_col).isNotNull()).select(*keep)
 
 

@@ -58,3 +58,44 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return path
+
+
+def write_table_catalog(
+    df: DataFrame,
+    table_ident: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Catalog (Iceberg) sink for cluster runs — the DataSourceV2 twin of
+    :func:`write_table`.
+
+    ``table_ident`` is a catalog-qualified name (``cat.db.table``) whose
+    catalog must be configured on the session (e.g.
+    ``spark.sql.catalog.cat=org.apache.iceberg.spark.SparkCatalog``).
+    First write creates the partitioned table (``createOrReplace``);
+    subsequent writes use dynamic ``overwritePartitions`` — Iceberg's
+    snapshot-isolated atomic replace, which is exactly the reference's
+    OMOPclear truncate+reload contract (MSSQL/OMOPLoader.sql:1870-1890) but
+    per-partition and transactional.  The local parquet path of
+    :func:`write_table` remains the default everywhere in this sandbox (no
+    Iceberg runtime jars here); the runner's checkpoint fingerprints are
+    sink-agnostic."""
+    from pyspark.sql.utils import AnalysisException
+
+    spark = df.sparkSession
+    writer = df.writeTo(table_ident)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    try:
+        if spark.catalog.tableExists(table_ident):
+            df.writeTo(table_ident).overwritePartitions()
+        else:
+            writer.createOrReplace()
+    except AnalysisException as e:  # no such catalog / no Iceberg runtime
+        raise RuntimeError(
+            f"catalog sink unavailable for {table_ident!r} — configure an "
+            "Iceberg catalog (spark.sql.catalog.<name>=...) or use "
+            "write_table() for the parquet path"
+        ) from e
+    return table_ident

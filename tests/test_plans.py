@@ -148,3 +148,17 @@ def test_no_cartesian_in_scale_paths(spark):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_catalog_sink_raises_clean_error_without_iceberg(spark):
+    """write_table_catalog must fail with actionable guidance (not a raw
+    AnalysisException) when no Iceberg catalog is configured — the sandbox
+    has no Iceberg runtime, so only the error contract is testable here."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.sources.tables import write_table_catalog
+
+    df = spark.range(3).withColumn("p", F.lit("a"))
+    with _pytest.raises(RuntimeError, match="catalog sink unavailable"):
+        write_table_catalog(df, "no_such_catalog.db.t", partition_by=["p"])

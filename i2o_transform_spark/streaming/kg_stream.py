@@ -27,16 +27,21 @@ from pyspark.sql import functions as F
 
 
 def stream_assembled(
-    pages_stream: DataFrame, crosswalk: DataFrame, modifier_config: DataFrame
+    pages_stream: DataFrame,
+    crosswalk: DataFrame,
+    modifier_config: DataFrame,
+    ctx_dim: int | None = None,
 ) -> DataFrame:
     """The fused html -> assembled-surface-rows stage on a streaming pages
     DataFrame.  Stateless (no watermark, no aggregation) -> append mode;
     the plan is the same single MapInPandas as the batch path, so
-    stream == batch row-for-row (tests/test_streaming.py)."""
+    stream == batch row-for-row (tests/test_streaming.py).  ``ctx_dim``
+    emits the context embedding for in-stream entity disambiguation."""
     from i2o_transform_spark.plans.kg import extract_and_assemble
 
     return extract_and_assemble(
-        pages_stream.where(F.col("lang") == "en"), crosswalk, modifier_config
+        pages_stream.where(F.col("lang") == "en"), crosswalk, modifier_config,
+        ctx_dim=ctx_dim,
     )
 
 
@@ -47,6 +52,7 @@ def stream_triples_to_sink(
     modifier_config: DataFrame,
     sink_dir: str,
     checkpoint_dir: str,
+    entity_embeddings: DataFrame | None = None,
 ):
     """End-to-end streaming triples: fused extraction in the stream plan,
     link + dedup + cross-batch anti-join + parquet append per micro-batch.
@@ -58,11 +64,18 @@ def stream_triples_to_sink(
     """
     from i2o_transform_spark.plans.kg import link_and_emit
 
-    assembled = stream_assembled(pages_stream, crosswalk, modifier_config)
+    from i2o_transform_spark.plans.kg import CTX_DIM
+
+    assembled = stream_assembled(
+        pages_stream, crosswalk, modifier_config,
+        ctx_dim=CTX_DIM if entity_embeddings is not None else None,
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        triples = link_and_emit(batch_df, crosswalk, canon_map)
+        triples = link_and_emit(
+            batch_df, crosswalk, canon_map, entity_embeddings=entity_embeddings
+        )
         if os.path.exists(os.path.join(sink_dir, "_SUCCESS")):
             seen = spark.read.parquet(sink_dir).select("triple_id")
             triples = triples.join(seen, "triple_id", "left_anti")

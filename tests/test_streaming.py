@@ -249,3 +249,55 @@ def test_stateful_timeout_evicts_state():
     out2 = list(update((7,), iter([]), st2))
     assert st2.removed and out2 == []
     assert st2.updated is None and st2.timeout_set is None
+
+
+def test_kg_stream_disambiguation_equals_batch(spark, tmp_path):
+    """In-stream embedding entity-link scoring: the streaming pipeline with
+    entity_embeddings resolves the planted ambiguity per micro-batch and the
+    sink equals the one-shot disambiguating batch pipeline row-for-row."""
+    from i2o_transform_spark.datagen import AMB_BASE, generate
+    from i2o_transform_spark.plans import kg
+    from i2o_transform_spark.streaming.kg_stream import stream_triples_to_sink
+
+    d = generate(spark, 1000, with_ambiguity=True)
+    pages_dir = str(tmp_path / "pages")
+    d["pages"].repartition(3).write.parquet(pages_dir)
+    batch_pages = spark.read.parquet(pages_dir)
+    cw = kg.compile_crosswalk(
+        d["surface_vocab"], d["concept"], d["concept_rel"]
+    ).persist()
+    cm = kg.canonicalize_concepts(cw).persist()
+    ee = d["entity_embeddings"].persist()
+
+    expected = kg.link_and_emit(
+        kg.extract_and_assemble(
+            batch_pages.where(F.col("lang") == "en"), cw, d["modifier_config"],
+            ctx_dim=kg.CTX_DIM,
+        ),
+        cw, cm, entity_embeddings=ee,
+    )
+
+    stream = (
+        spark.readStream.schema(batch_pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    sink = str(tmp_path / "triples")
+    q = stream_triples_to_sink(
+        stream, cw, cm, d["modifier_config"], sink, str(tmp_path / "ckpt"),
+        entity_embeddings=ee,
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(sink)
+
+    cols = sorted(expected.columns)
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.select(*cols).collect()),
+            key=lambda t: t[cols.index("triple_id")],
+        )
+
+    assert rows(got) == rows(expected)
+    # ambiguous subjects present and uniquely resolved
+    assert got.where(F.col("subj_id") >= AMB_BASE).count() > 0

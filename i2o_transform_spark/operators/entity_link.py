@@ -26,9 +26,11 @@ Two physical strategies, property-tested equal (tests/test_operators.py):
   only.
 
 At 10^12 mentions the dictionary side stays broadcast-sized (it is
-vocabulary, not data); if it ever is not, the same argmax runs after the
-salted repartition join in ``operators.joins.salted_join`` — the election
-fold is unchanged.
+vocabulary, not data); when it is not,
+:func:`embedding_disambiguate_salted` runs the same election after a
+skew-resistant salted repartition join — two map-side-combining hash
+aggregations, no sort/window, same lowest-id tie-break (equivalence
+tested against the broadcast fold).
 """
 
 from __future__ import annotations
@@ -286,3 +288,64 @@ def hashing_trick_embed_py(tokens: list[str], dim: int = 64) -> list[float]:
         h = zlib.crc32(t.encode("utf-8"))
         v[h % dim] += 1.0 if ((h >> 16) & 1) == 0 else -1.0
     return v
+
+
+def embedding_disambiguate_salted(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    mention_key_cols: list[str],
+    surface_col: str = "surface",
+    ctx_col: str = "ctx",
+    entity_col: str = "entity_id",
+    vec_col: str = "emb",
+    out_col: str = "entity_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Big-vocabulary fallback: salted repartition join + hash-agg argmax.
+
+    When the candidate dictionary outgrows the broadcast contract the
+    mention-side join must shuffle — and hot surface forms (the reference's
+    "7k codes -> millions of rows" skew, MSSQL/OMOPLoader.sql:858) would
+    hot-spot a plain repartition join, so the candidate side is salted
+    (operators.joins.salted_join).  The election then runs as two
+    map-side-combining hash aggregations on the mention key — max score,
+    then min entity id among the max-scored (deterministic tie-break,
+    identical to the broadcast fold's lowest-id rule).  No sort, no window,
+    no struct aggregation buffer.
+
+    ``mention_key_cols`` must uniquely key a mention row (e.g.
+    [url, sent_idx, slot]); all other mention columns are carried via
+    first() (constant within a key)."""
+    from i2o_transform_spark.operators.joins import salted_join
+
+    m = mentions.withColumn("_ctxn", _norm(F.col(ctx_col)))
+    c = candidates.select(
+        F.col(surface_col),
+        F.col(entity_col).alias("_cand_e"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+        ).alias("_cand_v"),
+    )
+    scored = salted_join(m, c, surface_col, salt_buckets=salt_buckets).select(
+        *mentions.columns,
+        F.col("_cand_e"),
+        (_dot(F.col("_cand_v"), F.col(ctx_col)) / F.col("_ctxn")).alias("_s"),
+    )
+    carry = [
+        c2 for c2 in mentions.columns
+        if c2 not in mention_key_cols and c2 != ctx_col
+    ]
+    best = scored.groupBy(*mention_key_cols).agg(
+        F.max("_s").alias("_smax"),
+        *[F.first(c2).alias(c2) for c2 in carry],
+    )
+    elected = (
+        scored.select(*mention_key_cols, "_cand_e", "_s")
+        .join(best.select(*mention_key_cols, "_smax"), mention_key_cols)
+        .where(F.col("_s") == F.col("_smax"))
+        .groupBy(*mention_key_cols)
+        .agg(F.min("_cand_e").cast("long").alias(out_col))
+    )
+    return elected.join(best.drop("_smax"), mention_key_cols).select(
+        *[c2 for c2 in mentions.columns if c2 != ctx_col], out_col
+    )

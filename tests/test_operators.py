@@ -479,3 +479,56 @@ def test_degrees_and_pagerank_vs_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_embedding_disambiguate_salted_equals_broadcast(spark):
+    """The big-vocab salted path (salted join + two hash-agg argmax) elects
+    exactly the entities the broadcast fold elects, incl. ties -> lowest id,
+    and carries the non-key mention columns through."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.entity_link import (
+        embedding_disambiguate,
+        embedding_disambiguate_salted,
+    )
+
+    rng = np.random.default_rng(5)
+    surfaces = [f"s{i}" for i in range(6)]
+    cands = spark.createDataFrame(
+        [
+            (s, 50 * i + j, rng.standard_normal(8).astype(np.float64).tolist())
+            for i, s in enumerate(surfaces)
+            for j in range(3)
+        ],
+        "surface string, entity_id long, emb array<double>",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (k, f"u{k % 7}", surfaces[k % 6],
+             rng.standard_normal(8).astype(np.float64).tolist())
+            for k in range(120)
+        ],
+        "mid long, extra string, surface string, ctx array<double>",
+    )
+    a = {
+        (r.mid, r.extra): r.entity_id
+        for r in embedding_disambiguate(mentions, cands).collect()
+    }
+    b = {
+        (r.mid, r.extra): r.entity_id
+        for r in embedding_disambiguate_salted(
+            mentions, cands, mention_key_cols=["mid"], salt_buckets=4
+        ).collect()
+    }
+    assert len(a) == 120 and a == b
+
+    # exact tie -> lowest id on the salted path too
+    m2 = spark.createDataFrame(
+        [(1, "t", [1.0, 0.0])], "mid long, surface string, ctx array<double>"
+    )
+    c2 = spark.createDataFrame(
+        [("t", 9, [2.0, 0.0]), ("t", 4, [1.0, 0.0])],
+        "surface string, entity_id long, emb array<double>",
+    )
+    got = embedding_disambiguate_salted(m2, c2, mention_key_cols=["mid"]).collect()
+    assert got[0].entity_id == 4

@@ -18,7 +18,7 @@ walk.  Spark-first mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,6 +113,97 @@ def two_hop_maps_to(
         )
         .drop("concept_id_1", "concept_id_2", "concept_code")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+    tolerance: str | None = None,
+    allow_exact_matches: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for every left row, the single latest right row of the
+    same ``on`` key with ``right_ts <= left_ts`` (``<`` when
+    ``allow_exact_matches=False``), pandas ``merge_asof`` backward semantics
+    as a left join (unmatched left rows keep NULLs).
+
+    The reference's closest construct is the era-builder's
+    "latest fact at or before the period end" subquery pattern
+    (MSSQL/OMOPLoader.sql:957-958, 1546); web-pipeline uses: latest crawl
+    snapshot per url as of T, last user action before an error event.
+
+    Spark-first plan — NOT a range join: a range/theta join fans out
+    O(|left| x matches) rows before picking one winner.  Instead both sides
+    are unioned and sorted once per key (ONE shuffle, the window exchange)
+    and the match is a running ``last(payload, ignorenulls)`` forward fill:
+
+      union(right{key, ts, side=a, payload}, left{key, ts, side=b, ...})
+        -> window(partitionBy key, orderBy ts, side, tie) last(payload)
+        -> keep left rows
+
+    Side ordering encodes the boundary rule: with exact matches allowed the
+    right row sorts BEFORE an equal-ts left row (eligible), with strict
+    inequality AFTER (excluded by the rows-up-to-current frame).  Equal-ts
+    right rows are tie-broken by ``tie_col`` ascending + last(), i.e. the
+    max ``tie_col`` wins — deterministic across retries and partitionings.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"INTERVAL 6 HOUR"``) bounds
+    the lookback: a match older than ``left_ts - tolerance`` becomes NULL.
+    Applied post-fill — correct because the fill already selected the
+    *newest* eligible match; if that one is out of window, all others are
+    older and out of window too.
+
+    At 100 TB: one shuffle on ``on`` — co-partition both inputs on the key
+    (bucketed tables) and the exchange disappears.  A pathologically hot key
+    serializes its window sort; pre-split such keys by a coarse time bucket
+    (run per-bucket as-of, then one cross-bucket repair pass) — same
+    technique as the salted equi-join above, documented rather than implicit.
+    """
+    payload_fields = [F.col(right_ts).alias("_rts")] + [
+        F.col(c) for c in right_cols
+    ]
+    side_right = 0 if allow_exact_matches else 1
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(side_right).alias("_side"),
+        (F.col(tie_col) if tie_col else F.lit(0)).cast("long").alias("_tie"),
+        F.struct(*payload_fields).alias("_p"),
+    )
+    l = left.select(  # noqa: E741
+        "*",
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1 - side_right).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        r.unionByName(l, allowMissingColumns=True)
+        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .where(F.col("_side") == (1 - side_right))
+    )
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "_m",
+            F.when(
+                F.col("_m._rts") >= F.col("_t") - F.expr(tolerance), F.col("_m")
+            ),
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_m._rts").alias(f"{prefix}{right_ts}"))
+    out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return filled.select(*out_cols)
 
 
 def decorrelated_scalar_agg(

@@ -3094,3 +3094,72 @@ def kg_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_e8").desc(), "node")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 extension — as-of join (temporal point lookup, merge_asof semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j14_asof_join",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    src AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type <> 'error'
+    ),
+    m AS (
+      SELECT err.event_id AS event_id,
+             s.ts AS asof_ts,
+             s.event_id AS asof_event_id,
+             s.event_type AS asof_event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY err.event_id
+               ORDER BY s.ts DESC, s.event_id DESC
+             ) AS rn
+      FROM err JOIN src s
+        ON s.user_id = err.user_id
+       AND s.ts <= err.ts
+       AND s.ts >= err.ts - INTERVAL 6 HOUR
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           strftime(m.asof_ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           m.asof_event_id, m.asof_event_type
+    FROM err e
+    LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = e.event_id
+    """,
+)
+def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7's temporal sibling, `operators/joins.asof_join`): for
+    every 'error' event, the latest non-error action of the same user at or
+    before it, within a 6-hour lookback — "what was the user doing when it
+    broke".  Reference analogue: the era-builder's latest-fact-at-or-before
+    lookups (MSSQL/OMOPLoader.sql:957-958).  The oracle is the naive
+    range-join + ROW_NUMBER form; the Spark plan is the union + single
+    window forward-fill (one shuffle, no candidate fan-out)."""
+    from i2o_transform_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    err = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    src = events.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    joined = asof_join(
+        err,
+        src,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "event_type"],
+        tie_col="event_id",
+        tolerance="INTERVAL 6 HOUR",
+    )
+    # nullable timestamps break the driver comparator's normalizer (NaT on
+    # the pandas side) — emit the matched ts as a fixed-width string instead
+    return joined.withColumn(
+        "asof_ts", F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )

@@ -532,3 +532,91 @@ def test_embedding_disambiguate_salted_equals_broadcast(spark):
     )
     got = embedding_disambiguate_salted(m2, c2, mention_key_cols=["mid"]).collect()
     assert got[0].entity_id == 4
+
+
+def test_asof_join_golden(spark):
+    """Hand-built golden for asof_join: ties at equal ts, exact-match
+    boundary (inclusive vs strict), tolerance cutoff, unmatched key."""
+    from i2o_transform_spark.operators.joins import asof_join
+
+    T = datetime.datetime
+    quotes = spark.createDataFrame(
+        [
+            # key u1: two quotes at the SAME ts (tie -> max qid wins), one later
+            ("u1", T(2024, 1, 1, 10, 0, 0), 1, "a"),
+            ("u1", T(2024, 1, 1, 10, 0, 0), 2, "b"),
+            ("u1", T(2024, 1, 1, 12, 0, 0), 3, "c"),
+            # key u2: a single old quote (outside 1h tolerance of the trade)
+            ("u2", T(2024, 1, 1, 0, 0, 0), 4, "d"),
+        ],
+        "k string, ts timestamp, qid long, tag string",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("u1", T(2024, 1, 1, 10, 0, 0), 100),  # exactly at the tie pair
+            ("u1", T(2024, 1, 1, 11, 59, 59), 101),
+            ("u1", T(2024, 1, 1, 12, 30, 0), 102),
+            ("u2", T(2024, 1, 1, 9, 0, 0), 103),  # only match is 9h old
+            ("u3", T(2024, 1, 1, 9, 0, 0), 104),  # key absent from quotes
+        ],
+        "k string, ts timestamp, tid long",
+    )
+
+    out = {
+        r["tid"]: (r["asof_qid"], r["asof_tag"])
+        for r in asof_join(
+            trades, quotes, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["qid", "tag"], tie_col="qid",
+        ).collect()
+    }
+    assert out == {
+        100: (2, "b"),   # inclusive boundary, tie broken to max qid
+        101: (2, "b"),
+        102: (3, "c"),
+        103: (4, "d"),
+        104: (None, None),
+    }
+
+    strict = {
+        r["tid"]: r["asof_qid"]
+        for r in asof_join(
+            trades, quotes, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["qid"], tie_col="qid", allow_exact_matches=False,
+        ).collect()
+    }
+    assert strict[100] is None  # equal-ts quote excluded under strict <
+
+    tol = {
+        r["tid"]: r["asof_qid"]
+        for r in asof_join(
+            trades, quotes, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["qid"], tie_col="qid", tolerance="INTERVAL 1 HOUR",
+        ).collect()
+    }
+    assert tol[103] is None      # match exists but is older than the window
+    assert tol[101] is None      # 10:00 quote is ~2h before an 11:59 trade
+    assert tol[102] == 3         # 12:00 quote within 1h of a 12:30 trade
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of join must plan exactly one exchange (the window partition),
+    never a range-join fan-out or cartesian."""
+    from i2o_transform_spark.operators.joins import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.timestamp_seconds(F.col("id") * 37).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    plan = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["rid"], tie_col="rid",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

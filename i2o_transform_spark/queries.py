@@ -3163,3 +3163,47 @@ def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn(
         "asof_ts", F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
     )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis extension — corpus distribution profile (exact quantiles)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ta_len_quantiles",
+    oracle="""
+    SELECT lang,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def ta_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution profile (p50/p90/p99) —
+    the corpus-stats report every training-data pipeline runs before fixing
+    filter thresholds.  Exact `percentile` here (linear interpolation,
+    matches DuckDB quantile_cont bit-for-bit after 4dp rounding); at 100 TB
+    swap to `percentile_approx` (t-digest-style sketch, map-side
+    combinable, no per-group sort) — same plan shape, bounded state."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile(n_chars, array(0.5D, 0.9D, 0.99D))"
+            ).alias("_q"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.round(F.col("_q")[0], 4).alias("p50"),
+            F.round(F.col("_q")[1], 4).alias("p90"),
+            F.round(F.col("_q")[2], 4).alias("p99"),
+            "max_chars",
+            "n_docs",
+        )
+    )

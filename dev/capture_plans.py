@@ -108,6 +108,15 @@ def main() -> None:
         "in the scan's PushedFilters.",
     ))
     sections.append((
+        "j14_asof_join — as-of join as union + window forward-fill",
+        tree_of(QUERIES["j14_asof_join"](spark, sf)),
+        "pandas merge_asof semantics with NO range join: both sides union "
+        "into one frame, ONE `Exchange` (the window partition on the key), "
+        "one `Window` sort carrying the running `last(payload)` fill — the "
+        "naive form (the DuckDB oracle) fans out O(left x matches) rows "
+        "through a theta join before discarding all but one per row.",
+    ))
+    sections.append((
         "dd_minhash_lsh — band-bucket join (never all-pairs)",
         tree_of(QUERIES["dd_minhash_lsh"](spark, sf)),
         "LSH band explode keeps candidate generation linear; the bucket "

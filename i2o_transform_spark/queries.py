@@ -3207,3 +3207,173 @@ def ta_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KG analytics extension — co-occurrence statistics + negative sampling
+# ---------------------------------------------------------------------------
+
+_KG_ENT_LIST = ", ".join(f"'{w}'" for w in sorted(KG_SUBJ + KG_OBJ))
+
+
+@query(
+    "kg_cooccur_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    ents AS (
+      SELECT DISTINCT doc_id, w FROM tok WHERE w IN ({_KG_ENT_LIST})
+    ),
+    pair_cnt AS (
+      SELECT a.w AS ent_a, b.w AS ent_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ents GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT p.ent_a, p.ent_b, p.n_ab,
+           ROUND(LN(CAST(p.n_ab AS DOUBLE) * n.n_docs
+                    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6)
+             AS pmi
+    FROM pair_cnt p, n
+    JOIN uni ua ON ua.w = p.ent_a
+    JOIN uni ub ON ub.w = p.ent_b
+    """,
+)
+def kg_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence PMI over the corpus — the signal behind
+    distributional relatedness / edge-weight priors in a KG.  Scale shape:
+    per-doc entity sets are built with ONE hash agg (collect_set), pairs are
+    exploded from the sorted array (array combinatorics, no self-join — the
+    per-doc pair fan-out is bounded by the entity vocabulary), and the
+    unary/total counts join back as single-row / vocab-sized broadcasts.
+    The oracle is the naive self-join form."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = sorted(KG_SUBJ + KG_OBJ)
+    ents = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    ).where(F.col("w").isin(*vocab))
+    sets = (
+        ents.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("w")).alias("es"))
+        .where(F.size("es") >= 2)
+    )
+    es = F.col("es")
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(es) - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size(es) - 1),
+                        lambda j: F.struct(
+                            es[i].alias("ent_a"), es[j].alias("ent_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.ent_a", "p.ent_b")
+    pair_cnt = pairs.groupBy("ent_a", "ent_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    uni = ents.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        pair_cnt.join(F.broadcast(n_docs))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("ent_a"),
+                                   F.col("c").alias("_ca"))),
+            "ent_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("ent_b"),
+                                   F.col("c").alias("_cb"))),
+            "ent_b",
+        )
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n_docs")
+                    / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_KG_NEG_K = 3
+
+
+@query(
+    "kg_negative_samples",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL},
+    ks AS (SELECT unnest(range({_KG_NEG_K})) AS k),
+    objs AS (
+      SELECT i - 1 AS idx, o FROM (
+        SELECT row_number() OVER (ORDER BY o) AS i, o
+        FROM (SELECT unnest(['batch','column','key','stream','value','vector']) AS o)
+      )
+    ),
+    cand AS (
+      SELECT e.subj, e.obj, CAST(ks.k AS BIGINT) AS k,
+             CAST(('0x' || substr(md5(e.subj || '|' || e.obj || '|'
+                                      || CAST(ks.k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 6 AS idx
+      FROM e, ks
+    )
+    SELECT c.subj, c.obj, c.k, o.o AS obj_neg
+    FROM cand c JOIN objs o ON o.idx = c.idx
+    WHERE o.o <> c.obj
+    """,
+)
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the KG edge table — corrupted
+    (subj, pred, obj') triples for link-prediction / KG-embedding training.
+    The corruption index derives from md5(subj|obj|k): content-addressed,
+    so resampling is stable across retries, partitionings and cluster sizes
+    (SURVEY §1.3 identity rule — never rand()).  Entirely map-side over the
+    edge table: the k fan-out is an array explode, the entity table joins
+    back as a broadcast.  Negatives colliding with the true object are
+    filtered (standard practice), identically in both engines."""
+    edges = _kg_edges(spark, sf_dir)
+    objs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(KG_OBJ))], "idx long, obj_neg string"
+    )
+    cand = (
+        edges.select(
+            "subj",
+            "obj",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_KG_NEG_K - 1)).cast("array<long>")
+            ).alias("k"),
+        )
+        .withColumn(
+            "idx",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "subj", "obj", "k")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(len(KG_OBJ)),
+        )
+    )
+    return (
+        cand.join(F.broadcast(objs), "idx")
+        .where(F.col("obj_neg") != F.col("obj"))
+        .select("subj", "obj", "k", "obj_neg")
+    )

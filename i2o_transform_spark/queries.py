@@ -3377,3 +3377,25 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("obj_neg") != F.col("obj"))
         .select("subj", "obj", "k", "obj_neg")
     )
+
+
+@query(
+    "st_enrich_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           c.c_nationkey AS nation_key
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def st_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming J1 twin) in its batch
+    form — the identical plan runs on a readStream source
+    (tests/test_streaming.py::test_enrich_events_stream_equals_batch);
+    registered here batch-side per the unified-API oracle pattern."""
+    from i2o_transform_spark.streaming.windowed import enrich_events
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return enrich_events(events, _t(spark, sf_dir, "customer"))

@@ -209,3 +209,29 @@ def make_running_totals_update(timeout_minutes: int = 60):
         )
 
     return update
+
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[tuple[str, str], ...] = (
+        ("c_mktsegment", "segment"),
+        ("c_nationkey", "nation_key"),
+    ),
+) -> DataFrame:
+    """Stream-static enrichment: left-join the (possibly streaming) events
+    frame against a static dimension, broadcast.
+
+    This is the streaming twin of the reference's dictionary equi-join (J1):
+    in a stream-static join Spark re-plans the static side per micro-batch,
+    the broadcast keeps it shuffle-free, and no state store is involved
+    (unlike stream-stream joins) — so it scales with the trigger's data
+    only.  Works identically on a batch frame (the correctness oracle).
+    """
+    d = dim.select(
+        F.col(dim_key).alias(key_col),
+        *[F.col(src).alias(dst) for src, dst in dim_cols],
+    )
+    return events.join(F.broadcast(d), key_col, "left")

@@ -301,3 +301,25 @@ def test_kg_stream_disambiguation_equals_batch(spark, tmp_path):
     assert rows(got) == rows(expected)
     # ambiguous subjects present and uniquely resolved
     assert got.where(F.col("subj_id") >= AMB_BASE).count() > 0
+
+
+def test_enrich_events_stream_equals_batch(spark):
+    """Stream-static broadcast join: append-mode streaming result equals the
+    batch execution of the identical plan."""
+    from i2o_transform_spark.streaming.windowed import enrich_events
+
+    dim = load_table(spark, SF_DIR, "customer")
+    batch = enrich_events(load_table(spark, SF_DIR, "events"), dim)
+    sdf = enrich_events(_stream_events(spark), dim)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("enrich_sink")
+    cols = ["event_id", "user_id", "event_type", "segment", "nation_key"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() == load_table(spark, SF_DIR, "events").count()

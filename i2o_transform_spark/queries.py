@@ -3399,3 +3399,166 @@ def st_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return enrich_events(events, _t(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# training-data extension — decontamination / repetition / sequence packing
+# ---------------------------------------------------------------------------
+
+@query(
+    "dd_contamination",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2]
+             )) AS g
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    ),
+    dtri AS (SELECT DISTINCT doc_id, g FROM tri),
+    bench AS (SELECT DISTINCT g FROM dtri WHERE doc_id % 100 = 0),
+    hits AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM dtri d JOIN bench b ON d.g = b.g
+      WHERE d.doc_id % 100 <> 0
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_matched FROM hits WHERE n_matched >= 3
+    """,
+)
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 3 distinct word
+    trigrams with the eval split (here: doc_id % 100 == 0) are flagged — the
+    n-gram-overlap contamination check every LLM data pipeline runs before
+    training.  Scale shape: the eval side's distinct shingles are
+    dictionary-sized (eval sets are small by construction) and broadcast;
+    the training side streams its shingles map-side through the semi-join —
+    the only exchange is the per-doc match count.  At 100 TB add the
+    hash-family variants (dd_minhash_lsh) for fuzzy contamination."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    tri = docs.where(F.size(w) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+                )
+            )
+        ).alias("g"),
+    )
+    bench = tri.where(F.col("doc_id") % 100 == 0).select("g").distinct()
+    return (
+        tri.where(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") >= 3)
+    )
+
+
+@query(
+    "ta_repetition",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2]
+             )) AS g
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    ),
+    per_gram AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS max_rep,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS rep_ratio
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repetition score (boilerplate detector): share of the
+    document's trigrams taken by its single most-repeated trigram — the
+    within-doc repetition filter of web-corpus quality pipelines.  Computed
+    ENTIRELY map-side with higher-order array functions (transform /
+    array_distinct / filter / array_max): zero shuffle, no per-doc groupBy —
+    the oracle is the unnest + GROUP BY form.  Per-doc cost is
+    O(distinct-grams x grams), bounded by document length, not corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    )
+    d = docs.where(F.size(w) >= 3).select("doc_id", grams.alias("_g"))
+    counts = F.transform(
+        F.array_distinct(F.col("_g")),
+        lambda g: F.size(F.filter(F.col("_g"), lambda x: x == g)),
+    )
+    return d.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.array_max(counts).cast("long").alias("max_rep"),
+        F.round(
+            F.array_max(counts).cast("double") / F.size("_g").cast("double"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+_PACK_CAPACITY = 2048
+
+
+@query(
+    "ta_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS bin,
+           CAST((cum - n_tokens) % {_PACK_CAPACITY} AS BIGINT)
+             AS offset_in_bin
+    FROM t
+    """,
+)
+def ta_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign each document a (bin, offset)
+    inside fixed {_PACK_CAPACITY}-token training contexts via a running
+    token cumsum — contiguous-fill packing, the batch-assembly step of an
+    LLM pre-training pipeline.  Scale shape: the window partitions by
+    `source` (per-shard packing — a global pack would serialize the corpus
+    through one task), so each shard's cumsum is an independent sort, and
+    the assignment is reproducible across cluster sizes because the order
+    key (source, doc_id) is data, not partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    start = F.sum("n_tokens").over(win) - F.col("n_tokens")
+    return d.withColumn("_start", start).select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.col("_start") / _PACK_CAPACITY).cast("long").alias("bin"),
+        (F.col("_start") % _PACK_CAPACITY).cast("long").alias("offset_in_bin"),
+    )

@@ -44,6 +44,8 @@ MEDIA_META_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
     ]
 )
 
@@ -111,6 +113,44 @@ def parse_image_header(payload: bytes):
     return None
 
 
+def parse_wav_header(payload: bytes):
+    """Real, dependency-free WAV (RIFF) header parse:
+    (sample_rate, n_channels, bits_per_sample, n_frames), or None if the
+    payload is not a recognizable RIFF/WAVE container.
+
+    Walks the chunk list reading only declared sizes (the 'fmt ' fields and
+    the 'data' chunk's declared byte length) — no sample decode, O(header)
+    per payload.  ``n_frames`` is the per-channel sample count
+    (data_size / block_align), the audio analogue of the image dimensions.
+    """
+    n = len(payload)
+    if n < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            n_channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+            fmt = (sample_rate, n_channels, block_align, bits)
+        elif cid == b"data":
+            data_size = size
+        if fmt is not None and data_size is not None:
+            break
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    sample_rate, n_channels, block_align, bits = fmt
+    if block_align <= 0:
+        return None
+    return sample_rate, n_channels, bits, data_size // block_align
+
+
 def extract_media_metadata(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -121,9 +161,12 @@ def extract_media_metadata(
 
     Still-image payloads (PNG/JPEG/GIF) get a REAL header parse —
     ``media_type`` is replaced by the detected format and (width, height)
-    come from the container header.  Unrecognized payloads (video/audio
-    containers; no ffmpeg in-container) fall back to the deterministic
-    ``_decode_stub`` with their declared type.
+    come from the container header.  WAV payloads get a REAL RIFF chunk-walk
+    (:func:`parse_wav_header`): width/height are NULL, ``n_frames`` is the
+    per-channel sample count, and (sample_rate, n_channels) are filled.
+    Remaining payloads (video / compressed-audio containers; no ffmpeg
+    in-container) fall back to the deterministic ``_decode_stub`` with their
+    declared type, sample_rate/n_channels NULL.
 
     Input partitioning is preserved (narrow op, zero shuffle); output carries
     only small typed columns so downstream plans never move the payload.
@@ -135,8 +178,12 @@ def extract_media_metadata(
         parsed = parse_image_header(payload)
         if parsed is not None:
             fmt, width, height = parsed
-            return fmt, width, height, 1
-        return (mtype, *_decode_stub(payload, mtype))
+            return fmt, width, height, 1, None, None
+        wav = parse_wav_header(payload)
+        if wav is not None:
+            sample_rate, n_channels, _bits, n_frames = wav
+            return "wav", None, None, n_frames, sample_rate, n_channels
+        return (mtype, *_decode_stub(payload, mtype), None, None)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,6 +201,8 @@ def extract_media_metadata(
                     "width": [m[1] for m in metas],
                     "height": [m[2] for m in metas],
                     "n_frames": [m[3] for m in metas],
+                    "sample_rate": [m[4] for m in metas],
+                    "n_channels": [m[5] for m in metas],
                 }
             )
 
@@ -229,6 +278,76 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         for i in ids
                     ],
                     "media_type": "image",
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(process, schema)
+
+
+SYNTH_WAV_BYTES = 44  # header-only RIFF fixture (data body declared, absent)
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def synth_wav_bytes(
+    sample_rate: int, n_channels: int, bits: int, n_samples: int
+) -> bytes:
+    """Deterministic, spec-conformant WAV *header* bytes for fixtures: RIFF +
+    'fmt ' (PCM) + 'data' chunk header with the declared sample count — the
+    44-byte canonical header any RIFF chunk walker (including
+    :func:`parse_wav_header`) reads exactly like a soundfile-produced WAV;
+    the sample body is absent (header parsers never touch it)."""
+    import struct
+
+    block_align = n_channels * bits // 8
+    data_size = n_samples * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, n_channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def synth_mixed_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture generator for a MIXED media column: doc_id % 4 routes to
+    png/jpeg/gif/wav, every field a pure function of the id (images:
+    width = id%640+1, height = id%480+1; wav: rate = _WAV_RATES[(id//4)%4],
+    channels = id%2+1, 16-bit, n_samples = id%50000+1) so an SQL oracle
+    predicts the parsed metadata of every branch without reading bytes."""
+    fmts = ["png", "jpeg", "gif"]
+
+    def one(i: int) -> tuple[bytes, str]:
+        if i % 4 == 3:
+            return (
+                synth_wav_bytes(
+                    _WAV_RATES[(i // 4) % 4], i % 2 + 1, 16, i % 50000 + 1
+                ),
+                "audio",
+            )
+        return synth_image_bytes(fmts[i % 4], i % 640 + 1, i % 480 + 1), "image"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            media = [one(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [m for m, _ in media],
+                    "media_type": [t for _, t in media],
                 }
             )
 

@@ -1384,7 +1384,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 41 ELSE 14 END AS BIGINT) AS n_bytes,
            CAST(doc_id % 640 + 1 AS INT) AS width,
            CAST(doc_id % 480 + 1 AS INT) AS height,
-           CAST(1 AS INT) AS n_frames
+           CAST(1 AS INT) AS n_frames,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_channels
     FROM documents
     """,
 )
@@ -3562,3 +3564,42 @@ def ta_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("_start") / _PACK_CAPACITY).cast("long").alias("bin"),
         (F.col("_start") % _PACK_CAPACITY).cast("long").alias("offset_in_bin"),
     )
+
+
+@query(
+    "mm_mixed_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' ELSE 'wav' END AS media_type,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 33 WHEN 1 THEN 41
+                WHEN 2 THEN 14 ELSE 44 END AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CAST(doc_id % 640 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CAST(doc_id % 480 + 1 AS INT) END AS height,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN doc_id % 50000 + 1
+                ELSE 1 END AS INT) AS n_frames,
+           CASE WHEN doc_id % 4 = 3 THEN
+             CAST(CASE CAST((doc_id // 4) % 4 AS INT)
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS INT)
+           END AS sample_rate,
+           CASE WHEN doc_id % 4 = 3 THEN CAST(doc_id % 2 + 1 AS INT)
+           END AS n_channels
+    FROM documents
+    """,
+)
+def mm_mixed_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One metadata pass over a MIXED media column — real PNG/JPEG/GIF header
+    parse AND real WAV RIFF chunk-walk (operators/multimodal.py
+    parse_wav_header) in the same Arrow stage; only video/compressed-audio
+    remain stubbed (no ffmpeg in-container).  Fixture fields are pure
+    functions of doc_id so the oracle predicts every branch — a wrong chunk
+    walk fails the value hash."""
+    from i2o_transform_spark.operators.multimodal import synth_mixed_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_media_metadata(synth_mixed_media(docs))

@@ -620,3 +620,56 @@ def test_asof_join_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parse_wav_header_roundtrip_and_chunk_walk():
+    """synth -> parse roundtrip, chunk-walk past a leading LIST chunk, and
+    rejection of non-RIFF payloads."""
+    import struct
+
+    from i2o_transform_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav_bytes,
+    )
+
+    for rate, ch, bits, n in [(8000, 1, 16, 1), (44100, 2, 16, 49999),
+                              (22050, 2, 8, 123)]:
+        assert parse_wav_header(synth_wav_bytes(rate, ch, bits, n)) == (
+            rate, ch, bits, n
+        )
+
+    # a LIST metadata chunk before fmt — the walker must skip it
+    body = synth_wav_bytes(16000, 1, 16, 10)
+    list_chunk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    with_list = body[:12] + list_chunk + body[12:]
+    riff = b"RIFF" + struct.pack("<I", len(with_list) - 8) + with_list[8:]
+    assert parse_wav_header(riff) == (16000, 1, 16, 10)
+
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFFxxxxAVI LIST" + b"\x00" * 40) is None
+    assert parse_wav_header(b"notawav" * 10) is None
+
+
+def test_extract_media_metadata_wav(spark):
+    """Mixed-media pass: wav rows carry real parsed (rate, channels,
+    n_frames); image rows keep NULL audio fields."""
+    from i2o_transform_spark.operators.multimodal import (
+        extract_media_metadata,
+        synth_mixed_media,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    rows = {
+        r.doc_id: r
+        for r in extract_media_metadata(synth_mixed_media(docs)).collect()
+    }
+    rates = (8000, 16000, 22050, 44100)
+    for i, r in rows.items():
+        if i % 4 == 3:
+            assert r.media_type == "wav" and r.width is None
+            assert (r.sample_rate, r.n_channels, r.n_frames) == (
+                rates[(i // 4) % 4], i % 2 + 1, i % 50000 + 1
+            )
+        else:
+            assert r.sample_rate is None and r.n_channels is None
+            assert r.n_frames == 1

@@ -248,3 +248,76 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count via degree-ordered edge orientation.
+
+    The input is treated as an undirected simple graph (edges are
+    canonicalized and deduped; self-loops dropped).  Each edge is oriented
+    from its lower-rank endpoint to its higher-rank endpoint, rank =
+    (degree, node): every wedge is then generated exactly once at its
+    lowest-rank apex, and — the scale property — a node's oriented
+    out-degree is bounded by O(sqrt(|E|)) even for a maximal hub, so the
+    wedge join's fan-out never explodes on a skewed degree distribution
+    (the naive all-edges self-join fans out deg^2 on the hottest node).
+    Two shuffles total: the wedge self-join and the closing semi-join.
+    Returns one row: (n_triangles: long).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least(wedges.x, wedges.y) == closing.x)
+        & (F.greatest(wedges.x, wedges.y) == closing.y),
+        "left_semi",
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def common_neighbors(
+    edges: DataFrame, src: str = "src", dst: str = "dst", min_common: int = 2
+) -> DataFrame:
+    """Common-neighbor counts per source pair — the classic link-prediction
+    feature (two subjects sharing many objects are candidate co-references /
+    future edges).  One self-join on the shared neighbor + one hash agg; at
+    scale, cap the hottest neighbors first (a neighbor shared by d sources
+    emits d^2 pairs — the same df-cut as dedup.ngram_jaccard_pairs applies).
+    Returns (node_a, node_b, n_common) with node_a < node_b.
+    """
+    l = edges.select(F.col(src).alias("node_a"), F.col(dst).alias("_n")).distinct()  # noqa: E741
+    r = edges.select(F.col(src).alias("node_b"), F.col(dst).alias("_n")).distinct()
+    return (
+        l.join(r, "_n")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -3603,3 +3603,45 @@ def mm_mixed_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_media_metadata(synth_mixed_media(docs))
+
+
+@query(
+    "kg_triangles",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL},
+    und AS (
+      SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM e WHERE subj <> obj
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the KG edge table (degree-ordered orientation,
+    operators/graph.triangle_count) — clustering-structure QA for the graph.
+    The oracle is the naive ordered 3-way self-join."""
+    from i2o_transform_spark.operators.graph import triangle_count
+
+    return triangle_count(_kg_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+@query(
+    "kg_common_neighbors",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}
+    SELECT l.subj AS node_a, r.subj AS node_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM e l JOIN e r ON l.obj = r.obj AND l.subj < r.subj
+    GROUP BY l.subj, r.subj
+    HAVING COUNT(*) >= 2
+    """,
+)
+def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-out-neighbor counts per subject pair — link-prediction /
+    co-reference feature over the KG (operators/graph.common_neighbors)."""
+    from i2o_transform_spark.operators.graph import common_neighbors
+
+    return common_neighbors(_kg_edges(spark, sf_dir), src="subj", dst="obj")

@@ -673,3 +673,31 @@ def test_extract_media_metadata_wav(spark):
         else:
             assert r.sample_rate is None and r.n_channels is None
             assert r.n_frames == 1
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Degree-oriented triangle count equals the itertools brute force on a
+    seeded random graph (with duplicate/reversed/self-loop noise)."""
+    import itertools
+    import random
+
+    from i2o_transform_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.15}
+    noisy = [(a, b) for a, b in edges]
+    noisy += [(b, a) for a, b in list(edges)[:30]]      # reversed dupes
+    noisy += [(a, a) for a in range(5)]                  # self loops
+    df = spark.createDataFrame(noisy, "src long, dst long")
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    expected = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == expected and expected > 0

@@ -162,3 +162,35 @@ def test_catalog_sink_raises_clean_error_without_iceberg(spark):
     df = spark.range(3).withColumn("p", F.lit("a"))
     with _pytest.raises(RuntimeError, match="catalog sink unavailable"):
         write_table_catalog(df, "no_such_catalog.db.t", partition_by=["p"])
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    """dd_contamination: the eval split's shingles must build-side broadcast
+    (the training side streams map-side through the join)."""
+    plan = plan_of(QUERIES["dd_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_is_map_only(spark):
+    """ta_repetition computes the in-doc score with higher-order functions —
+    zero exchanges."""
+    plan = plan_of(QUERIES["ta_repetition"](spark, SF_DIR))
+    assert shuffle_count(plan) == 0
+
+
+def test_negative_samples_entity_table_broadcast(spark):
+    """kg_negative_samples: the entity table joins back broadcast; the k
+    fan-out must not introduce a cartesian."""
+    plan = plan_of(QUERIES["kg_negative_samples"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccur_pmi_no_selfjoin_on_docs(spark):
+    """kg_cooccur_pmi builds pairs from per-doc arrays: the only
+    SortMergeJoin-able key would be doc_id — assert the pair generation is
+    the explode (no doc-side self-join) and unary counts broadcast back."""
+    plan = plan_of(QUERIES["kg_cooccur_pmi"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

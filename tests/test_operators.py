@@ -701,3 +701,59 @@ def test_triangle_count_vs_bruteforce(spark):
     )
     got = triangle_count(df).collect()[0]["n_triangles"]
     assert got == expected and expected > 0
+
+
+def test_asof_join_equals_pandas_merge_asof(spark):
+    """Randomized equivalence vs the authoritative reference implementation
+    (pandas.merge_asof, backward direction), including deliberate timestamp
+    collisions, all (allow_exact_matches, tolerance) combinations."""
+    import random
+
+    import pandas as pd
+
+    from i2o_transform_spark.operators.joins import asof_join
+
+    rng = random.Random(13)
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(n, id0):
+        # coarse second granularity forces ts collisions within and across sides
+        return [
+            (f"k{rng.randrange(5)}",
+             base + datetime.timedelta(seconds=rng.randrange(120)),
+             id0 + i)
+            for i in range(n)
+        ]
+
+    left = spark.createDataFrame(mk(300, 0), "k string, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        mk(300, 1000), "k string, ts timestamp, rid long"
+    )
+    lp = left.toPandas()
+    rp = right.toPandas()
+
+    for exact, tol in [(True, None), (False, None),
+                       (True, "INTERVAL 30 SECOND"), (False, "INTERVAL 30 SECOND")]:
+        got = {
+            r["lid"]: r["asof_rid"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                right_cols=["rid"], tie_col="rid",
+                allow_exact_matches=exact, tolerance=tol,
+            ).collect()
+        }
+        # pandas picks the LAST matching row in sort order; sorting the right
+        # side by (ts, rid) makes that the max-rid row — the operator's
+        # documented tie-break
+        exp_df = pd.merge_asof(
+            lp.sort_values(["ts", "lid"], kind="stable"),
+            rp.sort_values(["ts", "rid"], kind="stable"),
+            on="ts", by="k", direction="backward",
+            allow_exact_matches=exact,
+            tolerance=pd.Timedelta(seconds=30) if tol else None,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, f"mismatch at exact={exact} tol={tol}"

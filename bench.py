@@ -273,6 +273,22 @@ def run_scaling(n_pages: int, repeats: int = 3, levels: tuple[str, str] = ("4", 
     thr_s = results[small]["triples_per_sec"]
     thr_l = results[large]["triples_per_sec"]
     eff = round((thr_l / thr_s) / factor, 3)
+    # same-boot hardware control: boot-to-boot this sandbox's low-core
+    # memory bandwidth varies ~2x, which silently moves the ceiling a
+    # bandwidth-bound job can score; every scaling record carries the
+    # STREAM-triad control measured on the same boot so the eff number is
+    # interpretable later (BENCH_SCALING.md "boot-variance note")
+    bw_eff = None
+    bw = {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "dev"))
+        from bandwidth_control import run as bw_run  # noqa: PLC0415
+
+        for lv in (int(small), int(large)):
+            bw[lv] = max(bw_run(lv) for _ in range(2))
+        bw_eff = round((bw[int(large)] / bw[int(small)]) / factor, 3)
+    except Exception as e:  # noqa: BLE001 — control is advisory, never fatal
+        sys.stderr.write(f"bandwidth control skipped: {e}\n")
     summary = {
         "metric": f"kg_scaling_efficiency_{small}_to_{large}_cores",
         "value": eff,
@@ -288,6 +304,8 @@ def run_scaling(n_pages: int, repeats: int = 3, levels: tuple[str, str] = ("4", 
             f"local{small}": results[small]["pages_per_sec"],
             f"local{large}": results[large]["pages_per_sec"],
         },
+        "bandwidth_ctrl_gib_s": bw,
+        "bandwidth_ctrl_eff": bw_eff,
     }
     print(json.dumps(summary))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.md"), "a") as f:
@@ -300,6 +318,12 @@ def run_scaling(n_pages: int, repeats: int = 3, levels: tuple[str, str] = ("4", 
             f"| local[{large}] | {results[large]['sec']} | {results[large]['pages_per_sec']} | {thr_l} | {all_runs[large]} |\n\n"
             f"scaling efficiency (thr_{large}/thr_{small})/{factor:.0f} = **{eff}** "
             f"(target >= 0.8 per BASELINE.json north_rule proxy)\n"
+            + (
+                f"same-boot STREAM-triad control: {bw} GiB/s aggregate, "
+                f"bandwidth-bound scaling ceiling **{bw_eff}**\n"
+                if bw_eff is not None
+                else ""
+            )
         )
 
 

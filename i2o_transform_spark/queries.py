@@ -3645,3 +3645,104 @@ def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i2o_transform_spark.operators.graph import common_neighbors
 
     return common_neighbors(_kg_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query(
+    "ta_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com at 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 100 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                              '{_PII_IPV4}', '[IP]', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the email/IP scrub every public web corpus runs
+    before training.  Pure JVM built-ins (regexp_extract_all /
+    regexp_replace), map-side, zero shuffle; the fixture plants one email +
+    one IPv4 per doc (pure function of doc_id) so the oracle verifies both
+    the match counts AND the byte-exact scrubbed text (md5).  The patterns
+    stay in the RE2-compatible subset so the Spark (Java regex) and DuckDB
+    (RE2) engines agree — the same dialect rule as the fused KG kernels
+    (ADVICE r01)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"), _PII_IPV4, "[IP]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).cast("long")
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), F.lit(0))).cast("long")
+         .alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "ta_word_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+    FROM wc GROUP BY doc_id
+    """,
+)
+def ta_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy — the perplexity-proxy
+    quality feature (low entropy = repetitive/boilerplate, complements
+    ta_repetition).  H = ln(n) - sum(c*ln(c))/n over per-doc word counts:
+    two map-side-combining hash aggs keyed (doc, word) then (doc) — the
+    (doc, word) key is high-cardinality but never skewed beyond a single
+    document's token count, so no salting is needed."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(c * F.log(c)).alias("_clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )

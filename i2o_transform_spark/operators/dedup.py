@@ -217,3 +217,90 @@ def simhash_near_dupes(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via PREFIX FILTERING
+    (AllPairs/PPJoin candidate generation).
+
+    Shingles are globally ordered rarest-first (document frequency, then
+    lexicographic); each document indexes only its first
+    ``|x| - ceil(t*|x|) + 1`` shingles.  Any pair with J >= t must overlap
+    in at least ``ceil(t*|x|)`` shingles, so both prefixes are guaranteed
+    to share one — the filter is **lossless**, unlike the df-cut heuristic
+    in :func:`ngram_jaccard_pairs` (which can in principle drop a pair
+    whose overlap is all stopword shingles).  Candidates are verified
+    exactly with one ``array_intersect`` per pair.
+
+    Scale shape: candidate generation joins only prefix tokens — with
+    rarest-first ordering the hottest (stopword) shingles land at the END
+    of every document and are never indexed, which is precisely the skew
+    the inverted-index join suffers from.  Shuffles: the df count, the
+    per-doc re-aggregation, the prefix self-join, and the verify joins —
+    all hash-partitioned, no sort, no cartesian.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, 6dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        sh.join(dfreq, "s")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_c", "s"))),
+                lambda x: x["s"],
+            ).alias("_toks")
+        )
+        .select(
+            "_id",
+            "_toks",
+            F.size("_toks").alias("_sz"),
+            (
+                F.size("_toks")
+                - F.ceil(F.lit(threshold) * F.size("_toks"))
+                + 1
+            ).cast("int").alias("_p"),
+        )
+    )
+    prefix = per_doc.select(
+        "_id", F.explode(F.slice("_toks", 1, F.col("_p"))).alias("s")
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "s")
+        .join(prefix.select(F.col("_id").alias("id_b"), "s"), "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = per_doc.select(
+        F.col("_id").alias("id_a"),
+        F.col("_toks").alias("_ta"),
+        F.col("_sz").alias("_sa"),
+    )
+    b = per_doc.select(
+        F.col("_id").alias("id_b"),
+        F.col("_toks").alias("_tb"),
+        F.col("_sz").alias("_sb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.col("_sa") + F.col("_sb") - inter), 6),
+        )
+        .where(
+            inter / (F.col("_sa") + F.col("_sb") - inter) >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -3746,3 +3746,51 @@ def ta_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+@query(
+    "dd_prefix_jaccard",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM d
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dd_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via lossless PREFIX FILTERING
+    (operators/dedup.prefix_jaccard_pairs) — same duplicated-docs fixture as
+    dd_ngram_jaccard, but the oracle here is the PURE exact all-pairs form
+    (no df-cut): prefix filtering guarantees no pair above threshold is
+    missed, so the outputs must match exactly."""
+    from i2o_transform_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return prefix_jaccard_pairs(dup, "doc_id", "text", n=3, threshold=0.5)

@@ -757,3 +757,36 @@ def test_asof_join_equals_pandas_merge_asof(spark):
             for r in exp_df.itertuples()
         }
         assert got == exp, f"mismatch at exact={exact} tol={tol}"
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    """Lossless prefix filtering: output must equal a pure-python exact
+    Jaccard over trigram shingle sets — pairs AND values."""
+    from i2o_transform_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _dup_corpus(spark)
+    rows = docs.collect()
+
+    def sh(text):
+        w = text.split()
+        if len(w) <= 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {r.doc_id: sh(r.text) for r in rows}
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.5:
+                expected[(a, b)] = round(j, 6)
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == expected and len(expected) == 20

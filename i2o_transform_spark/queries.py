@@ -3794,3 +3794,44 @@ def dd_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return prefix_jaccard_pairs(dup, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "ta_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -LN((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k, doc_id LIMIT 50
+    """,
+)
+def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): key = -ln(u)/w with u derived from md5(doc_id) instead
+    of rand(), so the sample is identical across retries, partitionings and
+    cluster sizes (SURVEY §1.3 identity rule) — the data-mixing primitive
+    for weighting corpus sources by quality/length.  Top-k by key plans as
+    TakeOrderedAndProject (per-partition heap + driver merge, no global
+    sort); weights here are n_chars."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                    key.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(50)
+        .drop("_k")
+    )

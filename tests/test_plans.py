@@ -194,3 +194,47 @@ def test_cooccur_pmi_no_selfjoin_on_docs(spark):
     plan = plan_of(QUERIES["kg_cooccur_pmi"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The AQE-skew-join backstop claimed in operators/joins.py must
+    actually fire: a 90%-hot-key sort-merge join executed with lowered skew
+    thresholds shows skew=true in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        big = spark.range(0, 100000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        dim = spark.range(0, 100000).select(
+            F.col("id").alias("k"), F.lit("d").alias("v")
+        )
+        joined = big.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution (count() builds
+        # a separate one whose adaptive plan we couldn't inspect)
+        assert len(joined.collect()) == 100000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

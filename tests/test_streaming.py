@@ -323,3 +323,74 @@ def test_enrich_events_stream_equals_batch(spark):
     cols = ["event_id", "user_id", "event_type", "segment", "nation_key"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() == load_table(spark, SF_DIR, "events").count()
+
+
+def test_kg_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart continuation: stream half the input, stop, add the
+    rest, restart with the SAME checkpoint dir — the final sink equals the
+    one-shot batch pipeline with zero duplicate triples (checkpoint offsets
+    + cross-batch anti-join give exactly-once sink semantics)."""
+    import shutil
+
+    from i2o_transform_spark.datagen import generate
+    from i2o_transform_spark.plans import kg
+    from i2o_transform_spark.streaming.kg_stream import stream_triples_to_sink
+
+    d = generate(spark, 2000)
+    all_dir = str(tmp_path / "pages_all")
+    d["pages"].repartition(4).write.parquet(all_dir)
+    batch_pages = spark.read.parquet(all_dir)
+    cw = kg.compile_crosswalk(
+        d["surface_vocab"], d["concept"], d["concept_rel"]
+    ).persist()
+    cm = kg.canonicalize_concepts(cw).persist()
+    expected = kg.link_and_emit(
+        kg.extract_and_assemble(
+            batch_pages.where(F.col("lang") == "en"), cw, d["modifier_config"]
+        ),
+        cw, cm,
+    )
+
+    # stage only half the files, run to completion, then add the rest
+    live_dir = str(tmp_path / "pages_live")
+    os.makedirs(live_dir)
+    parts = sorted(
+        f for f in os.listdir(all_dir) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    for f in parts[:2]:
+        shutil.copy(os.path.join(all_dir, f), os.path.join(live_dir, f))
+
+    sink = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(batch_pages.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live_dir)
+        )
+        q = stream_triples_to_sink(
+            stream, cw, cm, d["modifier_config"], sink, ckpt
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert 0 < n_first < expected.count()
+
+    for f in parts[2:]:
+        shutil.copy(os.path.join(all_dir, f), os.path.join(live_dir, f))
+    run_once()  # restart from the same checkpoint — only new files process
+
+    got = spark.read.parquet(sink)
+    cols = sorted(expected.columns)
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.select(*cols).collect()),
+            key=lambda t: t[cols.index("triple_id")],
+        )
+
+    assert rows(got) == rows(expected)
+    assert got.select("triple_id").distinct().count() == got.count()

@@ -99,3 +99,36 @@ def write_table_catalog(
             "write_table() for the parquet path"
         ) from e
     return table_ident
+
+
+def bucketed_write(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> str:
+    """Hash-bucket-partitioned materialization for point-lookup pruning.
+
+    Adds ``_bucket = pmod(xxhash64(key), n_buckets)`` and partitions the
+    files by it: a lookup that filters ``_bucket = bucket_of(key)`` (see
+    :func:`bucket_of`) prunes to 1/n_buckets of the files at PLANNING time
+    (PartitionFilters, no data read).  This is the parquet twin of Iceberg's
+    ``bucket(n, key)`` partition transform the north_rule materialization
+    calls for — deterministic (content-hash, no rand), stable across
+    cluster sizes."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"),
+    )
+    return write_table(out, base_dir, name, partition_by=["_bucket"])
+
+
+def bucket_of(key_value, n_buckets: int = 64):
+    """Planning-time bucket id for a literal key — pair with
+    :func:`bucketed_write` to prune a point lookup to one partition."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets)).cast("int")

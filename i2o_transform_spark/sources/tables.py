@@ -132,3 +132,26 @@ def bucket_of(key_value, n_buckets: int = 64):
     from pyspark.sql import functions as F
 
     return F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets)).cast("int")
+
+
+def load_table_catalog(spark: SparkSession, table_ident: str) -> DataFrame:
+    """Catalog (Iceberg) source binding — the DataSourceV2 twin of
+    :func:`load_table`, completing the round-trip with
+    :func:`write_table_catalog`.
+
+    On a cluster the crawl table arrives as ``spark.table('cat.db.pages')``
+    (input_hint: "Iceberg table of Common-Crawl-style web pages") and
+    Iceberg supplies partition pruning + column-stat file skipping through
+    the same PartitionFilters/PushedFilters contract the parquet scans here
+    are plan-tested for.  Locally (no Iceberg runtime jars) this raises the
+    same actionable error as the sink twin."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.table(table_ident)
+    except AnalysisException as e:
+        raise RuntimeError(
+            f"catalog source unavailable for {table_ident!r} — configure an "
+            "Iceberg catalog (spark.sql.catalog.<name>=...) or use "
+            "load_table() for the parquet path"
+        ) from e

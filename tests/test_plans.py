@@ -280,3 +280,14 @@ def test_bucketed_materialization_prunes_point_lookup(spark, tmp_path):
     bucket_dirs = [d for d in _os.listdir(path) if d.startswith("_bucket=")]
     assert len(bucket_dirs) == 16
     assert probe.count() == 40  # 20000 / 500 occurrences of e7
+
+
+def test_catalog_source_raises_clean_error_without_iceberg(spark):
+    """load_table_catalog mirrors the sink twin's error contract when no
+    Iceberg catalog is configured (the sandbox has no Iceberg runtime)."""
+    import pytest as _pytest
+
+    from i2o_transform_spark.sources.tables import load_table_catalog
+
+    with _pytest.raises(RuntimeError, match="catalog source unavailable"):
+        load_table_catalog(spark, "no_such_catalog.db.pages")

@@ -123,6 +123,16 @@ def main() -> None:
         "equi-join shuffles only candidates — the 10^12-doc-feasible shape.",
     ))
 
+    sections.append((
+        "dd_prefix_jaccard — lossless prefix-filter candidate generation",
+        tree_of(QUERIES["dd_prefix_jaccard"](spark, sf)),
+        "AllPairs/PPJoin: shingles ordered rarest-first, only each doc's "
+        "|x|-ceil(t|x|)+1 prefix is indexed — the hottest (stopword) "
+        "shingles are never joined, and unlike the df-cut heuristic no "
+        "pair above threshold can be missed; candidates verified with one "
+        "array_intersect each.",
+    ))
+
     # embedding entity-link scoring: the disambiguating link path
     d2 = generate(spark, 1000, with_ambiguity=True)
     cw2 = kg.compile_crosswalk(

@@ -1,0 +1,204 @@
+"""Incremental processing: CDC snapshot apply, SCD2 historization, and
+partition-pruned merge into a bucketed table.
+
+The reference is strictly full-refresh — every load truncates and rebuilds
+(`OMOPclear` + per-table loaders, MSSQL/OMOPLoader.sql:1-60; SURVEY.md §2.1
+S4).  At 10^12 documents a full rebuild per crawl delta is not viable: the
+operational shape is "apply this day's changed pages to the standing KG
+tables".  This module supplies that incremental twin with three layers:
+
+* :func:`cdc_latest_snapshot` — collapse an (at-least-once, out-of-order)
+  change log to the current snapshot: last writer per key wins, tombstones
+  delete.  One hash aggregation (``max_by`` over a packed sequence), no
+  window sort, map-side combinable — the same scale shape as the longest-
+  match election in the KG assembly.
+* :func:`scd2_history` — historize the same log into validity intervals
+  (key, attr, valid_from, valid_to, is_current), collapsing consecutive
+  no-change rows first so history length is bounded by *distinct* states,
+  not deliveries.  One shuffle (window over key), the warehouse SCD-2 shape.
+* :func:`merge_into_bucketed` — apply a snapshot delta to a table
+  materialized by ``sources.tables.bucketed_write``: only the hash buckets
+  that contain changed keys are read and rewritten (dynamic partition
+  overwrite); untouched buckets' files are never opened.  With 64k buckets
+  on a 100 TB table, a 0.1% daily delta touches ~0.1% of files instead of
+  triggering the reference's full reload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def cdc_latest_snapshot(
+    changelog: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Current-state snapshot of a change log: for each key, the payload of
+    the highest ``seq_col`` row; keys whose final operation is ``delete_op``
+    are dropped entirely.
+
+    Ties on ``seq_col`` break deterministically by preferring the delete
+    (a delete and an upsert carrying the same sequence number must not
+    resurrect the row on retry).  Implemented as ONE hash aggregation:
+    ``max_by(struct(payload...), struct(seq, is_delete))`` — partial
+    aggregation runs map-side, so the shuffle carries one candidate row per
+    key per input partition, not the full log.  No window, no sort.
+    """
+    payload_cols = [
+        c for c in changelog.columns if c not in set(keys) | {seq_col, op_col}
+    ]
+    ord_key = F.struct(
+        F.col(seq_col).alias("s"),
+        (F.col(op_col) == delete_op).cast("int").alias("d"),
+    )
+    latest = changelog.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *payload_cols), ord_key
+        ).alias("_last")
+    )
+    return (
+        latest.where(F.col("_last._op") != delete_op)
+        .select(*keys, *[F.col(f"_last.{c}").alias(c) for c in payload_cols])
+    )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 historization of a change log.
+
+    Output: one row per (key, contiguous state) with ``valid_from`` =
+    first ``seq_col`` at which the state held, ``valid_to`` = the next
+    state's ``valid_from`` (NULL while current) and ``is_current``.
+    Consecutive deliveries with identical ``attr_cols`` collapse into one
+    interval (at-least-once replay does not lengthen history).
+
+    Plan shape: one exchange on the key, two windows over the SAME
+    partitioning (lag to detect state change, running max to number runs)
+    then a hash agg — Spark reuses the single sort, so the whole operator is
+    one shuffle.  This is the gaps-and-islands shape of the W1 interval
+    merge (reference era logic, MSSQL/OMOPLoader.sql:1508-1565) applied to
+    attribute versions instead of dates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        F.lag(state).over(w).isNull() | (F.lag(state).over(w) != state)
+    ).cast("int")
+    runs = changelog.select(
+        *keys, seq_col, *attr_cols, changed.alias("_chg")
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(
+            Window.partitionBy(*keys).orderBy(seq_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = runs.groupBy(*keys, "_run").agg(
+        F.min(seq_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    return intervals.select(
+        *keys,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_into_bucketed(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str,
+    n_buckets: int = 64,
+    delete_op: str = "D",
+) -> list[int]:
+    """MERGE a change log into a table written by
+    ``sources.tables.bucketed_write`` — rewriting ONLY the buckets that
+    contain changed keys.  Returns the list of bucket ids rewritten.
+
+    Steps (all planning-time prunable):
+
+    1. Collapse ``changes`` to its latest-per-key form (keeping tombstones).
+    2. Derive the affected bucket ids ``pmod(xxhash64(key), n)`` — the same
+       content hash :func:`bucketed_write` partitioned by, so a key's rows
+       can only live in its own bucket.  The id set is collected (bounded by
+       ``n_buckets``, driver-safe at any delta size).
+    3. Read ONLY those partitions (``_bucket IN (...)`` hits the partition
+       column — PartitionFilters, zero data read from untouched buckets),
+       anti-join out the changed keys, union the surviving upserts.
+    4. Dynamic partition overwrite writes just the affected directories;
+       concurrent readers of other buckets never see a partial file set.
+
+    On a cluster the same logic is Iceberg ``MERGE INTO`` over a
+    ``bucket(n, key)``-partitioned table; this is the parquet twin with the
+    pruning made explicit.
+    """
+    payload_cols = [
+        c for c in changes.columns if c not in {key_col, seq_col, op_col}
+    ]
+    ord_key = F.struct(
+        F.col(seq_col).alias("s"),
+        (F.col(op_col) == delete_op).cast("int").alias("d"),
+    )
+    latest = changes.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *payload_cols), ord_key
+        ).alias("_last")
+    ).select(
+        key_col,
+        F.col("_last._op").alias("_op"),
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+    ).withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"),
+    )
+    latest = latest.persist()
+    try:
+        buckets = sorted(
+            r["_bucket"]
+            for r in latest.select("_bucket").distinct().collect()
+        )
+        if not buckets:
+            return []
+        path = f"{base_dir}/{name}"
+        target = spark.read.parquet(path).where(
+            F.col("_bucket").isin(buckets)
+        )
+        survivors = target.join(
+            latest.select(key_col), on=key_col, how="left_anti"
+        )
+        upserts = latest.where(F.col("_op") != delete_op).select(
+            *target.columns
+        )
+        merged = survivors.unionByName(upserts)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.repartition(max(len(buckets) // 4, 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        return buckets
+    finally:
+        latest.unpersist()

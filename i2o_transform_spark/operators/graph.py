@@ -321,3 +321,47 @@ def common_neighbors(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Directed BFS from a seed set: every node reachable in <= k hops with
+    its minimum hop distance — the KG neighborhood-expansion primitive
+    (entity context windows, subgraph sampling for GNN training).
+
+    Frontier-style iteration: at hop i the (small) frontier joins the edge
+    table, newly-reached nodes form the next frontier.  Visited-set dedup is
+    a left-anti join per hop, so every hop is O(frontier ⋈ edges) — never
+    O(edges^2) — and the loop is bounded by the constant ``k`` (no
+    driver-side count actions; an empty frontier makes remaining hops
+    no-ops at plan time).  Each frontier is cached and the edge join key is
+    the shuffle key, so at 10^12 edges hop-i cost tracks the true
+    neighborhood size.  The hub-skew caveat: a celebrity node fans the next
+    frontier wide; AQE skew-split handles the join, and the per-hop
+    ``distinct`` caps the frontier at |V|.
+
+    Output: (node, hops) with hops = min distance, seeds at 0.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    visited = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("hops")
+    ).distinct().persist()
+    frontier = visited.select("node")
+    for hop in range(1, k + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "_s"), "_s")
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .persist()
+        )
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt.select("node")
+    return visited

@@ -3835,3 +3835,163 @@ def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental processing (CDC) — the reference is full-refresh only
+# (OMOPclear truncate-and-reload, MSSQL/OMOPLoader.sql:1-60); these are the
+# incremental twins a 10^12-page crawl needs (operators/cdc.py).
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_snapshot",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, value AS last_value, ts AS last_ts
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse the events stream read as a change log (event_id =
+    commit sequence, event_type 'error' = tombstone) to the current
+    last-writer-wins snapshot.  One max_by hash agg — no window sort; the
+    oracle states the same semantics as the classic ROW_NUMBER form."""
+    from i2o_transform_spark.operators.cdc import cdc_latest_snapshot
+
+    log = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    return cdc_latest_snapshot(log, keys=["user_id"], seq_col="seq", op_col="op")
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), r AS (
+      SELECT user_id, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM s
+    ), i AS (
+      SELECT user_id, MIN(event_type) AS event_type,
+             MIN(event_id) AS valid_from
+      FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                                 ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM i
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 historization of the change log: validity intervals per
+    (user, tracked attribute) with consecutive duplicates collapsed — the
+    incremental counterpart of the reference's era merge (W1)."""
+    from i2o_transform_spark.operators.cdc import scd2_history
+
+    log = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        log, keys=["user_id"], attr_cols=["event_type"], seq_col="event_id"
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("long"),
+        F.col("valid_to").cast("long"),
+        F.col("is_current").cast("int"),
+    )
+
+
+@query(
+    "st_attr_join",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts, r.value AS r_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st_attr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: stream-stream interval join (click -> purchase
+    attribution within 30 min) in its batch form; on streaming inputs both
+    sides carry watermarks so join state is evicted per trigger
+    (tests/test_streaming.py proves stream == batch)."""
+    from i2o_transform_spark.streaming.windowed import attribution_join
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_join(ev, ev)
+
+
+@query(
+    "kg_k_hop",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'P:' || CAST(l_partkey AS VARCHAR) AS src,
+                      'S:' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+      UNION ALL
+      SELECT DISTINCT 'S:' || CAST(s_suppkey AS VARCHAR),
+                      'N:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT DISTINCT 'N:' || CAST(n_nationkey AS VARCHAR),
+                      'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), seeds AS (
+      SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS node
+      FROM part WHERE p_partkey <= 5
+    ), bfs(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, bfs.hops + 1
+      FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM bfs GROUP BY node
+    """,
+)
+def kg_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop neighborhood expansion (operators/graph.k_hop_neighbors) over a
+    heterogeneous entity graph (part -> supplier -> nation -> region) — the
+    KG subgraph-sampling primitive.  The oracle is the equivalent recursive
+    CTE; Spark runs the bounded frontier iteration (k joins, no recursion)."""
+    from i2o_transform_spark.operators.graph import k_hop_neighbors
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        li.select(tag("P:", "l_partkey").alias("src"),
+                  tag("S:", "l_suppkey").alias("dst")).distinct()
+        .unionByName(
+            su.select(tag("S:", "s_suppkey").alias("src"),
+                      tag("N:", "s_nationkey").alias("dst")).distinct())
+        .unionByName(
+            na.select(tag("N:", "n_nationkey").alias("src"),
+                      tag("R:", "n_regionkey").alias("dst")).distinct())
+    )
+    seeds = pa.where(F.col("p_partkey") <= 5).select(
+        tag("P:", "p_partkey").alias("node")
+    )
+    out = k_hop_neighbors(edges, seeds, k=3, src="src", dst="dst")
+    return out.select("node", F.col("hops").cast("int"))

@@ -235,3 +235,61 @@ def enrich_events(
         *[F.col(src).alias(dst) for src, dst in dim_cols],
     )
     return events.join(F.broadcast(d), key_col, "left")
+
+
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    max_gap_minutes: int = 30,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``right_type`` event to
+    every ``left_type`` event by the same key in the preceding
+    ``max_gap_minutes`` (the classic click→purchase attribution shape).
+
+    On streaming inputs BOTH sides carry a watermark and the join condition
+    bounds right.ts into [left.ts, left.ts + gap], so Spark derives a state
+    watermark for each side: buffered rows older than (watermark + gap) are
+    evicted every trigger — state is bounded by the time window, never by
+    history.  On batch inputs the identical plan is a plain range-condition
+    join (the correctness oracle; tests prove stream == batch).
+
+    Scale notes: the state store is hash-partitioned on ``key_col`` — the
+    same skew caveat as any keyed join (a bot user with 10^6 clicks/hour
+    makes a hot state partition; cap with a per-key sampling guard upstream
+    if the source allows it).  Output columns are renamed to a flat schema
+    so downstream plans never carry two ambiguous ``ts`` columns.
+    """
+    l = left.where(F.col(type_col) == left_type).select(
+        F.col(key_col).alias("l_key"),
+        F.col(ts_col).cast("timestamp").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.where(F.col(type_col) == right_type).select(
+        F.col(key_col).alias("r_key"),
+        F.col(ts_col).cast("timestamp").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l["l_key"] == r["r_key"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {max_gap_minutes} MINUTES"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key_col),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+        "r_value",
+    )

@@ -790,3 +790,113 @@ def test_prefix_jaccard_equals_bruteforce(spark):
         ).collect()
     }
     assert got == expected and len(expected) == 20
+
+
+# ---------------------------------------------------------------------------
+# CDC / incremental merge (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_snapshot_tiebreak_prefers_delete(spark):
+    """A delete and an upsert with the SAME sequence number must not
+    resurrect the key (retry safety)."""
+    from i2o_transform_spark.operators.cdc import cdc_latest_snapshot
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "U", "a"),
+            (1, 20, "U", "b"),
+            (1, 20, "D", None),   # same seq as the 'b' upsert
+            (2, 5, "D", None),
+            (2, 7, "U", "z"),     # later upsert revives key 2
+            (3, 1, "U", "x"),
+        ],
+        "k int, seq int, op string, v string",
+    )
+    snap = cdc_latest_snapshot(log, keys=["k"], seq_col="seq", op_col="op")
+    got = {r.k: r.v for r in snap.collect()}
+    assert got == {2: "z", 3: "x"}  # key 1 stays deleted on the tie
+
+
+def test_scd2_history_collapses_replays(spark):
+    """At-least-once redelivery of an unchanged state must not lengthen
+    history; intervals chain with lead() and exactly one is current."""
+    from i2o_transform_spark.operators.cdc import scd2_history
+
+    log = spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "B"), (1, 5, "A")],
+        "k int, seq int, attr string",
+    )
+    h = scd2_history(log, keys=["k"], attr_cols=["attr"], seq_col="seq")
+    rows = sorted(
+        (r.attr, r.valid_from, r.valid_to, r.is_current) for r in h.collect()
+    )
+    assert rows == [("A", 1, 3, False), ("A", 5, None, True),
+                    ("B", 3, 5, False)]
+
+
+def test_merge_into_bucketed_prunes_untouched_buckets(spark, tmp_path):
+    """The merge must (a) equal a full recompute and (b) leave the files of
+    unaffected buckets untouched on disk (partition-pruned rewrite)."""
+    import os
+
+    from i2o_transform_spark.operators.cdc import merge_into_bucketed
+    from i2o_transform_spark.sources.tables import bucketed_write
+
+    base = str(tmp_path)
+    n_buckets = 16
+    target = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    bucketed_write(target, base, "snap", key_col="k", n_buckets=n_buckets)
+
+    # capture per-file mtimes before the merge
+    def file_mtimes():
+        out = {}
+        for root, _dirs, files in os.walk(os.path.join(base, "snap")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = file_mtimes()
+    changes = spark.createDataFrame(
+        [(5, 1, "U", 999), (5, 2, "U", 555),   # update k=5 (last wins)
+         (7, 1, "D", None),                     # delete k=7
+         (1000, 1, "U", 42)],                   # insert new key
+        "k long, seq int, op string, v long",
+    )
+    touched = merge_into_bucketed(
+        spark, base, "snap", changes, key_col="k", seq_col="seq",
+        op_col="op", n_buckets=n_buckets,
+    )
+    assert 0 < len(touched) <= 3
+    after = file_mtimes()
+    changed_dirs = {f"_bucket={b}" for b in touched}
+    for p, m in before.items():
+        if p in after and not any(c in p for c in changed_dirs):
+            assert after[p] == m, f"untouched bucket rewritten: {p}"
+
+    merged = spark.read.parquet(os.path.join(base, "snap"))
+    got = {r.k: r.v for r in merged.collect()}
+    expect = {i: i * 10 for i in range(200)}
+    expect[5] = 555
+    del expect[7]
+    expect[1000] = 42
+    assert got == expect
+
+
+def test_k_hop_min_distance(spark):
+    """BFS must report MIN hop distance when a node is reachable at several
+    depths, and never leave the k-ball."""
+    from i2o_transform_spark.operators.graph import k_hop_neighbors
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops
+           for r in k_hop_neighbors(edges, seeds, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # e is 3 hops: excluded

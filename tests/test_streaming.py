@@ -394,3 +394,27 @@ def test_kg_stream_restart_from_checkpoint(spark, tmp_path):
 
     assert rows(got) == rows(expected)
     assert got.select("triple_id").distinct().count() == got.count()
+
+
+def test_attribution_join_stream_equals_batch(spark):
+    """Stream-stream interval join: both sides file-streamed with
+    watermarks; inner join emits eagerly, so an availableNow replay must
+    reproduce the batch range-join exactly."""
+    from i2o_transform_spark.streaming.windowed import attribution_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = attribution_join(ev, ev)
+    sdf = attribution_join(_stream_events(spark), _stream_events(spark))
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("attr_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = spark.table("attr_join")
+    cols = ["user_id", "l_event_id", "r_event_id", "l_ts", "r_ts", "r_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert batch.count() > 0

@@ -365,3 +365,58 @@ def k_hop_neighbors(
         visited = visited.unionByName(nxt).persist()
         frontier = nxt.select("node")
     return visited
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Deterministic "random" walks over the edge table — the random-walk
+    corpus generator behind DeepWalk/node2vec-style KG embeddings, made
+    reproducible for a data pipeline: at step ``t`` the walker at node ``u``
+    moves to the out-neighbor ``v`` minimizing ``md5(u:t:v)``.  The choice
+    is uniform-ish (hash order is pseudo-random per (u, t)), varies per
+    step (the same hub is left via different edges at different steps), and
+    is a pure function of the data — identical walks on every run, every
+    cluster size, every retry (the reference's determinism rule, e.g. its
+    ordered TOP-n elections, MSSQL/OMOPLoader.sql:1893-1895, applied to
+    sampling).
+
+    Scale shape: each step is one shuffle join on the current-node key plus
+    a ``min_by`` hash aggregate (map-side combined) — never a window sort,
+    never a collect; ``length`` is a small constant so the loop unrolls into
+    a fixed plan.  Walkers at a dead-end node simply stop (inner join drops
+    them).  Hub nodes fan many walkers into one join key: AQE skew-split
+    handles it, and the aggregate output is one row per walker regardless
+    of degree.
+
+    Output: (walk_id, step, node) — step 0 is the seed row.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    out = seeds.select(
+        F.col(node_col).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col(node_col).alias("node"),
+    ).distinct()
+    cur = out
+    for t in range(1, length + 1):
+        stepped = (
+            cur.withColumnRenamed("node", "_u")
+            .join(e, "_u")
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "_v",
+                    F.md5(F.concat_ws(":", "_u", F.lit(str(t)), "_v")),
+                ).alias("node")
+            )
+            .withColumn("step", F.lit(t))
+            .select("walk_id", "step", "node")
+        )
+        out = out.unionByName(stepped)
+        cur = stepped
+    return out

@@ -3995,3 +3995,498 @@ def kg_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = k_hop_neighbors(edges, seeds, k=3, src="src", dst="dst")
     return out.select("node", F.col("hops").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: training-data prep + KG walk primitives
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32   # tokens per training chunk
+_CHUNK_S = 24   # stride (8-token overlap carries context across boundaries)
+
+
+@query(
+    "ta_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             unnest(range(0, greatest(0,
+               CAST(ceil((len(w) - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT)
+             ) + 1)) AS k
+      FROM toks
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(least(len(w) - k * {_CHUNK_S}, {_CHUNK_W}) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(
+             list_slice(w, k * {_CHUNK_S} + 1,
+                        least(k * {_CHUNK_S} + {_CHUNK_W}, len(w))),
+             ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def ta_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking — the context-window prep
+    step of an LLM training pipeline: every document becomes ceil-cover
+    chunks of {W} tokens at stride {S} (8-token overlap), so no token is
+    lost at a boundary and long pages fan out to many rows.
+
+    Scale shape: pure narrow ops — tokenize, compute the start sequence
+    with ``F.sequence`` (arithmetic, no data motion), ``posexplode``,
+    ``slice`` + ``array_join``.  Zero shuffles, fully pipelined inside one
+    whole-stage-codegen scan; output row count grows ~n_tokens/stride per
+    doc, which is exactly the fan-out a downstream writer repartitions on.
+    The last chunk is the natural short tail (no padding here — padding is
+    ta_sequence_packing's job downstream).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_starts = F.greatest(
+        F.lit(0),
+        F.ceil((F.size("w") - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("long"),
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_starts)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            F.least(
+                F.size("w") - F.col("k").cast("int") * _CHUNK_S,
+                F.lit(_CHUNK_W),
+            ).cast("long").alias("chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    "w",
+                    (F.col("k").cast("int") * _CHUNK_S + 1),
+                    F.lit(_CHUNK_W),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "ta_bpe_merges",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), vocab AS (
+      SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ), pairs AS (
+      SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair,
+             freq
+      FROM (SELECT word, freq, unnest(range(1, len(word))) AS i FROM vocab
+            WHERE len(word) >= 2) x
+    ), c AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM c ORDER BY rank LIMIT 20
+    """,
+)
+def ta_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates: the first iteration of byte-pair-encoding
+    tokenizer training — count adjacent character pairs over the corpus,
+    weighted by word frequency, and rank the top merges.
+
+    Scale shape (the classic BPE-at-scale trick): aggregate the corpus to
+    the word-frequency VOCAB first (one map-side-combined hash agg shrinks
+    10^12 docs to ~10^6 distinct words), then explode characters only over
+    the vocab — per-pair work is O(|vocab| * word_len), independent of
+    corpus size.  The pair count is a second hash agg; top-20 is
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    Further merge iterations re-run the same two aggs over the re-segmented
+    vocab (driver-bounded loop) — iteration 1 is registered because it is
+    the oracle-checkable unit.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("word").substr(i, F.lit(1)),
+                    F.col("word").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+    wr = Window.orderBy(F.col("n").desc(), "pair")
+    return counted.select(
+        "pair", "n", F.row_number().over(wr).cast("long").alias("rank")
+    )
+
+
+@query(
+    "kg_random_walks",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, u AS (
+      SELECT subj AS s, obj AS d FROM e
+      UNION
+      SELECT obj AS s, subj AS d FROM e
+    ), w0 AS (
+      SELECT DISTINCT subj AS walk_id, 0 AS step, subj AS node FROM e
+    ), w1 AS (
+      SELECT walk_id, 1 AS step,
+             arg_min(d, md5(s || ':1:' || d)) AS node
+      FROM w0 JOIN u ON u.s = w0.node GROUP BY walk_id
+    ), w2 AS (
+      SELECT walk_id, 2 AS step,
+             arg_min(d, md5(s || ':2:' || d)) AS node
+      FROM w1 JOIN u ON u.s = w1.node GROUP BY walk_id
+    ), w3 AS (
+      SELECT walk_id, 3 AS step,
+             arg_min(d, md5(s || ':3:' || d)) AS node
+      FROM w2 JOIN u ON u.s = w2.node GROUP BY walk_id
+    )
+    SELECT walk_id, CAST(step AS BIGINT) AS step, node
+    FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+          UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3) t
+    """,
+)
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the (symmetrized) KG edge
+    table — the DeepWalk/node2vec sampling primitive that turns a graph
+    into embedding-training sequences (operators/graph.deterministic_walks;
+    north_star KG-materialize consumer).  Walks are a pure function of the
+    data (hash-argmin next-hop), so the emitted corpus is identical across
+    runs, retries, and cluster sizes — the reference's ordered-election
+    determinism rule (MSSQL/OMOPLoader.sql:1893-1895) applied to sampling.
+    Each step is one join + map-side-combined ``min_by`` agg; the walk
+    length is a small constant, so the loop unrolls into a fixed plan with
+    no driver actions."""
+    from i2o_transform_spark.operators.graph import deterministic_walks
+
+    e = _kg_edges(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    seeds = e.select(F.col("subj").alias("node")).distinct()
+    out = deterministic_walks(und, seeds, length=3, src="subj", dst="obj")
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "node")
+
+
+@query(
+    "dd_span_dedup",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM d
+    ), g AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS gram
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+            FROM toks WHERE len(w) >= 5) x
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT g.doc_id, COUNT(*) AS n_windows, COUNT(dup.gram) AS dup_windows
+      FROM g LEFT JOIN dup USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(dup_windows AS BIGINT) AS dup_windows,
+           round(dup_windows / n_windows, 6) AS dup_ratio
+    FROM per WHERE dup_windows / n_windows >= 0.5
+    """,
+)
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (the substring-dedup signal of Lee
+    et al.-style training-data dedup, positionally windowed): every 5-token
+    window is fingerprinted; a window whose fingerprint occurs in >= 2
+    distinct documents is a duplicated span, and documents where >= 50% of
+    windows are duplicated are flagged (with their span coverage stats).
+    14% of docs are re-planted as exact copies so true positives exist.
+
+    Scale shape: windows are md5-fingerprinted map-side, so only 16-byte
+    hashes (never the text) reach the two shuffles — the per-gram
+    document-frequency agg and the flag join, which share the ``gram``
+    shuffle key (Spark reuses the exchange).  Per-doc rollup is a
+    map-side-combined hash agg on doc_id.  This is the positional
+    complement of dd_ngram_jaccard: that one scores whole-doc similarity,
+    this one localizes WHICH spans repeat (the boilerplate/template signal
+    at crawl scale)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).where(F.size("w") >= 5)
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 5),
+                lambda i: F.md5(F.array_join(F.slice("w", i + 1, F.lit(5)), " ")),
+            )
+        ).alias("gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("gram", F.lit(1).alias("_dup"))
+    )
+    per = (
+        g.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("dup_windows"),
+        )
+    )
+    ratio = F.col("dup_windows") / F.col("n_windows")
+    return per.where(ratio >= 0.5).select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("dup_windows").cast("long").alias("dup_windows"),
+        F.round(ratio, 6).alias("dup_ratio"),
+    )
+
+
+@query("ta_bpe_train")
+def ta_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE tokenizer training (functions/bpe.bpe_train): 20
+    merges learned from the corpus word-frequency vocab.  Rows-only by
+    design (an iterative algorithm, not SQL-expressible); the hard signals
+    are (a) pytest equality vs a pure-python BPE reference, (b) the oracled
+    ta_bpe_roundtrip_check companion, and (c) iteration 1 equals the
+    oracled ta_bpe_merges rank-1 pair (pytest)."""
+    from i2o_transform_spark.functions.bpe import bpe_train, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_vocab(docs), n_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+@query(
+    "ta_bpe_roundtrip_check",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), s AS (
+      SELECT CAST(SUM(len(word)) AS BIGINT) AS chars
+      FROM toks WHERE len(word) > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           chars AS chars_in, chars AS chars_out,
+           CAST(1 AS INT) AS lossless
+    FROM s
+    """,
+)
+def ta_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation invariant gate (companion to ta_bpe_train): applying
+    the learned merges to the whole corpus must preserve every character —
+    sum(len(token)) over the segmented corpus equals sum(len(word)) over the
+    raw corpus, computed INDEPENDENTLY by the oracle from the raw table.  A
+    wrong merge application (dropped/duplicated symbol) breaks the hash
+    match.  Exercises train + segment end-to-end on real data."""
+    from i2o_transform_spark.functions.bpe import bpe_segment, bpe_train, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_vocab(docs), n_merges=12)
+    seg = bpe_segment(docs, merges)
+    raw_chars = F.aggregate(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    out_chars = F.aggregate(
+        F.col("bpe_tokens"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    )
+    agg = seg.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(raw_chars).alias("chars_in"),
+        F.sum(out_chars).alias("chars_out"),
+    )
+    return agg.select(
+        "n_docs", "chars_in", "chars_out",
+        (F.col("chars_in") == F.col("chars_out")).cast("int").alias("lossless"),
+    )
+
+
+@query(
+    "ta_nb_classifier",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents
+    ), w AS (
+      SELECT token,
+             (1000000 * (SUM(y) + 1)) // (COUNT(*) + 2) AS wt
+      FROM dt JOIN lab USING (doc_id)
+      GROUP BY token
+    )
+    SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(wt) AS BIGINT) AS score
+    FROM dt JOIN w USING (token)
+    GROUP BY dt.doc_id
+    """,
+)
+def ta_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/domain classifier, trained AND applied in-pipeline (the
+    CCNet/fastText-style filtering stage of an LLM data pipeline): Bernoulli
+    Naive-Bayes token evidence for the in-domain class (lang='en'),
+    add-1-smoothed, then every document scored by the sum of its distinct
+    tokens' weights.  Weights use exact integer arithmetic
+    (1e6-scaled ``(df_pos+1) div (df+2)``) so train and inference are a
+    pure function of the data — bit-identical across engines, runs, and
+    cluster sizes (no float log-odds accumulation-order drift).
+
+    Scale shape: training is ONE map-side-combined hash agg over (doc,
+    token) pairs — the label joins in before the shuffle via a cheap
+    per-doc flag.  The learned weight table is vocab-sized -> broadcast
+    joined back for inference (zero extra shuffle on the corpus side
+    beyond the per-doc rollup).  Retraining is re-running one agg —
+    the classifier stays inside the engine instead of a side process.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .distinct()
+    )
+    lab = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    w = (
+        dt.join(lab, "doc_id")
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "(1000000 * (sum(y) + 1)) div (count(*) + 2)"
+            ).alias("wt")
+        )
+    )
+    return (
+        dt.join(F.broadcast(w), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("wt").cast("long").alias("score"),
+        )
+    )
+
+
+@query(
+    "ta_tfidf_topk",
+    oracle=r"""
+    WITH tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents) t
+      GROUP BY doc_id, token
+    ), idf AS (
+      SELECT token, 1000000 // COUNT(*) AS idf
+      FROM (SELECT DISTINCT doc_id, token FROM tf) d GROUP BY token
+    ), wt AS (
+      SELECT doc_id, token, tf * idf AS w FROM tf JOIN idf USING (token)
+    ), q AS (
+      SELECT doc_id AS q_id, token, w AS qw FROM wt WHERE doc_id < 3
+    ), scores AS (
+      SELECT q.q_id, wt.doc_id, CAST(SUM(q.qw * wt.w) AS BIGINT) AS score
+      FROM q JOIN wt USING (token)
+      WHERE wt.doc_id <> q.q_id
+      GROUP BY q.q_id, wt.doc_id
+    ), ranked AS (
+      SELECT q_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scores
+    )
+    SELECT q_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval: tf-idf-weighted inverted-index dot-product
+    top-k — the BM25-family complement to the dense ANN queries
+    (ann_cosine_topk / ann_lsh_topk).  Weights are exact integers (idf =
+    1e6 div df, a monotone inverse-df; scores are BIGINT dot products) so
+    ranking is bit-identical across engines and cluster sizes — no float
+    log/sqrt drift.
+
+    Scale shape: the posting-list join IS the candidate generator — only
+    docs sharing a term with the query are touched, grouped map-side; the
+    query side is a small fixed set, so the join broadcasts it and the
+    per-query top-5 is a tiny window over each query's candidate scores
+    (partitioned by q_id — never a global sort).  The df-cut guard for
+    stopword postings at 100 TB is dd_ngram_jaccard's (drop df > 10%);
+    omitted here because idf already damps them to weight 0-ish
+    (1e6 div df underflows to a small constant, and the planner prunes
+    nothing semantically).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(
+        F.expr("1000000 div count(*)").alias("idf")
+    )
+    wt = tf.join(idf, "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    q = wt.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), "token", F.col("w").alias("qw")
+    )
+    scores = (
+        wt.join(F.broadcast(q), "token")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).cast("long").alias("score"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 5)
+    )

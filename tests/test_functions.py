@@ -157,3 +157,148 @@ def test_batched_signatures_bit_identical(spark):
     h, segs = _batch_shingle_hashes(pd.Series(texts), 3)
     assert len(segs) == len(texts) and segs[0] == 0
     assert np.all(np.diff(segs) >= 1)
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """Chunking invariants on real tiny data: (1) chunk starts advance by
+    the stride; (2) every token position is covered by some chunk; (3) the
+    reconstruction from stride-aligned chunk prefixes equals the original
+    token stream; (4) only the last chunk may be short."""
+    from i2o_transform_spark.queries import _CHUNK_S, _CHUNK_W, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ta_doc_chunking"](spark, sf).collect()
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for c in chunks:
+            got = c.chunk_text.split(" ") if c.chunk_text else []
+            start = c.chunk_idx * _CHUNK_S
+            assert got == toks[start : start + _CHUNK_W]
+            assert c.chunk_tokens == len(got)
+            rebuilt = rebuilt[:start] + got
+        assert rebuilt == toks  # full coverage, no token lost
+        short = [c for c in chunks if c.chunk_tokens < _CHUNK_W]
+        assert all(c is chunks[-1] for c in short)  # only the tail is short
+
+
+def test_bpe_merges_vs_python_counter(spark):
+    """Top-20 BPE pair counts == a brute-force python Counter over the same
+    corpus (vocab-weighted aggregation is an optimization, not a semantic
+    change)."""
+    from collections import Counter
+
+    from i2o_transform_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ta_bpe_merges"](spark, sf).collect()
+    c: Counter = Counter()
+    for r in spark.read.parquet(f"{sf}/documents.parquet").collect():
+        for w in r.text.strip().split():
+            for i in range(len(w) - 1):
+                c[f"{w[i]} {w[i + 1]}"] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.pair, r.n) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == want
+
+
+def test_span_dedup_planted_copies_fully_flagged(spark):
+    """Planted exact copies (doc_id%7) must appear with dup_ratio 1.0 on
+    both the copy and its source; a doc with no duplicated spans must not
+    appear."""
+    from i2o_transform_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.doc_id: r for r in QUERIES["dd_span_dedup"](spark, sf).collect()}
+    docs = [r.doc_id for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()]
+    planted = [d for d in docs if d % 7 == 0]
+    assert planted
+    for d in planted:
+        assert rows[d].dup_ratio == 1.0
+        assert rows[d + 1000000].dup_ratio == 1.0
+        assert rows[d].n_windows == rows[d].dup_windows
+
+
+def _py_bpe_train(words: dict[str, int], n_merges: int):
+    """Pure-python BPE reference (leftmost-first non-overlapping merge,
+    lexicographic tie-break) — ground truth for functions/bpe.bpe_train."""
+    vocab = {w: list(w) for w in words}
+
+    def merge_word(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in vocab.items():
+            f = words[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {w: merge_word(s, *best) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_bpe_train_vs_python_reference(spark):
+    """Distributed merge loop == pure-python BPE on a corpus with merge
+    interactions (repeated chars, overlapping candidates, ties)."""
+    from i2o_transform_spark.functions.bpe import bpe_train
+
+    words = {
+        "aaaa": 10, "aaab": 8, "banana": 7, "bandana": 5,
+        "low": 5, "lower": 2, "lowest": 6, "newer": 3, "wider": 3,
+        "x": 1,
+    }
+    vocab = spark.createDataFrame(list(words.items()), "word string, freq long")
+    got = bpe_train(vocab, n_merges=15)
+    want, _ = _py_bpe_train(words, 15)
+    assert got == want
+
+
+def test_bpe_segment_matches_training_state(spark):
+    """Segmenting the training words with the learned merges reproduces the
+    training-time final symbol state (rank-order apply == iterative
+    rewrite), and every word round-trips losslessly."""
+    from i2o_transform_spark.functions.bpe import bpe_segment, bpe_train
+
+    words = {"banana": 4, "bandana": 3, "ban": 5, "nab": 2, "aaaa": 6}
+    vocab = spark.createDataFrame(list(words.items()), "word string, freq long")
+    merges = bpe_train(vocab, n_merges=8)
+    want_state = {w: _py_bpe_train(words, 8)[1][w] for w in words}
+    docs = spark.createDataFrame([(w,) for w in words], "text string")
+    got = {r.text: list(r.bpe_tokens) for r in bpe_segment(docs, merges).collect()}
+    assert got == want_state
+    for w, toks in got.items():
+        assert "".join(toks) == w
+
+
+def test_bpe_first_merge_equals_top_pair_query(spark):
+    """bpe_train iteration 1 == the oracled ta_bpe_merges rank-1 pair on
+    the same tiny corpus."""
+    from i2o_transform_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    top = QUERIES["ta_bpe_merges"](spark, sf).orderBy("rank").first()
+    train = QUERIES["ta_bpe_train"](spark, sf).orderBy("rank").first()
+    assert f"{train.left} {train.right}" == top.pair

@@ -900,3 +900,63 @@ def test_k_hop_min_distance(spark):
     got = {r.node: r.hops
            for r in k_hop_neighbors(edges, seeds, k=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # e is 3 hops: excluded
+
+
+def test_deterministic_walks_golden(spark):
+    """Walks follow hash-argmin edges: verify against a brute-force python
+    recomputation of the same md5-argmin rule, and that a dead-end node
+    simply ends the walk."""
+    import hashlib
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "e")]
+    # 'e' is a dead end
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    from i2o_transform_spark.operators.graph import deterministic_walks
+
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in deterministic_walks(df, seeds, length=3).collect()
+    }
+
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    def nxt(u: str, t: int) -> str | None:
+        outs = adj.get(u)
+        if not outs:
+            return None
+        key = lambda v: hashlib.md5(f"{u}:{t}:{v}".encode()).hexdigest()  # noqa: E731
+        return min(outs, key=key)
+
+    want = set()
+    for seed in ("a", "d"):
+        cur: str | None = seed
+        want.add((seed, 0, seed))
+        for t in range(1, 4):
+            cur = nxt(cur, t)
+            if cur is None:
+                break
+            want.add((seed, t, cur))
+    assert got == want
+    # walker 'd' reached dead-end 'e' at step 1 and stopped
+    assert ("d", 1, "e") in got
+    assert not any(w == "d" and s > 1 for w, s, _ in got)
+
+
+def test_deterministic_walks_reproducible_across_partitionings(spark):
+    """Same walks regardless of input partitioning (determinism is data-only)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)})
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    df8 = df1.repartition(8)
+    seeds = spark.createDataFrame([(n,) for n in nodes[:10]], "node string")
+    from i2o_transform_spark.operators.graph import deterministic_walks
+
+    a = sorted(map(tuple, deterministic_walks(df1, seeds, length=4).collect()))
+    b = sorted(map(tuple, deterministic_walks(df8, seeds, length=4).collect()))
+    assert a == b and len(a) > 10

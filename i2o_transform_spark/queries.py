@@ -4490,3 +4490,52 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= 5)
     )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT min(o_custkey) AS lo1, max(o_custkey) AS hi1,
+             min(o_orderkey) AS lo2, max(o_orderkey) AS hi2
+      FROM orders
+    ), n AS (
+      SELECT o_orderkey,
+             CAST(floor((o_custkey - lo1) * 65535 / greatest(1, hi1 - lo1))
+                  AS BIGINT) AS x,
+             CAST(floor((o_orderkey - lo2) * 65535 / greatest(1, hi2 - lo2))
+                  AS BIGINT) AS y
+      FROM orders, b
+    )
+    SELECT o_orderkey, CAST({z} AS BIGINT) AS zval FROM n
+    """
+
+
+@query("zo_zorder_code", oracle=_zorder_oracle())
+def zo_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over (o_custkey, o_orderkey) — the
+    multi-dimensional clustered-layout analogue of the reference's
+    clustered indexes (functions/zorder.py; MSSQL/OMOPLoader.sql clustered
+    index sites, SURVEY §2.6 O1).  The code is pure bit arithmetic (32
+    shift/and/or terms) inside whole-stage codegen; the oracle re-derives
+    every bit independently, so any drift in normalization or interleaving
+    breaks the value hash.  The layout effect itself (per-file min/max
+    envelopes tight on BOTH columns after zorder_by) is pytest-gated."""
+    from i2o_transform_spark.functions.zorder import z_value
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    zv = z_value(
+        ["o_custkey", "o_orderkey"],
+        [int(b[0]), int(b[2])],
+        [int(b[1]), int(b[3])],
+        bits=16,
+    )
+    return orders.select("o_orderkey", zv.cast("long").alias("zval"))

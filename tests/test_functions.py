@@ -302,3 +302,74 @@ def test_bpe_first_merge_equals_top_pair_query(spark):
     top = QUERIES["ta_bpe_merges"](spark, sf).orderBy("rank").first()
     train = QUERIES["ta_bpe_train"](spark, sf).orderBy("rank").first()
     assert f"{train.left} {train.right}" == top.pair
+
+
+def test_z_value_matches_python_morton(spark):
+    """Bit interleave == a python Morton reference on hand-picked and
+    boundary values (bounds exactly representable, no normalization loss)."""
+    from i2o_transform_spark.functions.zorder import z_value
+
+    # bounds 0..255 with bits=8: scale factor is exact (255*255/255)
+    rows = [(0, 0), (255, 255), (1, 2), (170, 85), (255, 0), (0, 255), (37, 200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y",
+            z_value(["x", "y"], [0, 0], [255, 255], bits=8).alias("z"),
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+def test_zorder_layout_tightens_both_dims(spark):
+    """The point of Z-ordering: after zorder_by on (x, y), every output
+    partition's min/max envelope is tight on BOTH dimensions (so min/max
+    stats prune scans for predicates on EITHER column); a plain range sort
+    on x leaves the y envelope spanning the full value range.  Metric: the
+    mean per-partition span fraction per dimension — the expected fraction
+    of partitions a uniform point predicate on that dimension fails to
+    prune."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.functions.zorder import zorder_by
+
+    rng = random.Random(11)
+    n, parts = 4096, 16
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def mean_spans(d):
+        stats = (
+            d.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        fx = sum((r.sx + 1) / 1024 for r in stats) / len(stats)
+        fy = sum((r.sy + 1) / 1024 for r in stats) / len(stats)
+        return fx, fy
+
+    zx, zy = mean_spans(zorder_by(df, ["x", "y"], parts))
+    lx, ly = mean_spans(
+        df.repartitionByRange(parts, "x").sortWithinPartitions("x")
+    )
+    # 1-D clustering: tight on x, hopeless on y
+    assert lx < 0.2 and ly > 0.9, (lx, ly)
+    # z-order: BOTH dimensions simultaneously bounded (quadrant-sized
+    # envelopes, modulo partitions straddling a z-boundary)
+    assert zx < 0.55 and zy < 0.55, (zx, zy)

@@ -291,3 +291,25 @@ def test_catalog_source_raises_clean_error_without_iceberg(spark):
 
     with _pytest.raises(RuntimeError, match="catalog source unavailable"):
         load_table_catalog(spark, "no_such_catalog.db.pages")
+
+
+def test_doc_chunking_is_map_only(spark):
+    """Chunking must be pure narrow fan-out: tokenize -> sequence ->
+    explode -> slice, zero exchanges."""
+    plan = plan_of(QUERIES["ta_doc_chunking"](spark, SF_DIR))
+    assert shuffle_count(plan) == 0
+
+
+def test_nb_classifier_inference_is_broadcast(spark):
+    """The learned weight table is vocab-sized: the inference join must be
+    a BroadcastHashJoin (the corpus side never reshuffles on token for
+    scoring)."""
+    plan = plan_of(QUERIES["ta_nb_classifier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_query_side_is_broadcast(spark):
+    """The fixed query set must broadcast into the posting-list join —
+    never a shuffled join keyed on the full corpus postings."""
+    plan = plan_of(QUERIES["ta_tfidf_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

@@ -4539,3 +4539,231 @@ def zo_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=16,
     )
     return orders.select("o_orderkey", zv.cast("long").alias("zval"))
+
+
+# ---------------------------------------------------------------------------
+# QA / diagnostics family — the ops tooling a 100 TB pipeline runs before and
+# after every load (the reference's omopReport/i2oreport QA pattern,
+# MSSQL/OMOPLoader.sql:1996-2097, generalized)
+# ---------------------------------------------------------------------------
+
+@query(
+    "qa_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of the
+    star schema — the pre-load QA gate of the reference's report procs
+    (i2oreport counts unmapped rows per table the same way,
+    MSSQL/OMOPLoader.sql:2085-2095).  Each check is a left-anti join
+    reduced to ONE count row map-side; parent key sets are
+    dictionary-sized -> broadcast, so the fact table is scanned once per
+    edge with zero shuffles (at 100 TB you run all edges in one pass over
+    a cached scan — the per-edge form keeps each count independently
+    retryable)."""
+    def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, tag: str):
+        return (
+            child.join(
+                F.broadcast(parent.select(F.col(pk).alias(ck)).distinct()),
+                ck,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+            .select(F.lit(tag).alias("fk"), "orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        orphans(li, "l_orderkey", od.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "lineitem->orders")
+        .unionByName(orphans(od, "o_custkey", cu.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "orders->customer"))
+        .unionByName(orphans(li, "l_partkey", pa.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "lineitem->part"))
+        .unionByName(orphans(cu, "c_nationkey", na.select(F.col("n_nationkey").alias("c_nationkey")), "c_nationkey", "customer->nation"))
+    )
+
+
+@query(
+    "qa_skew_profile",
+    oracle="""
+    WITH f AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ), s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_n,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM f
+    ), top AS (
+      SELECT key, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT)
+               AS rank
+      FROM f
+    )
+    SELECT t.rank, t.key, t.n,
+           CAST((1000000 * t.n) // s.total AS BIGINT) AS ppm_of_rows,
+           CAST((s.max_n * s.n_keys) // s.total AS BIGINT) AS skew_x
+    FROM top t, s WHERE t.rank <= 10
+    """,
+)
+def qa_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: before a big join/agg on ``l_partkey``,
+    report the top hot keys, each key's parts-per-million of the table, and
+    the global skew factor (hottest key vs perfectly uniform, as an
+    integer multiple).  This is the decision input for the engine's salted
+    join / AQE skew-split paths (operators/joins.salted_join) — at 100 TB
+    you profile on a sample or sketch; the exact form here is the oracle-
+    checkable unit.  One hash agg + a 10-row TakeOrdered; the scalar stats
+    ride along as a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = f.agg(
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = (
+        f.orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )
+    wr = Window.orderBy(F.col("n").desc(), "key")
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "rank", "key", "n",
+            F.expr("(1000000 * n) div total").alias("ppm_of_rows"),
+            F.expr("(max_n * n_keys) div total").alias("skew_x"),
+        )
+    )
+
+
+@query(
+    "qa_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT bin, bin * 25000 AS lo, (bin + 1) * 25000 AS hi, n FROM b
+    """,
+)
+def qa_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice (25k bins) — the
+    distribution-profiling primitive behind partition sizing and outlier
+    triage.  One map-side-combined hash agg on the bin id (arithmetic,
+    never a window); the bin count is data-independent so the result is a
+    few hundred rows regardless of table size."""
+    od = _t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 25000).cast("long")
+    return (
+        od.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * 25000).alias("lo"),
+            ((F.col("bin") + 1) * 25000).alias("hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "qa_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR),
+           CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def qa_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (null rate / cardinality / range) for a
+    table — the schema-drift QA the reference runs as per-table validation
+    selects.  Exact COUNT(DISTINCT) here (oracle-checkable); at 100 TB the
+    same query swaps in approx_count_distinct (see qa_hll_error_check for
+    the sketch-accuracy gate).  Expressed as one aggregate per column (each
+    independently retryable); at 100 TB fuse the non-distinct stats into a
+    single pass and let one shuffle carry all the distinct counts.  Values
+    are stringified so heterogeneous column types stack in one report
+    table."""
+    od = _t(spark, sf_dir, "orders")
+
+    def prof(c: str):
+        return od.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(c).cast("long").alias("n_nonnull"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        ).select(F.lit(c).alias("col"), "n_rows", "n_nonnull", "n_distinct",
+                 "min_v", "max_v")
+
+    return prof("o_custkey").unionByName(prof("o_orderstatus")).unionByName(
+        prof("o_orderdate")
+    )
+
+
+@query(
+    "qa_hll_error_check",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INT) AS within_5pct
+    FROM lineitem
+    """,
+)
+def qa_hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gate: approx_count_distinct (HyperLogLog++, the
+    100 TB path for qa_table_profile's cardinality column) must land within
+    5% of the exact distinct count, which the oracle computes
+    independently.  The flag hashes into the driver artifact, so a
+    silently-degraded sketch (rsd misconfigured, bad merge) fails the
+    round, not a code reviewer."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+    ).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).cast("int").alias("within_5pct"),
+    )

@@ -4767,3 +4767,115 @@ def qa_hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).cast("int").alias("within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event analytics — funnel + retention over the events stream table
+# ---------------------------------------------------------------------------
+
+@query(
+    "ev_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, s.t_view,
+             MIN(e.ts) AS t_click
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t_view
+      GROUP BY e.user_id, s.t_view
+    ), p AS (
+      SELECT e.user_id,
+             MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM s WHERE t_view IS NOT NULL) AS BIGINT)
+             AS users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): users counted at
+    each stage only if the stage event happened strictly AFTER their
+    earliest previous-stage completion — the sequential-pattern primitive
+    of product/event analytics.
+
+    Scale shape: each stage is a per-user MIN timestamp (map-side-combined
+    hash agg), chained by an equi-join on user_id with a timestamp
+    predicate — stage state is one row per surviving user, so the data
+    volume SHRINKS monotonically down the funnel (never a window over the
+    raw event stream, never a self-join of events on events).  All three
+    joins share the user_id shuffle key, so AQE coalesces them onto one
+    exchange layout."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    row = lambda df, tag: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("users")
+    ).select(F.lit(tag).alias("stage"), "users")
+    return (
+        row(s, "view")
+        .unionByName(row(c, "view>click"))
+        .unionByName(row(p, "view>click>purchase"))
+    )
+
+
+@query(
+    "ev_retention",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts - TIMESTAMP '2024-01-01 00:00:00')
+                        / 604800) AS BIGINT) AS week
+      FROM events
+    ), c0 AS (
+      SELECT DISTINCT user_id FROM w WHERE week = 0
+    ), act AS (
+      SELECT DISTINCT w.user_id, w.week FROM w JOIN c0 USING (user_id)
+    )
+    SELECT week, CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act GROUP BY week
+    """,
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: of the users active in week 0, how many are active
+    in each later week — the engagement-decay curve.  The cohort is a
+    DISTINCT user set (dictionary-sized) broadcast back onto the weekly
+    activity pairs; everything else is two map-side-combined distinct-aggs
+    keyed on (user, week) then week.  Week ids are integer arithmetic on
+    the epoch (no calendar functions to disagree across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+        / 604800
+    ).cast("long")
+    w = ev.select("user_id", week.alias("week"))
+    c0 = w.where(F.col("week") == 0).select("user_id").distinct()
+    act = w.join(F.broadcast(c0), "user_id").distinct()
+    return act.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )

@@ -4879,3 +4879,98 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("week").agg(
         F.count(F.lit(1)).cast("long").alias("active_users")
     )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): a selective dimension
+    filter (one market segment) driving a 3-table join into a grouped
+    revenue top-10 — the classic join-ordering/broadcast showcase.
+
+    Scale shape: the filtered customer keys are segment-sized -> broadcast
+    into orders (which also carries its own pushed date filter), and only
+    the surviving orders shuffle against lineitem on the orderkey — the
+    one unavoidable exchange.  Catalyst pushes both date predicates to the
+    parquet scans; revenue sums in exact DECIMAL (accumulation-order-proof)
+    and the top-10 is TakeOrderedAndProject, never a global sort."""
+    cu = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    )
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "qa_quantile_sketch_check",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+             quantile_disc(o_totalprice, 0.95) AS p95
+      FROM orders
+    )
+    SELECT CAST(1 AS INT) AS p50_within_2pct, CAST(1 AS INT) AS p95_within_2pct
+    FROM q
+    """,
+)
+def qa_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy gate (companion to ta_len_quantiles'
+    documented 100 TB path): percentile_approx (KLL-style sketch, the
+    mergeable one-pass estimator used at scale) must land within 2% of the
+    exact discrete percentile computed INDEPENDENTLY by both engines —
+    Spark compares its sketch against its own exact percentile and emits
+    the flags; the oracle recomputes the exact quantiles and asserts the
+    contract constant.  A degraded sketch (accuracy parameter, bad merge)
+    flips the flag and fails the value hash."""
+    od = _t(spark, sf_dir, "orders")
+    agg = od.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").alias("a50"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 1000)").alias("a95"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.02 * F.abs(F.col(e))
+    ).cast("int")
+    return agg.select(
+        within("a50", "e50").alias("p50_within_2pct"),
+        within("a95", "e95").alias("p95_within_2pct"),
+    )

@@ -313,3 +313,15 @@ def test_tfidf_query_side_is_broadcast(spark):
     never a shuffled join keyed on the full corpus postings."""
     plan = plan_of(QUERIES["ta_tfidf_topk"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q3_plan_broadcast_and_partial_topk(spark):
+    """Q3 shape: the segment dim must broadcast, both date filters must
+    reach the parquet scans, and the top-10 must be TakeOrderedAndProject
+    (partial per-partition top-k), never a global Sort."""
+    plan = plan_of(QUERIES["q3_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert any("l_shipdate" in p for p in pushed), pushed

@@ -124,6 +124,30 @@ def main() -> None:
     ))
 
     sections.append((
+        "q3_shipping_priority — TPC-H Q3 shape (selective dim -> fact top-k)",
+        tree_of(QUERIES["q3_shipping_priority"](spark, sf)),
+        "The segment-filtered customer side broadcasts; both date "
+        "predicates sit in the scans' PushedFilters; the lineitem/orders "
+        "join is the single exchange pair and the top-10 is "
+        "`TakeOrderedAndProject` (per-partition partial top-k), never a "
+        "global sort.",
+    ))
+    sections.append((
+        "ta_doc_chunking — zero-shuffle training-chunk fan-out",
+        tree_of(QUERIES["ta_doc_chunking"](spark, sf)),
+        "Tokenize -> `sequence` -> `explode` -> `slice`: pure narrow "
+        "pipeline, zero exchanges — output fan-out (~tokens/stride rows "
+        "per doc) happens inside the scan's codegen stage.",
+    ))
+    sections.append((
+        "ta_nb_classifier — in-pipeline classifier train + broadcast inference",
+        tree_of(QUERIES["ta_nb_classifier"](spark, sf)),
+        "Training is the one token-keyed exchange (map-side-combined "
+        "agg); the learned vocab-sized weight table comes back as a "
+        "`BroadcastHashJoin`, so scoring the corpus adds no shuffle "
+        "beyond the per-doc rollup.",
+    ))
+    sections.append((
         "dd_prefix_jaccard — lossless prefix-filter candidate generation",
         tree_of(QUERIES["dd_prefix_jaccard"](spark, sf)),
         "AllPairs/PPJoin: shingles ordered rarest-first, only each doc's "

@@ -40,6 +40,17 @@ HEADLINE = [
 
 KG_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
 
+# supplementary round-2 flagships: timed and reported, but NOT in the
+# headline total (which stays comparable round-over-round)
+EXTRA = [
+    "q3_shipping_priority",
+    "ta_doc_chunking",
+    "ta_nb_classifier",
+    "ta_tfidf_topk",
+    "dd_span_dedup",
+    "zo_zorder_code",
+]
+
 
 def _spark(cpus: str):
     from i2o_transform_spark.session import get_spark
@@ -98,6 +109,16 @@ def run_headline() -> None:
         cold[name] = runs[0]
         timings[name] = min(runs)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        fn = QUERIES[name]
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        extra[name] = min(runs)
+
     # KG pipeline throughput: materialized pages -> triples.  One small
     # warmup run first — python UDF workers + codegen JIT are fixed costs
     # that belong to the session, not the measured pipeline.
@@ -121,6 +142,7 @@ def run_headline() -> None:
                 "timing": "best_of_2_steady_state",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_extra": extra,
                 "sf": sf,
                 "kg_pages": KG_BENCH_PAGES,
                 "kg_triples": kg["triples"],

@@ -325,3 +325,48 @@ def test_q3_plan_broadcast_and_partial_topk(spark):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("o_orderdate" in p for p in pushed), pushed
     assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Scale feature pin: with runtime bloom-filter injection enabled (the
+    100 TB conf for shuffled fact⋈filtered-dim joins that cannot
+    broadcast), Catalyst inserts a bloom_filter_agg on the build side and
+    a might_contain probe on the fact side — a semi-join reduction that
+    prunes fact rows BEFORE the exchange.  Pins the exact conf recipe the
+    README/cluster docs prescribe."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        small = spark.read.parquet(f"{SF_DIR}/part.parquet").where(
+            F.col("p_partkey") % 50 == 0
+        )
+        j = (
+            big.join(small, big.l_partkey == small.p_partkey)
+            .groupBy("p_brand")
+            .count()
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(True)
+        txt = buf.getvalue()
+        assert "bloom_filter_agg" in txt, "no bloom filter injected"
+        assert "might_contain" in txt, "no probe on the application side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -418,3 +418,82 @@ def test_attribution_join_stream_equals_batch(spark):
     cols = ["user_id", "l_event_id", "r_event_id", "l_ts", "r_ts", "r_value"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert batch.count() > 0
+
+
+def test_windowed_counts_drop_late_data_past_watermark(spark, tmp_path):
+    """Watermark semantics hard signal: an event arriving BELOW the
+    checkpointed watermark is dropped from the windowed aggregation (its
+    already-finalized window is not re-opened and no duplicate window row
+    reaches the append sink), while on-time data keeps advancing windows.
+
+    Run 1 processes events at 10:00:10 and 10:05:30 (watermark after the
+    batch: 10:04:30; the 10:00 window finalizes).  Run 2 — same checkpoint
+    — adds a LATE duplicate at 10:00:20 (below watermark -> dropped) plus
+    on-time events at 10:10 and 10:15 that push the watermark past the
+    10:05 window so it flushes.  Final sink: 10:00 window counted exactly
+    once with n_events=1, 10:05 window n_events=1."""
+    import datetime
+    import os
+
+    from i2o_transform_spark.streaming.windowed import windowed_event_counts
+
+    T = datetime.datetime
+    schema = "ts timestamp, event_type string, value double"
+    src_dir = str(tmp_path / "events")
+    os.makedirs(src_dir)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "staging" / name))
+        import shutil
+
+        stage = str(tmp_path / "staging" / name)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(stage, part), os.path.join(src_dir, name + ".parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = windowed_event_counts(
+            stream, window="1 minute", watermark="1 minute"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_file("f1", [
+        (T(2024, 1, 1, 10, 0, 10), "click", 1.0),
+        (T(2024, 1, 1, 10, 5, 30), "click", 1.0),
+    ])
+    run_once()
+
+    add_file("f2", [
+        (T(2024, 1, 1, 10, 0, 20), "click", 1.0),   # LATE: below watermark
+        (T(2024, 1, 1, 10, 10, 0), "click", 1.0),   # advances watermark
+    ])
+    add_file("f3", [
+        (T(2024, 1, 1, 10, 15, 0), "click", 1.0),   # flushes the 10:05 window
+    ])
+    run_once()
+
+    got = {
+        (r.window_start.strftime("%H:%M"), r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    w1000 = [n for w, n in got if w == "10:00"]
+    assert w1000 == [1], (w1000, got)  # late row dropped, window emitted once
+    assert ("10:05", 1) in got, got   # on-time window flushed by new data

@@ -4974,3 +4974,37 @@ def qa_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("a50", "e50").alias("p50_within_2pct"),
         within("a95", "e95").alias("p95_within_2pct"),
     )
+
+
+@query(
+    "o6_grouped_topk",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
+    """,
+)
+def o6_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 longest docs per source) — the grouped
+    complement of the O2 deterministic TOP-n (reference: per-patient
+    ordered elections, MSSQL/OMOPLoader.sql:1893-1895).
+
+    Scale shape: ONE shuffle on the group key and a per-partition sort —
+    the `rank <= k` filter is pushed into the Window via Spark's
+    WindowGroupLimit optimization, so each task keeps a k-row heap per
+    group instead of sorting whole groups (at 10^12 rows per-group
+    cardinality never materializes).  Ties break on doc_id, so the result
+    is a pure function of the data."""
+    docs = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+    )

@@ -370,3 +370,12 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    """Per-group top-k must trigger Spark's WindowGroupLimit pushdown (a
+    k-row heap per group inside each task) — never a full per-group sort
+    materialization."""
+    plan = plan_of(QUERIES["o6_grouped_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert shuffle_count(plan) == 1

@@ -5008,3 +5008,74 @@ def o6_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= 3)
     )
+
+
+@query(
+    "qa_heavy_hitters_check",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+    SELECT CAST((SELECT COUNT(*) FROM c, t WHERE n >= 0.1 * total) AS BIGINT)
+             AS n_exact_hot,
+           CAST(1 AS INT) AS all_covered
+    """,
+)
+def qa_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch gate: ``df.stat.freqItems`` (the one-pass
+    Karp-Papadimitriou-Shenker sketch, the 100 TB heavy-hitter path for
+    qa_skew_profile) may return false positives but NEVER false negatives —
+    every key exceeding the support threshold must be in its output.  The
+    exact hot set is recomputed independently (here and by the oracle) and
+    the containment flag is value-hashed."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.count()
+    exact_hot = {
+        r.lang
+        for r in docs.groupBy("lang").count().where(
+            F.col("count") >= 0.1 * total
+        ).collect()
+    }
+    approx = set(docs.stat.freqItems(["lang"], support=0.1).first()[0])
+    return spark.createDataFrame(
+        [(len(exact_hot), int(exact_hot <= approx))],
+        "n_exact_hot long, all_covered int",
+    )
+
+
+@query(
+    "qa_bloom_membership_check",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_members,
+           CAST(1 AS INT) AS zero_false_negatives,
+           CAST(1 AS INT) AS fp_rate_ok
+    """
+    "FROM orders",
+)
+def qa_bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate: the distributed
+    ``df.stat.bloomFilter`` build (treeAggregate of bit arrays — the
+    membership primitive behind runtime join pruning, see
+    test_runtime_bloom_filter_semi_join_reduction) must have ZERO false
+    negatives over every inserted key, and a false-positive rate on known
+    non-members within 3x the requested fpp.  Both facts are measured
+    against exact sets and value-hashed via the oracle's independent
+    member count.  (PySpark doesn't surface ``stat.bloomFilter``; the JVM
+    ``DataFrameStatFunctions`` is reached through the py4j gateway — the
+    BUILD is still the distributed treeAggregate, only the tiny probe loop
+    is driver-side, bounded to a few thousand py4j calls.)"""
+    od = _t(spark, sf_dir, "orders")
+    keys = [int(r[0]) for r in od.select("o_custkey").distinct().collect()]
+    jbf = od._jdf.stat().bloomFilter(  # noqa: SLF001 — no python API for this
+        "o_custkey", max(len(keys), 64), 0.01
+    )
+    fn = sum(1 for k in keys if not jbf.mightContainLong(k))
+    member_set = set(keys)
+    non_members = [k for k in range(10_000_000, 10_005_000)
+                   if k not in member_set]
+    fp = sum(1 for k in non_members if jbf.mightContainLong(k))
+    fp_ok = int(fp / len(non_members) <= 0.03)
+    return spark.createDataFrame(
+        [(len(keys), int(fn == 0), fp_ok)],
+        "n_members long, zero_false_negatives int, fp_rate_ok int",
+    )

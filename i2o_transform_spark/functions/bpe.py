@@ -50,7 +50,8 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _merge_pair_expr(syms, a: str, b: str):
     """Fold the symbol array, replacing adjacent (a, b) with a+b —
     leftmost-first non-overlapping, the standard BPE merge rule.  Pure
-    higher-order function: no UDF, stays in codegen."""
+    higher-order function: JVM-side expression evaluation, no Python UDF,
+    no serialization boundary."""
     merged = F.lit(a + b)
     return F.aggregate(
         syms,

@@ -4035,9 +4035,9 @@ def ta_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost at a boundary and long pages fan out to many rows.
 
     Scale shape: pure narrow ops — tokenize, compute the start sequence
-    with ``F.sequence`` (arithmetic, no data motion), ``posexplode``,
+    with ``F.sequence`` (arithmetic, no data motion), ``explode``,
     ``slice`` + ``array_join``.  Zero shuffles, fully pipelined inside one
-    whole-stage-codegen scan; output row count grows ~n_tokens/stride per
+    scan stage; output row count grows ~n_tokens/stride per
     doc, which is exactly the fan-out a downstream writer repartitions on.
     The last chunk is the natural short tail (no padding here — padding is
     ta_sequence_packing's job downstream).

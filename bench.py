@@ -98,26 +98,24 @@ def run_headline() -> None:
     # (a per-plan fixed cost a long-running cluster amortizes), run 2 is
     # steady state.  Report BOTH — `queries` (steady, best-of-2) feeds the
     # headline total; `queries_cold` keeps the first-run numbers visible.
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
+    def time_query(name: str) -> tuple[float, float]:
+        """(cold_first_run, steady_best_of_2) — one timing methodology for
+        every reported query."""
         fn = QUERIES[name]
         runs = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
-        cold[name] = runs[0]
-        timings[name] = min(runs)
+        return runs[0], min(runs)
+
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        cold[name], timings[name] = time_query(name)
 
     extra: dict[str, float] = {}
     for name in EXTRA:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            runs.append(round(time.time() - t0, 3))
-        extra[name] = min(runs)
+        _, extra[name] = time_query(name)
 
     # KG pipeline throughput: materialized pages -> triples.  One small
     # warmup run first — python UDF workers + codegen JIT are fixed costs

@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -151,6 +153,11 @@ def bpe_segment(
     segmented once per batch, not once per occurrence.
     """
     ranks = {p: i for i, p in enumerate(merges)}
+    # the SAME word boundaries as word_vocab's Java `\s+` split: ASCII
+    # whitespace only (Python str.split() would also split on Unicode
+    # whitespace like NBSP, silently dropping characters the trained vocab
+    # kept inside words — and breaking the char-lossless roundtrip gate)
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(ArrayType(StringType()))
     def seg(texts: pd.Series) -> pd.Series:
@@ -158,7 +165,7 @@ def bpe_segment(
 
         def one(t):
             out: list[str] = []
-            for w in (t or "").strip().split():
+            for w in filter(None, ws.split(t or "")):
                 toks = memo.get(w)
                 if toks is None:
                     toks = _segment_word(w, ranks)

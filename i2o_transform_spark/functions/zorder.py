@@ -24,8 +24,19 @@ from pyspark.sql import functions as F
 
 def _interleave(cols: list[Column], bits: int) -> Column:
     """Bit-interleave k already-normalized integer columns (each in
-    [0, 2^bits)): output bit (i*k + j) = bit i of column j."""
+    [0, 2^bits)): output bit (i*k + j) = bit i of column j.
+
+    The code must fit the 63 non-sign bits of a long: bit position
+    ``bits*k - 1`` reaching 63 would flip z-values negative (inverting the
+    range sort), and >= 64 silently wraps the Java shift amount mod 64,
+    colliding bit positions — both corrupt the layout with no error, so
+    the bound is asserted here."""
     k = len(cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"z-order code needs bits*len(cols) <= 63 (got {bits}*{k}="
+            f"{bits * k}); lower bits= (layout resolution, not correctness)"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -75,6 +86,8 @@ def zorder_by(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
+    if bounds[f"lo_{cols[0]}"] is None:
+        return df  # empty input: nothing to cluster, keep plan/schema as-is
     mins = [int(bounds[f"lo_{c}"]) for c in cols]
     maxs = [int(bounds[f"hi_{c}"]) for c in cols]
     zv = z_value(cols, mins, maxs, bits=bits)

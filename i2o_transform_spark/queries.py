@@ -4110,14 +4110,9 @@ def ta_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checkable unit.
     """
     docs = _t(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .where(F.length("word") >= 2)
-    )
+    from i2o_transform_spark.functions.bpe import word_vocab
+
+    vocab = word_vocab(docs).where(F.length("word") >= 2)
     pairs = vocab.select(
         F.explode(
             F.transform(
@@ -4578,12 +4573,9 @@ def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cached scan — the per-edge form keeps each count independently
     retryable)."""
     def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, tag: str):
+        keys = parent.select(F.col(pk).alias(ck)).distinct()
         return (
-            child.join(
-                F.broadcast(parent.select(F.col(pk).alias(ck)).distinct()),
-                ck,
-                "left_anti",
-            )
+            child.join(F.broadcast(keys), ck, "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
             .select(F.lit(tag).alias("fk"), "orphans")
         )
@@ -4594,10 +4586,10 @@ def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = _t(spark, sf_dir, "part")
     na = _t(spark, sf_dir, "nation")
     return (
-        orphans(li, "l_orderkey", od.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "lineitem->orders")
-        .unionByName(orphans(od, "o_custkey", cu.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "orders->customer"))
-        .unionByName(orphans(li, "l_partkey", pa.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "lineitem->part"))
-        .unionByName(orphans(cu, "c_nationkey", na.select(F.col("n_nationkey").alias("c_nationkey")), "c_nationkey", "customer->nation"))
+        orphans(li, "l_orderkey", od, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(od, "o_custkey", cu, "c_custkey", "orders->customer"))
+        .unionByName(orphans(li, "l_partkey", pa, "p_partkey", "lineitem->part"))
+        .unionByName(orphans(cu, "c_nationkey", na, "n_nationkey", "customer->nation"))
     )
 
 
@@ -5016,7 +5008,7 @@ def o6_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
     ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
-    SELECT CAST((SELECT COUNT(*) FROM c, t WHERE n >= 0.1 * total) AS BIGINT)
+    SELECT CAST((SELECT COUNT(*) FROM c, t WHERE n > 0.1 * total) AS BIGINT)
              AS n_exact_hot,
            CAST(1 AS INT) AS all_covered
     """,
@@ -5025,7 +5017,8 @@ def qa_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch gate: ``df.stat.freqItems`` (the one-pass
     Karp-Papadimitriou-Shenker sketch, the 100 TB heavy-hitter path for
     qa_skew_profile) may return false positives but NEVER false negatives —
-    every key exceeding the support threshold must be in its output.  The
+    every key STRICTLY exceeding the support threshold (freqItems'
+    contract is frequency > support, not >=) must be in its output.  The
     exact hot set is recomputed independently (here and by the oracle) and
     the containment flag is value-hashed."""
     docs = _t(spark, sf_dir, "documents")
@@ -5033,7 +5026,7 @@ def qa_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_hot = {
         r.lang
         for r in docs.groupBy("lang").count().where(
-            F.col("count") >= 0.1 * total
+            F.col("count") > 0.1 * total
         ).collect()
     }
     approx = set(docs.stat.freqItems(["lang"], support=0.1).first()[0])
@@ -5062,20 +5055,32 @@ def qa_bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact sets and value-hashed via the oracle's independent
     member count.  (PySpark doesn't surface ``stat.bloomFilter``; the JVM
     ``DataFrameStatFunctions`` is reached through the py4j gateway — the
-    BUILD is still the distributed treeAggregate, only the tiny probe loop
-    is driver-side, bounded to a few thousand py4j calls.)"""
+    BUILD is still the distributed treeAggregate.  The probe loop is
+    driver-side and BOUNDED: a 2,000-key member sample + 5,000 known
+    non-members, so the py4j round-trips stay constant however large the
+    table grows; zero-FN over the sample is a regression check — the
+    structure guarantees no false negatives by construction.)"""
     od = _t(spark, sf_dir, "orders")
-    keys = [int(r[0]) for r in od.select("o_custkey").distinct().collect()]
+    stats = od.agg(
+        F.count_distinct("o_custkey").alias("n"),
+        F.max("o_custkey").alias("mx"),
+    ).first()
+    n_members, max_key = int(stats["n"]), int(stats["mx"])
     jbf = od._jdf.stat().bloomFilter(  # noqa: SLF001 — no python API for this
-        "o_custkey", max(len(keys), 64), 0.01
+        "o_custkey", max(n_members, 64), 0.01
     )
-    fn = sum(1 for k in keys if not jbf.mightContainLong(k))
-    member_set = set(keys)
-    non_members = [k for k in range(10_000_000, 10_005_000)
-                   if k not in member_set]
+    sample = [
+        int(r[0])
+        for r in od.select("o_custkey").distinct()
+        .orderBy("o_custkey").limit(2000).collect()
+    ]
+    fn = sum(1 for k in sample if not jbf.mightContainLong(k))
+    # keys above the table max are non-members by construction
+    probe_base = max(10_000_000, max_key + 1)
+    non_members = range(probe_base, probe_base + 5000)
     fp = sum(1 for k in non_members if jbf.mightContainLong(k))
     fp_ok = int(fp / len(non_members) <= 0.03)
     return spark.createDataFrame(
-        [(len(keys), int(fn == 0), fp_ok)],
+        [(n_members, int(fn == 0), fp_ok)],
         "n_members long, zero_false_negatives int, fp_rate_ok int",
     )

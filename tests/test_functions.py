@@ -373,3 +373,46 @@ def test_zorder_layout_tightens_both_dims(spark):
     # z-order: BOTH dimensions simultaneously bounded (quadrant-sized
     # envelopes, modulo partitions straddling a z-boundary)
     assert zx < 0.55 and zy < 0.55, (zx, zy)
+
+
+def test_z_value_rejects_sign_bit_overflow(spark):
+    """bits*k > 63 would flip codes negative (or wrap the Java shift
+    amount) and silently corrupt the layout — must raise instead."""
+    import pytest
+
+    from i2o_transform_spark.functions.zorder import z_value
+
+    with pytest.raises(ValueError, match="63"):
+        z_value(["a", "b", "c", "d"], [0] * 4, [255] * 4, bits=16)
+    # 4 cols x 15 bits = 60 -> fine
+    z_value(["a", "b", "c", "d"], [0] * 4, [255] * 4, bits=15)
+
+
+def test_zorder_by_empty_input_is_noop(spark):
+    from i2o_transform_spark.functions.zorder import zorder_by
+
+    df = spark.createDataFrame([], "x long, y long")
+    out = zorder_by(df, ["x", "y"], 4)
+    assert out.count() == 0 and out.columns == ["x", "y"]
+
+
+def test_bpe_segment_ascii_whitespace_boundaries_match_vocab(spark):
+    """Word boundaries must match word_vocab's Java \\s+ (ASCII) split: a
+    NBSP inside a 'word' stays INSIDE the word for both training and
+    segmentation, and the character-lossless roundtrip holds on messy
+    unicode input."""
+    from i2o_transform_spark.functions.bpe import bpe_segment, bpe_train, word_vocab
+
+    texts = ["a\u00a0b a\u00a0b xy", "xy\tza  za\r\nxy"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    vocab = word_vocab(docs)
+    words = {r.word for r in vocab.collect()}
+    assert "a\u00a0b" in words  # NBSP is not a separator
+    merges = bpe_train(vocab, n_merges=5)
+    seg = {r.text: list(r.bpe_tokens) for r in bpe_segment(docs, merges).collect()}
+    for t, toks in seg.items():
+        # lossless modulo ASCII whitespace: every non-ws char survives
+        import re
+
+        expect = "".join(re.split(r"\s+", t, flags=re.ASCII))
+        assert "".join(toks) == expect, (t, toks)

@@ -20,6 +20,19 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _build_pkg_zip(path) -> None:
+    """Zip i2o_transform_spark/ exactly as the README's spark-submit recipe
+    does (both tests must ship the identical artifact)."""
+    src = os.path.join(REPO, "i2o_transform_spark")
+    with zipfile.ZipFile(path, "w") as zf:
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                if f.endswith(".pyc") or "__pycache__" in root:
+                    continue
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, REPO))
+
+
 def test_runner_under_spark_submit_py_files(tmp_path):
     spark_submit = shutil.which("spark-submit")
     if spark_submit is None:
@@ -32,19 +45,13 @@ def test_runner_under_spark_submit_py_files(tmp_path):
         assert os.path.exists(spark_submit), "no spark-submit available"
 
     pkg_zip = tmp_path / "i2o_transform_spark.zip"
-    src = os.path.join(REPO, "i2o_transform_spark")
-    with zipfile.ZipFile(pkg_zip, "w") as zf:
-        for root, _dirs, files in os.walk(src):
-            for f in files:
-                if f.endswith(".pyc") or "__pycache__" in root:
-                    continue
-                full = os.path.join(root, f)
-                zf.write(full, os.path.relpath(full, REPO))
+    _build_pkg_zip(pkg_zip)
 
     # the driver script ships alongside the zip, outside the repo
     runner_py = tmp_path / "runner.py"
     shutil.copyfile(
-        os.path.join(src, "plans", "runner.py"), runner_py
+        os.path.join(REPO, "i2o_transform_spark", "plans", "runner.py"),
+        runner_py,
     )
     out_dir = tmp_path / "kg_out"
     env = dict(os.environ)
@@ -79,14 +86,7 @@ def test_python_entry_importable_from_zip_only(tmp_path):
     simulate an executor python worker resolving the library via a zip on
     sys.path with the checkout absent."""
     pkg_zip = tmp_path / "pkg.zip"
-    src = os.path.join(REPO, "i2o_transform_spark")
-    with zipfile.ZipFile(pkg_zip, "w") as zf:
-        for root, _dirs, files in os.walk(src):
-            for f in files:
-                if f.endswith(".pyc") or "__pycache__" in root:
-                    continue
-                full = os.path.join(root, f)
-                zf.write(full, os.path.relpath(full, REPO))
+    _build_pkg_zip(pkg_zip)
     code = (
         "import sys; sys.path.insert(0, sys.argv[1]);\n"
         "import i2o_transform_spark.queries as q\n"

@@ -490,10 +490,11 @@ def test_windowed_counts_drop_late_data_past_watermark(spark, tmp_path):
     ])
     run_once()
 
-    got = {
+    got = sorted(
         (r.window_start.strftime("%H:%M"), r.n_events)
         for r in spark.read.parquet(sink).collect()
-    }
+    )  # LIST, not set: a duplicate re-emission of an identical window row
+    #    (the exact regression this gates) must stay visible
     w1000 = [n for w, n in got if w == "10:00"]
-    assert w1000 == [1], (w1000, got)  # late row dropped, window emitted once
-    assert ("10:05", 1) in got, got   # on-time window flushed by new data
+    assert w1000 == [1], (w1000, got)  # late row dropped, window emitted ONCE
+    assert got.count(("10:05", 1)) == 1, got  # on-time window flushed once

@@ -5084,3 +5084,64 @@ def qa_bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_members, int(fn == 0), fp_ok)],
         "n_members long, zero_false_negatives int, fp_rate_ok int",
     )
+
+
+@query(
+    "kg_walk_skipgrams",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, u AS (
+      SELECT subj AS s, obj AS d FROM e
+      UNION
+      SELECT obj AS s, subj AS d FROM e
+    ), w0 AS (
+      SELECT DISTINCT subj AS walk_id, 0 AS step, subj AS node FROM e
+    ), w1 AS (
+      SELECT walk_id, 1 AS step,
+             arg_min(d, md5(s || ':1:' || d)) AS node
+      FROM w0 JOIN u ON u.s = w0.node GROUP BY walk_id
+    ), w2 AS (
+      SELECT walk_id, 2 AS step,
+             arg_min(d, md5(s || ':2:' || d)) AS node
+      FROM w1 JOIN u ON u.s = w1.node GROUP BY walk_id
+    ), w3 AS (
+      SELECT walk_id, 3 AS step,
+             arg_min(d, md5(s || ':3:' || d)) AS node
+      FROM w2 JOIN u ON u.s = w2.node GROUP BY walk_id
+    ), walks AS (
+      SELECT * FROM w0 UNION ALL SELECT * FROM w1
+      UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+    )
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id AND abs(a.step - b.step) BETWEEN 1 AND 2
+    GROUP BY a.node, b.node
+    """,
+)
+def kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs over the deterministic walk corpus
+    (window 2, both directions) — the (center, context) co-occurrence
+    counts a word2vec/DeepWalk embedding trainer consumes.  Composes
+    kg_random_walks: walks self-join on walk_id (walks are length-4 rows,
+    so the join fan-out is a small constant per walk), then one
+    map-side-combined count agg keyed on the pair.  At 10^12-edge scale
+    the walk corpus is emitted partitioned by walk_id, making the
+    self-join shuffle-free (co-partitioned)."""
+    from i2o_transform_spark.operators.graph import deterministic_walks
+
+    e = _kg_edges(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    seeds = e.select(F.col("subj").alias("node")).distinct()
+    walks = deterministic_walks(und, seeds, length=3, src="subj", dst="obj")
+    a = walks.select("walk_id", F.col("step").alias("s_a"),
+                     F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("s_b"),
+                     F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .where(F.abs(F.col("s_a") - F.col("s_b")).between(1, 2))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

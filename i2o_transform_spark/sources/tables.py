@@ -155,3 +155,52 @@ def load_table_catalog(spark: SparkSession, table_ident: str) -> DataFrame:
             "Iceberg catalog (spark.sql.catalog.<name>=...) or use "
             "load_table() for the parquet path"
         ) from e
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files — the table-maintenance job every
+    streaming/incremental sink needs (each micro-batch or CDC merge leaves
+    small files; scan cost and NameNode/manifest pressure grow with file
+    COUNT, not bytes).  The reference's analogue is its full-refresh
+    rebuild (OMOPclear + reload, MSSQL/OMOPLoader.sql:1870-1890); on a
+    cluster the same call shape is Iceberg's rewrite_data_files.
+
+    Rewrite is atomic-by-rename: the new layout lands in `<path>.__compact__`
+    and swaps in only after a successful write, so a crash mid-compact
+    leaves the original intact (idempotent re-run).  Optional
+    ``sort_within_by`` re-sorts rows within each output file (pair with
+    functions/zorder.zorder_by for multi-dim layout).
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [
+        f for f in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".__old__"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    after = len([
+        f for f in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ])
+    return {"files_before": len(files), "files_after": after, "bytes": total}

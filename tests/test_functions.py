@@ -416,3 +416,70 @@ def test_bpe_segment_ascii_whitespace_boundaries_match_vocab(spark):
 
         expect = "".join(re.split(r"\s+", t, flags=re.ASCII))
         assert "".join(toks) == expect, (t, toks)
+
+
+# --- property-based tests (hypothesis) ---------------------------------------
+
+
+def test_bpe_train_property_random_corpora(spark):
+    """Property: for random word/freq vocabularies, the distributed merge
+    loop equals the pure-python BPE reference (ties, repeats, interacting
+    merges all covered by generation)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    vocab_st = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=12)
+
+    @given(words=vocab_st)
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def prop(words):
+        from i2o_transform_spark.functions.bpe import bpe_train
+
+        vocab = spark.createDataFrame(
+            list(words.items()), "word string, freq long"
+        )
+        got = bpe_train(vocab, n_merges=6)
+        want, _ = _py_bpe_train(words, 6)
+        assert got == want, (words, got, want)
+
+    prop()
+
+
+def test_z_value_property_random_points(spark):
+    """Property: z_value == python Morton for random in-range points and
+    clamps out-of-range points to the edge cells."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(-50, 300), st.integers(-50, 300)),
+            min_size=1, max_size=20,
+        )
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def prop(pts):
+        from i2o_transform_spark.functions.zorder import z_value
+
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = [
+            r.z for r in df.select(
+                z_value(["x", "y"], [0, 0], [255, 255], bits=8).alias("z")
+            ).collect()
+        ]
+
+        def morton(x, y):
+            x = min(255, max(0, x))
+            y = min(255, max(0, y))
+            z = 0
+            for i in range(8):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert got == [morton(x, y) for x, y in pts]
+
+    prop()

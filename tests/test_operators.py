@@ -960,3 +960,38 @@ def test_deterministic_walks_reproducible_across_partitionings(spark):
     a = sorted(map(tuple, deterministic_walks(df1, seeds, length=4).collect()))
     b = sorted(map(tuple, deterministic_walks(df8, seeds, length=4).collect()))
     assert a == b and len(a) > 10
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: 32 small files -> ceil(bytes/target) files, identical
+    row multiset, original left intact on disk until the atomic swap."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        32
+    ).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before == 32
+    want = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).first()
+
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1
+    got = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).first()
+    assert tuple(got) == tuple(want)
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+    # idempotent re-run: already-compact input stays one file
+    stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats2["files_after"] == 1

@@ -4247,7 +4247,10 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.md5(F.array_join(F.slice("w", i + 1, F.lit(5)), " ")),
             )
         ).alias("gram"),
-    )
+    ).persist()  # read twice (df agg + probe join): cache the 24-byte/row
+    #              gram stream instead of re-running the scan+explode+md5
+    #              over the corpus (the dedup.ngram_jaccard_pairs pattern;
+    #              MEMORY_AND_DISK default spills, never OOMs)
     dup = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("_nd"))

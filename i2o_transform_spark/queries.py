@@ -1047,9 +1047,8 @@ def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket <= threshold).select("doc_id", "lang", "source")
 
 
-@query(
-    "ta_url_normalize",
-    oracle=r"""
+_URL_NORM_SQL = r"""
+
     WITH u AS (
       SELECT doc_id,
         CASE CAST(doc_id % 4 AS INT)
@@ -1089,7 +1088,12 @@ def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
               THEN '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
               ELSE '' END AS norm_url
     FROM n
-    """,
+    """
+
+
+@query(
+    "ta_url_normalize",
+    oracle="SELECT doc_id, url, norm_url FROM (" + _URL_NORM_SQL + ") t",
 )
 def ta_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/text.normalize_url): fragment strip,
@@ -5147,4 +5151,53 @@ def kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("s_a") - F.col("s_b")).between(1, 2))
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "dd_url_dedup",
+    oracle=(
+        "SELECT norm_url, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,"
+        " CAST(COUNT(*) AS BIGINT) AS n_urls"
+        " FROM (" + _URL_NORM_SQL + ") t GROUP BY norm_url"
+    ),
+)
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of a crawl pipeline (before
+    any text is touched): canonicalize every URL (functions/
+    text.normalize_url, same fixture URLs and rule contract as
+    ta_url_normalize) and elect one canonical fetch per normalized URL
+    (min doc_id, deterministic) with the duplicate count.  One map-side
+    normalization + one hash agg on the canonical key; at crawl scale this
+    runs before extraction so cosmetic URL variants never reach the
+    expensive stages."""
+    from i2o_transform_spark.functions.text import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://Example.COM:443/Products//Item/"), sid,
+                F.lit("/?b=2&a=1&c="), sid, F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://example.com:80/a//b/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Sub.Example.com/"), sid, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("HTTP://EXAMPLE.com:8080?z=1&y="), sid))
+    )
+    return (
+        docs.select("doc_id", normalize_url(url).alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+        )
     )

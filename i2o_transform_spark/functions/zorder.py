@@ -91,9 +91,12 @@ def zorder_by(
     mins = [int(bounds[f"lo_{c}"]) for c in cols]
     maxs = [int(bounds[f"hi_{c}"]) for c in cols]
     zv = z_value(cols, mins, maxs, bits=bits)
+    zc = "_z"
+    while zc in df.columns:  # never clobber a user column named _z
+        zc += "_"
     return (
-        df.withColumn("_z", zv)
-        .repartitionByRange(num_partitions, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn(zc, zv)
+        .repartitionByRange(num_partitions, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
     )

@@ -4270,12 +4270,19 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ratio = F.col("dup_windows") / F.col("n_windows")
-    return per.where(ratio >= 0.5).select(
+    flagged = per.where(ratio >= 0.5).select(
         "doc_id",
         F.col("n_windows").cast("long").alias("n_windows"),
         F.col("dup_windows").cast("long").alias("dup_windows"),
         F.round(ratio, 6).alias("dup_ratio"),
     )
+    # Materialize the (small) flagged set eagerly so the gram cache can be
+    # released NOW instead of leaking a cached plan per invocation; the
+    # localCheckpoint blocks are lineage-free and ContextCleaner-collected
+    # once the returned frame is dropped.
+    out = flagged.localCheckpoint(eager=True)
+    g.unpersist()
+    return out
 
 
 @query("ta_bpe_train")

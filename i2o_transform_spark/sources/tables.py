@@ -171,11 +171,20 @@ def compact_parquet(
     rebuild (OMOPclear + reload, MSSQL/OMOPLoader.sql:1870-1890); on a
     cluster the same call shape is Iceberg's rewrite_data_files.
 
-    Rewrite is atomic-by-rename: the new layout lands in `<path>.__compact__`
-    and swaps in only after a successful write, so a crash mid-compact
-    leaves the original intact (idempotent re-run).  Optional
-    ``sort_within_by`` re-sorts rows within each output file (pair with
-    functions/zorder.zorder_by for multi-dim layout).
+    The rewrite stages into `<path>.__compact__` and swaps via two renames
+    (`path`→`.__old__`, `.__compact__`→`path`).  The write itself is safe —
+    a crash before the first rename leaves the original untouched — but the
+    swap window between the two renames is NOT atomic: a crash there leaves
+    the data at `.__old__`.  Entry therefore self-heals: a stale `.__old__`
+    with no live `path` is restored; leftover `.__old__`/`.__compact__`
+    alongside a live `path` are discarded as debris from an interrupted run.
+    On a real cluster use Iceberg's rewrite_data_files, whose snapshot
+    commit IS atomic.  Optional ``sort_within_by`` re-sorts rows within
+    each output file (pair with functions/zorder.zorder_by for multi-dim
+    layout).
+
+    Flat layouts only: Hive-partitioned inputs (parquet in subdirectories)
+    are rejected — compacting them here would flatten the partition layout.
 
     Returns {"files_before", "files_after", "bytes"}.
     """
@@ -183,6 +192,24 @@ def compact_parquet(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact__"
+    bak = path.rstrip("/") + ".__old__"
+    # Self-heal debris from a previous interrupted run.
+    if os.path.exists(bak) and not os.path.exists(path):
+        os.rename(bak, path)  # crashed inside the swap window — restore
+    for stale in (tmp, bak):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    sub_parquet = [
+        f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f) and os.path.dirname(f) != path.rstrip("/")
+    ]
+    if sub_parquet:
+        raise ValueError(
+            f"compact_parquet({path!r}): input is Hive-partitioned "
+            f"({len(sub_parquet)} parquet files in subdirectories); compacting "
+            "would flatten the partition layout — compact each leaf instead"
+        )
     files = [
         f for f in glob.glob(os.path.join(path, "*.parquet"))
         if os.path.isfile(f)
@@ -190,12 +217,10 @@ def compact_parquet(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact__"
     out = df.repartition(n_out)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + ".__old__"
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)

@@ -995,3 +995,78 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     # idempotent re-run: already-compact input stays one file
     stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
     assert stats2["files_after"] == 1
+
+
+def test_compact_parquet_recovers_interrupted_swap(spark, tmp_path):
+    """ADVICE r02: a crash between the two swap renames leaves the data at
+    `.__old__` and no live `path`; entry must restore it (and clear any
+    stale `.__compact__`) instead of failing every subsequent run."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1_000).withColumn("v", F.col("id") * 3).repartition(
+        4
+    ).write.parquet(path)
+    want = spark.read.parquet(path).agg(F.sum("id"), F.sum("v")).first()
+
+    # Simulate the crash window: data moved to .__old__, new layout half
+    # staged at .__compact__, nothing at `path`.
+    os.rename(path, path + ".__old__")
+    os.makedirs(path + ".__compact__")
+    with open(os.path.join(path + ".__compact__", "part-junk.tmp"), "w") as f:
+        f.write("partial")
+
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    got = spark.read.parquet(path).agg(F.sum("id"), F.sum("v")).first()
+    assert tuple(got) == tuple(want)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+    # Debris ALONGSIDE a live path (crash before first rename) is discarded.
+    os.makedirs(path + ".__old__")
+    stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats2["files_after"] == 1
+    assert not os.path.exists(path + ".__old__")
+    assert glob.glob(os.path.join(path, "*.parquet"))
+
+
+def test_compact_parquet_rejects_hive_partitioned(spark, tmp_path):
+    """ADVICE r02: partitioned layouts must be rejected, not silently
+    flattened into one file with total=0 sizing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "part")
+    spark.range(100).withColumn("k", F.col("id") % 3).write.partitionBy(
+        "k"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, path)
+    # untouched input still reads back
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_zorder_by_preserves_user_z_column(spark):
+    """ADVICE r02: a user column literally named `_z` must survive
+    zorder_by instead of being clobbered by the temp Morton column."""
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.functions.zorder import zorder_by
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 7 % 100).alias("y"),
+        (F.col("id") + 42).alias("_z"),
+    )
+    out = zorder_by(df, ["x", "y"], num_partitions=4)
+    assert set(out.columns) == {"x", "y", "_z"}
+    rows = {r["x"]: r["_z"] for r in out.collect()}
+    assert rows[0] == 42 and rows[99] == 141 and len(rows) == 100

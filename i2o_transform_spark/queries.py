@@ -629,21 +629,25 @@ def a9_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1_interval_merge",
     oracle="""
     WITH iv AS (
+      -- _tb: total tie order so the two window CTEs group duplicate
+      -- intervals identically (see w4_drug_era_composed oracle note)
       SELECT o_custkey AS entity_id,
              CAST(o_orderdate AS DATE) AS _start,
-             CAST(o_orderdate AS DATE) + 14 AS _end
+             CAST(o_orderdate AS DATE) + 14 AS _end,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate) AS _tb
       FROM orders
     ), flagged AS (
-      SELECT entity_id, _start, _end,
+      SELECT entity_id, _start, _end, _tb,
              CASE WHEN _start > MAX(_end) OVER w + 30 THEN 1
                   WHEN MAX(_end) OVER w IS NULL THEN 1
                   ELSE 0 END AS _new_era
       FROM iv
-      WINDOW w AS (PARTITION BY entity_id ORDER BY _start, _end
+      WINDOW w AS (PARTITION BY entity_id ORDER BY _start, _end, _tb
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), eras AS (
       SELECT entity_id, _start, _end,
-             SUM(_new_era) OVER (PARTITION BY entity_id ORDER BY _start, _end
+             SUM(_new_era) OVER (PARTITION BY entity_id
+                                 ORDER BY _start, _end, _tb
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS _era_id
       FROM flagged
@@ -5207,4 +5211,110 @@ def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("canonical_doc"),
             F.count(F.lit(1)).cast("long").alias("n_urls"),
         )
+    )
+
+
+@query(
+    "w4_drug_era_composed",
+    oracle="""
+    WITH exposures AS (
+      SELECT l_suppkey AS person_id, l_partkey AS drug_id,
+             CAST(l_shipdate AS DATE) AS _start,
+             COALESCE(CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT),
+                      CAST(l_shipdate AS DATE) + 1) AS _end
+      FROM lineitem
+    ), closure AS (
+      SELECT p_partkey AS descendant,
+             'brand:' || p_brand AS ingredient
+      FROM part
+    ), rolled AS (
+      -- _tb makes the sort TOTAL: with duplicate (start,end) intervals the
+      -- two window CTEs below would otherwise each pick an arbitrary (and
+      -- possibly different) tie order, mis-grouping eras.  Spark needs no
+      -- tiebreaker: its identical window specs collapse into one WindowExec
+      -- over a single physical sort.
+      SELECT e.person_id, c.ingredient, e._start, e._end,
+             ROW_NUMBER() OVER (PARTITION BY e.person_id, c.ingredient,
+                                e._start, e._end) AS _tb
+      FROM exposures e JOIN closure c ON e.drug_id = c.descendant
+    ), flagged AS (
+      SELECT person_id, ingredient, _start, _end, _tb,
+             CASE WHEN _start > MAX(_end) OVER w + 30 THEN 1
+                  WHEN MAX(_end) OVER w IS NULL THEN 1
+                  ELSE 0 END AS _new_era
+      FROM rolled
+      WINDOW w AS (PARTITION BY person_id, ingredient
+                   ORDER BY _start, _end, _tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), eras AS (
+      SELECT person_id, ingredient, _start, _end,
+             SUM(_new_era) OVER (PARTITION BY person_id, ingredient
+                                 ORDER BY _start, _end, _tb
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS _era_id
+      FROM flagged
+    ), agged AS (
+      SELECT person_id, ingredient,
+             MIN(_start) AS era_start, MAX(_end) AS era_end,
+             COUNT(*) AS exposure_count
+      FROM eras GROUP BY person_id, ingredient, _era_id
+    )
+    SELECT md5(person_id || '|' || ingredient || '|'
+               || CAST(era_start AS VARCHAR)) AS era_id,
+           person_id, ingredient, era_start, era_end, exposure_count
+    FROM agged
+    """,
+)
+def w4_drug_era_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (round-3 flagship): the reference's most complex chain — ancestor
+    rollup composed INSIDE the era merge (drug_era,
+    MSSQL/OMOPLoader.sql:1567-1630): drug_exposure JOIN concept_ancestor to
+    the Ingredient level, end-date imputation COALESCE(end,
+    start+days_supply, start+1) (:1570-1571), then the 30-day-padded
+    interval merge PER (person, ingredient) — so overlapping exposures of
+    DIFFERENT descendant drugs of one ingredient collapse into a single era,
+    and exposure_count counts exposure rows (not distinct drugs), exactly
+    the reference's dedup-across-descendants behavior (:1621-1627).
+
+    Mapping: lineitem = drug_exposure (l_suppkey person, l_partkey drug,
+    l_shipdate start, l_quantity days-supply), part->brand = the
+    concept_ancestor closure filtered to the Ingredient class.
+
+    Scale shape: the closure is a broadcast dim (as in J12), so the rollup
+    adds NO shuffle; the merge is one shuffle on (person, ingredient)
+    reused by both window passes and the era agg (W1's plan).  Era ids are
+    content-hash surrogates (W3) — no global row_number bottleneck; the
+    reference's ROW_NUMBER() OVER (ORDER BY drug_concept_id) (:1623) would
+    serialize on one task at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    start = F.to_date("l_shipdate")
+    exposures = li.select(
+        F.col("l_suppkey").alias("person_id"),
+        F.col("l_partkey").alias("drug_id"),
+        start.alias("start_date"),
+        F.coalesce(
+            F.date_add(start, F.col("l_quantity").cast("int")),
+            F.date_add(start, 1),
+        ).alias("end_date"),
+    )
+    closure = part.select(
+        F.col("p_partkey").alias("descendant"),
+        F.concat(F.lit("brand:"), F.col("p_brand")).alias("ingredient"),
+    )
+    rolled = exposures.join(
+        F.broadcast(closure), exposures.drug_id == closure.descendant
+    ).select("person_id", "ingredient", "start_date", "end_date")
+    eras = merge_intervals(
+        rolled, ["person_id", "ingredient"], gap_days=30
+    ).withColumnRenamed("era_count", "exposure_count")
+    return eras.select(
+        F.md5(
+            F.concat_ws(
+                "|", F.col("person_id"), F.col("ingredient"),
+                F.col("era_start").cast("string"),
+            )
+        ).alias("era_id"),
+        "person_id", "ingredient", "era_start", "era_end",
+        F.col("exposure_count").cast("long").alias("exposure_count"),
     )

@@ -1070,3 +1070,49 @@ def test_zorder_by_preserves_user_z_column(spark):
     assert set(out.columns) == {"x", "y", "_z"}
     rows = {r["x"]: r["_z"] for r in out.collect()}
     assert rows[0] == 42 and rows[99] == 141 and len(rows) == 100
+
+
+def test_drug_era_composed_descendants_collapse(spark):
+    """W4 golden (round-3): ancestor rollup INSIDE era merge
+    (MSSQL/OMOPLoader.sql:1567-1630).  Overlapping exposures of DIFFERENT
+    descendant drugs of ONE ingredient must collapse to a single era whose
+    exposure_count counts exposure rows (dedup-across-descendants), while a
+    >30-day gap still splits eras and a different ingredient stays apart."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.operators.intervals import merge_intervals
+
+    D = dt.date
+    # closure: drugs 101,102 -> ingredient A; drug 201 -> ingredient B
+    closure = spark.createDataFrame(
+        [(101, "A"), (102, "A"), (201, "B")], "descendant long, ingredient string"
+    )
+    exposures = spark.createDataFrame(
+        [
+            # person 1: two DIFFERENT descendants of A, overlapping -> 1 era
+            (1, 101, D(2020, 1, 1), D(2020, 1, 20)),
+            (1, 102, D(2020, 1, 10), D(2020, 2, 5)),
+            # within 30-day pad of the chain end -> same era (3rd exposure)
+            (1, 101, D(2020, 3, 5), D(2020, 3, 9)),
+            # >30-day gap -> second era
+            (1, 102, D(2020, 6, 1), D(2020, 6, 10)),
+            # same window but ingredient B -> its own era
+            (1, 201, D(2020, 1, 5), D(2020, 1, 25)),
+        ],
+        "person_id long, drug_id long, start_date date, end_date date",
+    )
+    rolled = exposures.join(
+        F.broadcast(closure), exposures.drug_id == closure.descendant
+    ).select("person_id", "ingredient", "start_date", "end_date")
+    eras = merge_intervals(rolled, ["person_id", "ingredient"], gap_days=30)
+    got = {
+        (r["person_id"], r["ingredient"], r["era_start"], r["era_end"]): r["era_count"]
+        for r in eras.collect()
+    }
+    assert got == {
+        (1, "A", D(2020, 1, 1), D(2020, 3, 9)): 3,
+        (1, "A", D(2020, 6, 1), D(2020, 6, 10)): 1,
+        (1, "B", D(2020, 1, 5), D(2020, 1, 25)): 1,
+    }

@@ -2375,55 +2375,176 @@ def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_feature_extract",
     oracle="""
-    SELECT doc_id, CAST(i AS INT) AS feat_idx,
-           round(((octet_length(encode(text)) * (i + 1)) % 1000) / 1000.0, 3)
-             AS value
-    FROM documents, unnest(range(8)) AS t(i)
+    -- Closed-form pixel features of the synthetic checkerboard PNGs
+    -- (operators/multimodal.synth_png_pixel_bytes): w=id%24+8, h=id%16+8,
+    -- pixel(x,y,c) = (id*(c+1))%224 + 16*((x+y)%2).  Features 0-2 are the
+    -- per-channel means /255 (cast through REAL to mirror array<float>),
+    -- 6-7 the normalized dims; stds (3-5) are pytest-verified vs numpy.
+    WITH d AS (
+      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      FROM documents
+    ), f AS (
+      SELECT d.doc_id, d.w, d.h, c.channel,
+             (d.doc_id * (c.channel + 1)) % 224 AS base,
+             d.h * (d.w // 2) + (d.w % 2) * (d.h // 2) AS n_odd
+      FROM d, range(3) AS c(channel)
+    ), m AS (
+      SELECT doc_id, CAST(channel AS INT) AS feat_idx,
+             CAST(CAST((base * w * h + 16 * n_odd) / (w * h) / 255.0
+                       AS REAL) AS DOUBLE) AS v
+      FROM f
+      UNION ALL
+      SELECT doc_id, 6 AS feat_idx,
+             CAST(CAST(w / 4096.0 AS REAL) AS DOUBLE) AS v FROM d
+      UNION ALL
+      SELECT doc_id, 7 AS feat_idx,
+             CAST(CAST(h / 4096.0 AS REAL) AS DOUBLE) AS v FROM d
+    )
+    SELECT doc_id, feat_idx,
+           CAST(floor(v * 100000) AS BIGINT) AS value_scaled
+    FROM m
     """,
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction: binary payload -> fixed-length
-    array<float> via Arrow-batched mapInPandas (deterministic stub compute;
-    real plumbing — see operators/multimodal.extract_features).  The vector
-    is exploded to (doc_id, feat_idx, value) rows for the oracle compare."""
-    from i2o_transform_spark.operators.multimodal import extract_features
+    """Multimodal feature extraction with REAL pixel compute: deterministic
+    PNG fixtures (real IDAT payloads, round-3) -> stdlib-zlib decode ->
+    per-channel mean/std + dims via Arrow-batched mapInPandas.  Mean and
+    dimension features are exploded and integer-scaled (floor(v*1e5), exact
+    through the float32 array element) for the closed-form oracle; std
+    features are covered by tests/test_multimodal.py vs a numpy reference.
+    Parity: reference has no media path — LLM-pipeline extension."""
+    from i2o_transform_spark.operators.multimodal import (
+        extract_features,
+        synth_png_pixel_media,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
-    out = extract_features(media)
-    return out.select(
-        "doc_id", F.posexplode(F.col("features")).alias("feat_idx", "_v")
-    ).select(
-        "doc_id",
-        "feat_idx",
-        F.round(F.col("_v").cast("double"), 3).alias("value"),
+    out = extract_features(synth_png_pixel_media(docs))
+    return (
+        out.select(
+            "doc_id", F.posexplode(F.col("features")).alias("feat_idx", "_v")
+        )
+        .where(F.col("feat_idx").isin(0, 1, 2, 6, 7))
+        .select(
+            "doc_id",
+            "feat_idx",
+            F.floor(F.col("_v").cast("double") * 100000)
+            .cast("long")
+            .alias("value_scaled"),
+        )
     )
 
 
 @query(
     "mm_resize",
     oracle="""
-    SELECT doc_id, 64 AS width, 64 AS height,
-           CAST(least(octet_length(encode(text)), 64) AS BIGINT)
-             AS resized_bytes
-    FROM documents
+    -- Integer box-filter resize of the checkerboard PNGs to 4x4, every
+    -- output byte in closed form: box edges floor(i*in/out) (min width 1),
+    -- box mean = (base*area + 16*n_odd) // area with the parity-counting
+    -- formula for odd cells in a box.
+    WITH d AS (
+      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ), g AS (
+      SELECT d.*, oy.oy, ox.ox, c.channel
+      FROM d, range(4) AS oy(oy), range(4) AS ox(ox), range(3) AS c(channel)
+    ), b AS (
+      SELECT doc_id, oy, ox, channel, w, h,
+             (oy * h) // 4 AS y0,
+             greatest(((oy + 1) * h) // 4, (oy * h) // 4 + 1) AS y1,
+             (ox * w) // 4 AS x0,
+             greatest(((ox + 1) * w) // 4, (ox * w) // 4 + 1) AS x1,
+             (doc_id * (channel + 1)) % 224 AS base
+      FROM g
+    ), e AS (
+      SELECT *, y1 - y0 AS bh, x1 - x0 AS bw FROM b
+    ), o AS (
+      SELECT *,
+             bh * (bw // 2)
+               + (bw % 2) * ((bh // 2) + (bh % 2) * ((x0 + y0) % 2)) AS n_odd
+      FROM e
+    )
+    SELECT doc_id, CAST(oy AS INT) AS oy, CAST(ox AS INT) AS ox,
+           CAST(channel AS INT) AS channel,
+           CAST((base * bw * bh + 16 * n_odd) // (bw * bh) AS INT) AS value
+    FROM o
     """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize plumbing: binary in -> bounded binary out via
-    mapInPandas (stub resample; oracle checks the deterministic output
-    size contract)."""
-    from i2o_transform_spark.operators.multimodal import resize_media
+    """Multimodal resize with REAL resample: PNG fixtures -> zlib pixel
+    decode -> integer-exact box filter -> re-encode as compliant PNG
+    (operators/multimodal.resize_media), then the operator's actual binary
+    output is re-decoded and exploded to per-pixel rows so the closed-form
+    oracle checks every output byte.  Parity: extension (no media path in
+    reference)."""
+    from i2o_transform_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_media,
+        synth_png_pixel_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    out = resize_media(synth_png_pixel_media(docs), width=4, height=4)
+
+    import pandas as pd  # noqa: PLC0415
+
+    def explode_pixels(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["resized"]):
+                px = decode_png_pixels(blob)
+                if px is None:
+                    continue
+                for oy in range(px.shape[0]):
+                    for ox in range(px.shape[1]):
+                        for c in range(px.shape[2]):
+                            rows.append(
+                                (int(did), oy, ox, c, int(px[oy, ox, c]))
+                            )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "oy", "ox", "channel", "value"]
+            )
+
+    return out.select("doc_id", "resized").mapInPandas(
+        explode_pixels,
+        "doc_id long, oy int, ox int, channel int, value int",
+    )
+
+
+@query(
+    "mm_pixel_stats",
+    oracle="""
+    -- Integer-exact per-channel stats of the checkerboard PNGs:
+    -- sum = base*w*h + 16*n_odd; sumsq = base^2*(wh-n_odd)+(base+16)^2*n_odd.
+    WITH d AS (
+      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      FROM documents
+    ), f AS (
+      SELECT d.doc_id, CAST(c.channel AS INT) AS channel,
+             CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+             (d.doc_id * (c.channel + 1)) % 224 AS base,
+             d.w * d.h AS wh,
+             d.h * (d.w // 2) + (d.w % 2) * (d.h // 2) AS n_odd
+      FROM d, range(3) AS c(channel)
+    )
+    SELECT doc_id, channel, width, height,
+           CAST(base * wh + 16 * n_odd AS BIGINT) AS pixel_sum,
+           CAST(base * base * (wh - n_odd)
+                + (base + 16) * (base + 16) * n_odd AS BIGINT) AS pixel_sumsq
+    FROM f
+    """,
+)
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact pixel statistics from REAL PNG decode (zero float fuzz):
+    the strongest evidence the decoder reads actual IDAT pixel data — sum
+    AND sum-of-squares per channel pin every pixel value distribution."""
+    from i2o_transform_spark.operators.multimodal import (
+        pixel_channel_stats,
+        synth_png_pixel_media,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
-    out = resize_media(media, width=64, height=64)
-    return out.select(
-        "doc_id",
-        "width",
-        "height",
-        F.length(F.col("resized")).cast("long").alias("resized_bytes"),
-    )
+    return pixel_channel_stats(synth_png_pixel_media(docs))
 
 
 @query("kg_pipeline_triples")  # deterministic datagen; P/R gate in pytest

@@ -1,0 +1,186 @@
+"""Round-3: real PNG pixel codec + pixel-derived feature/resize kernels.
+
+The decode path (operators/multimodal.decode_png_pixels) is stdlib-only
+(zlib + numpy); these tests pin it against hand-built filtered streams and
+numpy references, then prove the Spark kernels use actual pixel data.
+Parity note: the reference repo has no media path — this is the
+LLM-training-data extension surface (SURVEY.md §6)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.operators.multimodal import (
+    _PNG_SIG,
+    _png_chunk,
+    box_resize_exact,
+    decode_png_pixels,
+    encode_png_rgb,
+    extract_features,
+    pixel_channel_stats,
+    resize_media,
+    synth_png_pixel_bytes,
+    synth_png_pixel_media,
+)
+
+
+def _png_with_filters(a: np.ndarray, ftypes: list[int]) -> bytes:
+    """Reference PNG encoder applying the given filter type per scanline
+    (spec algorithms, scalar loop) — exercises decode filters 0-4."""
+    h, w, _ = a.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        row = a[y].reshape(-1).astype(np.int64)
+        f = ftypes[y % len(ftypes)]
+        raw.append(f)
+        for x in range(w * 3):
+            left = int(row[x - 3]) if x >= 3 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                enc = row[x]
+            elif f == 1:
+                enc = (row[x] - left) % 256
+            elif f == 2:
+                enc = (row[x] - up) % 256
+            elif f == 3:
+                enc = (row[x] - ((left + up) >> 1)) % 256
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+                enc = (row[x] - pred) % 256
+            raw.append(int(enc))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        h, w = (int(v) for v in rng.integers(1, 48, 2))
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png_pixels(encode_png_rgb(a)), a)
+
+
+@pytest.mark.parametrize("fts", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filters(fts):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_png_with_filters(a, fts)), a)
+
+
+def test_png_decode_rejects_out_of_scope():
+    good = synth_png_pixel_bytes(42)
+    assert decode_png_pixels(good) is not None
+    assert decode_png_pixels(good[:30]) is None  # truncated
+    assert decode_png_pixels(b"not a png") is None
+    # palette (color type 3) and 16-bit depth are documented out of scope
+    ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    pal = _PNG_SIG + _png_chunk(b"IHDR", ihdr_pal)
+    assert decode_png_pixels(pal + _png_chunk(b"IEND", b"")) is None
+    ihdr_16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    deep = _PNG_SIG + _png_chunk(b"IHDR", ihdr_16)
+    assert decode_png_pixels(deep + _png_chunk(b"IEND", b"")) is None
+    # corrupt deflate stream
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x00garbage")
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bad) is None
+
+
+def test_box_resize_matches_numpy_reference():
+    rng = np.random.default_rng(3)
+    for in_h, in_w, out_h, out_w in [(16, 24, 4, 4), (9, 7, 3, 5), (8, 8, 8, 8)]:
+        a = rng.integers(0, 256, (in_h, in_w, 3), dtype=np.uint8)
+        got = box_resize_exact(a, out_w, out_h)
+        for oy in range(out_h):
+            y0 = oy * in_h // out_h
+            y1 = max((oy + 1) * in_h // out_h, y0 + 1)
+            for ox in range(out_w):
+                x0 = ox * in_w // out_w
+                x1 = max((ox + 1) * in_w // out_w, x0 + 1)
+                ref = a[y0:y1, x0:x1].astype(np.int64).reshape(-1, 3).sum(
+                    axis=0
+                ) // ((y1 - y0) * (x1 - x0))
+                assert np.array_equal(got[oy, ox], ref.astype(np.uint8))
+
+
+def test_extract_features_real_pixel_stats(spark):
+    """Feature vector equals numpy mean/std of the ACTUAL decoded pixels —
+    including the std channels the SQL oracle can't express exactly."""
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    out = extract_features(synth_png_pixel_media(docs))
+    rows = {r.doc_id: r.features for r in out.collect()}
+    assert len(rows) == 40
+    for did, feats in rows.items():
+        px = decode_png_pixels(synth_png_pixel_bytes(did)).astype(np.float64)
+        h, w, _ = px.shape
+        means = px.reshape(-1, 3).mean(axis=0)
+        stds = px.reshape(-1, 3).std(axis=0)
+        expect = [
+            *(means / 255.0),
+            *(stds / 255.0),
+            w / 4096.0,
+            h / 4096.0,
+        ]
+        assert feats == pytest.approx(expect, abs=1e-6)
+
+
+def test_extract_features_non_png_fallback(spark):
+    """Undecodable payloads keep the deterministic size-derived contract."""
+    docs = spark.createDataFrame(
+        [(1, b"not an image at all")], "doc_id long, media binary"
+    )
+    (feats,) = [r.features for r in extract_features(docs).collect()]
+    n = len(b"not an image at all")
+    assert feats == pytest.approx(
+        [((n * (i + 1)) % 1000) / 1000.0 for i in range(8)]
+    )
+
+
+def test_resize_media_emits_real_png_of_box_filter(spark):
+    """The operator's binary output is a decodable PNG whose pixels equal
+    the integer box filter of the decoded input."""
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    out = resize_media(synth_png_pixel_media(docs), width=4, height=4)
+    for r in out.collect():
+        px = decode_png_pixels(bytes(r.resized))
+        assert px is not None and px.shape == (4, 4, 3)
+        src = decode_png_pixels(synth_png_pixel_bytes(r.doc_id))
+        assert np.array_equal(px, box_resize_exact(src, 4, 4))
+
+
+def test_pixel_channel_stats_closed_form(spark):
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    stats = pixel_channel_stats(synth_png_pixel_media(docs))
+    for r in stats.collect():
+        did, c = r.doc_id, r.channel
+        w, h = did % 24 + 8, did % 16 + 8
+        base = (did * (c + 1)) % 224
+        n_odd = h * (w // 2) + (w % 2) * (h // 2)
+        assert (r.width, r.height) == (w, h)
+        assert r.pixel_sum == base * w * h + 16 * n_odd
+        assert r.pixel_sumsq == base * base * (w * h - n_odd) + (
+            base + 16
+        ) ** 2 * n_odd

@@ -205,11 +205,17 @@ def kg_throughput(
         # fully-fused narrow path: html -> text -> sentences -> assembled rows
         # in ONE Arrow stage (see extract_and_assemble docstring); the single
         # pipeline exchange is the triple dedup inside link_and_emit
+        # disambiguate: fused in-kernel election (entity_candidates=) — the
+        # ctx matrix never crosses Arrow; candidate-frame build is in the
+        # timed region (it was inside link_and_emit before — same accounting)
         asm = kgp.extract_and_assemble(
             pages.where(F.col("lang") == "en"), cw, d["modifier_config"],
             ctx_dim=kgp.CTX_DIM if disambiguate else None,
+            entity_candidates=(
+                kgp.entity_candidate_frame(cw, cm, ee) if disambiguate else None
+            ),
         )
-        triples = kgp.link_and_emit(asm, cw, cm, entity_embeddings=ee)
+        triples = kgp.link_and_emit(asm, cw, cm)
         n_triples = triples.count()
         run_sec = time.time() - t0
         sec = run_sec if sec is None else min(sec, run_sec)

@@ -48,6 +48,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -642,7 +643,9 @@ def _assembled_schema(cfg: list[dict], ctx_dim: int | None = None) -> StructType
     return StructType(fields)
 
 
-def _make_assembler(by_len, pred_set, first2, first3, cfg, ctx_dim=None):
+def _make_assembler(
+    by_len, pred_set, first2, first3, cfg, ctx_dim=None, ctx_matrix_out=False
+):
     """Build the vectorized per-batch assembly kernel: token arrays ->
     assembled (subj, pred, obj, qualifiers[, ctx]) rows.  numpy explode +
     Series.isin hash probes + drop_duplicates first/last election — no
@@ -791,7 +794,13 @@ def _make_assembler(by_len, pred_set, first2, first3, cfg, ctx_dim=None):
             )
 
             ctx = hashing_trick_embed_np(flat, row, nrow, ctx_dim)
-            res["ctx"] = list(ctx[keep.to_numpy()])
+            ctx_sel = ctx[keep.to_numpy()]
+            if ctx_matrix_out:
+                # fused-election path: hand the dense matrix straight to the
+                # in-kernel election — the (B, dim) float block never gets
+                # chopped into per-row Python lists or serialized over Arrow
+                return res.reset_index(drop=True), ctx_sel
+            res["ctx"] = list(ctx_sel)
         return res.reset_index(drop=True)
 
     return assemble
@@ -842,6 +851,7 @@ def extract_and_assemble(
     crosswalk: DataFrame,
     modifier_config: DataFrame,
     ctx_dim: int | None = None,
+    entity_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The whole narrow path — html -> text -> sentences -> assembled triples
     surface rows — in ONE Arrow stage.
@@ -855,15 +865,48 @@ def extract_and_assemble(
     stays Spark-side (parquet predicate pushdown).  Semantics are identical
     to the staged path (property-tested); the byte-identical-text invariant
     is still checked by the separate extract_text stage in the runner.
+
+    With ``entity_candidates`` (surface_form, entity_id, emb; requires
+    ``ctx_dim``) the embedding entity-link **election runs inside this same
+    kernel**: the sentence context matrix feeds the argmax-cosine election
+    as a dense numpy block and is then discarded — the 8·ctx_dim bytes/row
+    of ctx never cross Arrow and never exist as a Spark column.  Output
+    carries elected ``subj_id``/``obj_id`` longs instead (rows whose subject
+    or object surface has no candidate are dropped, the dictionary-join
+    inner semantics, MSSQL/OMOPLoader.sql:763-764); ``link_and_emit``
+    detects the precomputed ids and skips its own disambiguation stage.
+    Election identical to the staged kernels — equivalence pytest-pinned.
     """
     vocab = _collect_assembly_vocab(crosswalk, modifier_config)
-    out_schema = _assembled_schema(vocab[4], ctx_dim)
     bc = pages.sparkSession.sparkContext.broadcast(vocab)
 
     import numpy as np
 
+    fused_elect = entity_candidates is not None
+    if fused_elect:
+        if not ctx_dim:
+            raise ValueError("entity_candidates requires ctx_dim")
+        from i2o_transform_spark.operators.entity_link import (
+            _collect_candidate_table,
+            elect_entity_ids_np,
+        )
+
+        cand_table = _collect_candidate_table(
+            entity_candidates, "surface_form", "entity_id", "emb"
+        )
+        bc_cand = pages.sparkSession.sparkContext.broadcast(cand_table)
+        out_schema = StructType(
+            list(_assembled_schema(vocab[4], None))
+            + [StructField("subj_id", LongType()), StructField("obj_id", LongType())]
+        )
+    else:
+        out_schema = _assembled_schema(vocab[4], ctx_dim)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _make_assembler(*bc.value, ctx_dim=ctx_dim)
+        kernel = _make_assembler(
+            *bc.value, ctx_dim=ctx_dim, ctx_matrix_out=fused_elect
+        )
+        cand = bc_cand.value if fused_elect else None
         for pdf in batches:
             nrow = len(pdf)
             if nrow == 0:
@@ -894,8 +937,18 @@ def extract_and_assemble(
                 sidx[keep],
                 tok_lists,
             )
-            if res is not None:
-                yield res
+            if res is None:
+                continue
+            if fused_elect:
+                res, ctx_mat = res
+                subj_ids, obj_ids = elect_entity_ids_np(
+                    cand, res["subj_surface"], res["obj_surface"], ctx_mat
+                )
+                mask = (subj_ids >= 0) & (obj_ids >= 0)
+                res = res.loc[mask]
+                res["subj_id"] = subj_ids[mask]
+                res["obj_id"] = obj_ids[mask]
+            yield res
 
     cols = pages.select("url", "warc_ts", "html")
     return cols.mapInPandas(run, out_schema)
@@ -989,6 +1042,32 @@ def assemble_triples(
     )
 
 
+def entity_candidate_frame(
+    crosswalk: DataFrame,
+    canon_map: DataFrame,
+    entity_embeddings: DataFrame,
+) -> DataFrame:
+    """(surface_form, entity_id, emb) candidate dictionary for embedding
+    entity-link scoring: every non-predicate crosswalk surface joined to its
+    canonical id's embedding.  When several source concepts merged into one
+    canon id, the min-concept_id embedding is the deterministic
+    representative.  Vocabulary-sized — feeds the broadcast election in
+    :func:`link_and_emit` or the fused kernel in
+    :func:`extract_and_assemble` (``entity_candidates=``)."""
+    cw = crosswalk.join(canon_map, "concept_id").select(
+        "surface_form", "concept_id", "canon_id", "canon_domain"
+    ).distinct()
+    return (
+        cw.where(F.col("canon_domain") != "Predicate")
+        .join(F.broadcast(entity_embeddings), "concept_id")
+        .groupBy("surface_form", "canon_id")
+        .agg(F.min_by("emb", "concept_id").alias("emb"))
+        .select(
+            "surface_form", F.col("canon_id").alias("entity_id"), "emb"
+        )
+    )
+
+
 def link_and_emit(
     assembled: DataFrame,
     crosswalk: DataFrame,
@@ -1028,9 +1107,14 @@ def link_and_emit(
             F.col("canon_id").alias("pred_id"),
         ).distinct()
     )
-    if entity_embeddings is not None:
+    if "subj_id" in assembled.columns and "obj_id" in assembled.columns:
+        # fused-election path (extract_and_assemble(entity_candidates=...)):
+        # entity ids are already elected in the assembly kernel — only the
+        # predicate crosswalk join (fan-out preserving) remains
+        linked = assembled.join(pred_cw, "pred_surface")
+    elif entity_embeddings is not None:
         from i2o_transform_spark.operators.entity_link import (
-            embedding_disambiguate,
+            embedding_disambiguate_dual_pandas,
         )
 
         if ctx is not None:
@@ -1040,35 +1124,16 @@ def link_and_emit(
                 "embedding linking needs a ctx column: assemble with "
                 "ctx_dim=... or pass a ctx frame (url, sent_idx, ctx)"
             )
-        # one embedding per (surface, canonical entity); when several source
-        # concepts merged into one canon id, the min-concept_id embedding is
-        # the deterministic representative
-        ent_cand = (
-            cw.where(F.col("canon_domain") != "Predicate")
-            .join(F.broadcast(entity_embeddings), "concept_id")
-            .groupBy("surface_form", "canon_id")
-            .agg(F.min_by("emb", "concept_id").alias("emb"))
+        ent_cand = entity_candidate_frame(
+            crosswalk, canon_map, entity_embeddings
         )
-        linked = embedding_disambiguate(
+        # both elections in ONE Arrow pass (r02 throughput fix) — same
+        # argmax/lowest-id election as the expression fold, equivalence
+        # pytest-pinned (tests/test_operators.py)
+        linked = embedding_disambiguate_dual_pandas(
             assembled,
-            ent_cand.select(
-                F.col("surface_form").alias("subj_surface"),
-                F.col("canon_id").alias("entity_id"),
-                "emb",
-            ),
-            surface_col="subj_surface",
-            out_col="subj_id",
-            drop_ctx=False,
-        )
-        linked = embedding_disambiguate(
-            linked,
-            ent_cand.select(
-                F.col("surface_form").alias("obj_surface"),
-                F.col("canon_id").alias("entity_id"),
-                "emb",
-            ),
-            surface_col="obj_surface",
-            out_col="obj_id",
+            ent_cand,
+            surface_col="surface_form",
         )
         linked = linked.join(pred_cw, "pred_surface")
     else:

@@ -214,18 +214,33 @@ def run_pipeline(
             if n_vocab > kg.MAX_BROADCAST_VOCAB:
                 fused = False
                 broadcast_vocab = False
+        ent_emb = None
         if fused and broadcast_vocab:
             # fully-fused narrow path (extract_and_assemble): html -> assembled
             # rows in one Arrow stage, zero shuffles, one materialization.
             # Reads the raw pages table (not the extracted stage) — the
             # extracted stage still exists for the byte-identity validation.
+            # With disambiguate the entity-link election ALSO runs in this
+            # kernel (entity_candidates=): ctx never exists as a column, the
+            # assembled stage lands with elected subj_id/obj_id.
+            if disambiguate:
+                ent_emb = _run(
+                    "entity_embeddings",
+                    lambda: d["entity_embeddings"],
+                    entity_col="concept_id",
+                )
             assembled = _run(
                 "assembled",
                 lambda: kg.extract_and_assemble(
                     pages.where(F.col("lang") == "en"), crosswalk, modcfg,
                     ctx_dim=ctx_dim,
+                    entity_candidates=(
+                        kg.entity_candidate_frame(crosswalk, canon_map, ent_emb)
+                        if disambiguate else None
+                    ),
                 ),
-                upstream=["pages", "crosswalk", "modifier_config"],
+                upstream=["pages", "crosswalk", "modifier_config"]
+                + (["entity_embeddings", "canon_map"] if disambiguate else []),
                 entity_col="url",
             )
         else:
@@ -254,9 +269,8 @@ def run_pipeline(
                 upstream=["mentions", "qualifiers"],
                 entity_col="url",
             )
-        ent_emb = None
         ctx_frame = None
-        if disambiguate:
+        if disambiguate and ent_emb is None:
             ent_emb = _run(
                 "entity_embeddings",
                 lambda: d["entity_embeddings"],

@@ -460,6 +460,34 @@ def test_disambiguation_modular_equals_fused(spark, amb_data):
     assert len(a) > 0 and a == b
 
 
+def test_fused_election_equals_staged_disambiguation(spark, amb_data):
+    """extract_and_assemble(entity_candidates=...) — the in-kernel election
+    where ctx never crosses Arrow — emits triples identical to the staged
+    path (ctx column -> embedding_disambiguate_dual_pandas)."""
+    cw = _amb_cw(amb_data)
+    canon = kg.canonicalize_concepts(cw)
+    ee = amb_data["entity_embeddings"]
+    pages_en = amb_data["pages"].where(F.col("lang") == "en")
+    staged_t = kg.link_and_emit(
+        kg.extract_and_assemble(
+            pages_en, cw, amb_data["modifier_config"], ctx_dim=kg.CTX_DIM
+        ),
+        cw, canon, entity_embeddings=ee,
+    )
+    cand = kg.entity_candidate_frame(cw, canon, ee)
+    fused_asm = kg.extract_and_assemble(
+        pages_en, cw, amb_data["modifier_config"],
+        ctx_dim=kg.CTX_DIM, entity_candidates=cand,
+    )
+    assert "ctx" not in fused_asm.columns
+    fused_t = kg.link_and_emit(fused_asm, cw, canon)
+    cols = ["subj_id", "pred_id", "obj_id", "url",
+            "qualifier_year", "qualifier_amount"]
+    a = {tuple(r) for r in staged_t.select(cols).collect()}
+    b = {tuple(r) for r in fused_t.select(cols).collect()}
+    assert len(a) > 0 and a == b
+
+
 def test_runner_disambiguate_end_to_end(spark, tmp_path):
     """The stage DAG with disambiguate=True: entity_embeddings stage
     persisted, triples match the ambiguity goldens, lineage intact."""

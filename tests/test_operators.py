@@ -450,6 +450,74 @@ def test_embedding_disambiguate_random_equivalence(spark):
     assert a == b
 
 
+def test_embedding_disambiguate_dual_equals_sequential(spark):
+    """Round-3 one-pass dual (subj+obj) kernel == two sequential expression
+    folds: same elections, same inner-join drop semantics, same tie-break."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.entity_link import (
+        embedding_disambiguate,
+        embedding_disambiguate_dual_pandas,
+    )
+
+    rng = np.random.default_rng(23)
+    surfaces = [f"s{i}" for i in range(6)]
+    cand_rows = [
+        (s, 100 * i + j, rng.standard_normal(16).astype(np.float32).tolist())
+        for i, s in enumerate(surfaces)
+        for j in range(3)
+    ]
+    men_rows = [
+        (
+            k,
+            surfaces[k % 6],
+            # every 7th row has an OOV object surface -> row dropped
+            "oov" if k % 7 == 0 else surfaces[(k * 3 + 1) % 6],
+            rng.standard_normal(16).astype(np.float32).tolist(),
+        )
+        for k in range(150)
+    ]
+    cands = spark.createDataFrame(
+        cand_rows, "surface string, entity_id long, emb array<float>"
+    )
+    mentions = spark.createDataFrame(
+        men_rows,
+        "doc_id long, subj_surface string, obj_surface string, ctx array<float>",
+    )
+    dual = {
+        r.doc_id: (r.subj_id, r.obj_id)
+        for r in embedding_disambiguate_dual_pandas(
+            mentions, cands, surface_col="surface"
+        ).collect()
+    }
+    seq1 = embedding_disambiguate(
+        mentions,
+        cands.select(
+            F.col("surface").alias("subj_surface"),
+            F.col("entity_id"),
+            "emb",
+        ),
+        surface_col="subj_surface",
+        out_col="subj_id",
+        drop_ctx=False,
+    )
+    seq = {
+        r.doc_id: (r.subj_id, r.obj_id)
+        for r in embedding_disambiguate(
+            seq1,
+            cands.select(
+                F.col("surface").alias("obj_surface"),
+                F.col("entity_id"),
+                "emb",
+            ),
+            surface_col="obj_surface",
+            out_col="obj_id",
+        ).collect()
+    }
+    assert len(dual) == len([m for m in men_rows if m[0] % 7 != 0])
+    assert dual == seq
+
+
 def test_degrees_and_pagerank_vs_numpy(spark):
     """pagerank (fixed-iteration, dangling-corrected) matches a dense numpy
     power iteration to 1e-9, ranks sum to 1, degrees exact."""

@@ -98,24 +98,37 @@ def run_headline() -> None:
     # (a per-plan fixed cost a long-running cluster amortizes), run 2 is
     # steady state.  Report BOTH — `queries` (steady, best-of-2) feeds the
     # headline total; `queries_cold` keeps the first-run numbers visible.
-    def time_query(name: str) -> tuple[float, float]:
-        """(cold_first_run, steady_best_of_2) — one timing methodology for
-        every reported query."""
+    # VERDICT r02 "What's wrong #2": artifact-level regressions (j1/j4)
+    # were indistinguishable from sandbox variance without a rerun.  N=4
+    # runs per query; the artifact carries the full per-query spread
+    # (cold first run + [min, median, max] of the steady runs) so a
+    # regression is self-adjudicating from the JSON alone.
+    N_RUNS = 4
+
+    def time_query(name: str) -> tuple[float, float, list[float]]:
+        """(cold_first_run, steady_min, [min, median, max] of steady runs)
+        — one timing methodology for every reported query."""
         fn = QUERIES[name]
         runs = []
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
-        return runs[0], min(runs)
+        steady = sorted(runs[1:])
+        return (
+            runs[0],
+            steady[0],
+            [steady[0], steady[len(steady) // 2], steady[-1]],
+        )
 
     cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        cold[name], timings[name] = time_query(name)
+        cold[name], timings[name], spread[name] = time_query(name)
 
     extra: dict[str, float] = {}
     for name in EXTRA:
-        _, extra[name] = time_query(name)
+        _, extra[name], spread[name] = time_query(name)
 
     # KG pipeline throughput: materialized pages -> triples.  One small
     # warmup run first — python UDF workers + codegen JIT are fixed costs
@@ -130,6 +143,19 @@ def run_headline() -> None:
         spark, n_pages=KG_BENCH_PAGES, repeats=2, disambiguate=True
     )
 
+    # same-boot memory-bandwidth control (advisory — see run_scaling): lets
+    # a reader normalize this artifact against boot-to-boot hardware drift
+    bw = None
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "dev")
+        )
+        from bandwidth_control import run as bw_run  # noqa: PLC0415
+
+        bw = max(bw_run(int(cpus)) for _ in range(2))
+    except Exception as e:  # noqa: BLE001 — control is advisory, never fatal
+        sys.stderr.write(f"bandwidth control skipped: {e}\n")
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -137,10 +163,12 @@ def run_headline() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "timing": "best_of_2_steady_state",
+                "timing": f"steady_min_of_{N_RUNS - 1}_after_1_cold",
                 "queries": timings,
                 "queries_cold": cold,
                 "queries_extra": extra,
+                "queries_spread_min_med_max": spread,
+                "bandwidth_ctrl_gib_s": bw,
                 "sf": sf,
                 "kg_pages": KG_BENCH_PAGES,
                 "kg_triples": kg["triples"],

@@ -61,6 +61,72 @@ def salted_join(
     return out.drop("_salt")
 
 
+def plan_salt_buckets(
+    big: DataFrame,
+    key: str,
+    parallelism: int | None = None,
+    max_buckets: int = 64,
+) -> int:
+    """Derive ``salt_buckets`` from the OBSERVED hot-key share instead of a
+    caller guess (VERDICT r02 next-round #7).
+
+    One planning pass, the same shape as the ``qa_skew_profile`` query: a
+    key-only groupBy.count (map-side partial combine — the shuffle moves one
+    row per distinct key, not per input row) folded to (max_n, total).  A
+    key holding share ``p`` of the rows occupies ``p x parallelism``
+    partition-slots of work after the join shuffle; splitting it into
+    ``ceil(p x parallelism)`` salt buckets caps the hottest bucket at about
+    one average partition.  Returns 1 (no salting needed) when the hottest
+    key is no larger than a uniform share.
+    """
+    import math
+
+    if parallelism is None:
+        parallelism = int(
+            big.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    row = (
+        big.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("max_n"), F.sum("count").alias("total"))
+        .first()
+    )
+    if not row or not row.total:
+        return 1
+    hot_share = row.max_n / row.total
+    if hot_share <= 1.0 / parallelism:
+        return 1
+    return max(1, min(max_buckets, math.ceil(hot_share * parallelism)))
+
+
+def skew_aware_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    broadcast_threshold_rows: int = 1_000_000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Statistics-driven join strategy selection (auto-skew planning):
+
+    1. ``small`` fits the broadcast contract -> :func:`dictionary_join`
+       (broadcast hash join, zero shuffle — skew on ``big`` is irrelevant);
+    2. else, the hottest ``big`` key exceeds a uniform partition share ->
+       :func:`salted_join` with :func:`plan_salt_buckets`-derived buckets;
+    3. else a plain shuffle hash join (AQE skew-split stays on as backstop).
+
+    Two bounded planning actions (a small-side count, a key-only profile of
+    the big side); both are map-side-combining single jobs — the planning
+    cost a 100 TB run pays once per join site, not per row.
+    """
+    if small.count() <= broadcast_threshold_rows:
+        return big.join(F.broadcast(small), on=key, how=how)
+    buckets = plan_salt_buckets(big, key, parallelism=parallelism)
+    if buckets > 1:
+        return salted_join(big, small, key, salt_buckets=buckets, how=how)
+    return big.join(small, on=key, how=how)
+
+
 def two_hop_maps_to(
     source_codes: DataFrame,
     concept: DataFrame,

@@ -353,8 +353,8 @@ def split_sentences(docs: DataFrame) -> DataFrame:
 def detect_mentions(
     sentences: DataFrame,
     crosswalk: DataFrame,
-    broadcast_vocab: bool = True,
-    salt_buckets: int = 16,
+    broadcast_vocab: bool | str = True,
+    salt_buckets: int | None = 16,
 ) -> DataFrame:
     """Dictionary mention detection: token spans x surface vocabulary.
 
@@ -374,7 +374,19 @@ def detect_mentions(
     pre-filter (vocab too big to inline), salted repartition join instead
     (hot surface forms are skewed — north_star salted-key hash join).
     Output: (url, warc_ts, sent_idx, start, len, surface, kind).
+
+    Auto-planning (VERDICT r02 #7): ``broadcast_vocab="auto"`` counts the
+    vocabulary and picks the path against MAX_BROADCAST_VOCAB itself;
+    ``salt_buckets=None`` on the salted path derives the bucket count from
+    the observed hot-key share (operators.joins.plan_salt_buckets) instead
+    of a caller guess — a planted 30%-hot-surface corpus gets
+    ceil(0.3 x parallelism) buckets, a uniform corpus gets an unsalted join.
     """
+    if broadcast_vocab == "auto":
+        broadcast_vocab = (
+            crosswalk.select("surface_form").distinct().count()
+            <= MAX_BROADCAST_VOCAB
+        )
     toks = sentences.select(
         "url",
         "warc_ts",
@@ -437,6 +449,14 @@ def detect_mentions(
         ).select("url", "warc_ts", "sent_idx", "start", "sp.len", "sp.gram").where(
             F.col("gram").isNotNull()
         )
+        if salt_buckets is None:
+            from i2o_transform_spark.operators.joins import plan_salt_buckets
+
+            # bounded planning pass over the RAW span stream — the join
+            # shuffles every span row (hit or not) on gram, so raw-stream
+            # skew is what sizes the buckets; groupBy.count combines
+            # map-side (shuffle = one row per distinct gram, skew-free)
+            salt_buckets = plan_salt_buckets(spans, "gram")
         hits = salted_join(spans, surfaces, "gram", salt_buckets=salt_buckets)
 
     # longest-match (W2) as a hash agg: unique len per (start) makes max_by

@@ -151,6 +151,175 @@ def parse_wav_header(payload: bytes):
     return sample_rate, n_channels, bits, data_size // block_align
 
 
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def parse_mp4_header(payload: bytes):
+    """Real, dependency-free MP4 (ISO BMFF) header parse:
+    (width, height, n_frames), or None if not a recognizable 'ftyp' file.
+
+    Walks the published box structure — top-level ``ftyp``/``moov``,
+    recursing through the container boxes down to the video track's ``tkhd``
+    (16.16 fixed-point presentation width/height) and ``stsz`` (declared
+    sample count = frame count).  Only declared box sizes are read, no
+    sample data — O(moov) per payload, which is what a 100 TB metadata
+    pass wants (the moov of a multi-GB file is a few hundred KB)."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+    width = height = n_frames = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, n_frames
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1 and body + 8 <= hi:  # 64-bit largesize
+                size = int.from_bytes(payload[body : body + 8], "big")
+                body += 8
+            if size < 8 or i + size > hi:
+                return
+            if btype in _MP4_CONTAINERS:
+                walk(body, i + size)
+            elif btype == b"tkhd" and width is None and body + 84 <= hi:
+                ver = payload[body]
+                # v0 fixed fields span 76 bytes before width
+                # (flags+times+id+rsvd+duration 24, rsvd 8, layer/alt/
+                # volume/rsvd 8, matrix 36); v1's 64-bit times add 12
+                off = body + (76 if ver == 0 else 88)
+                if off + 8 <= hi:
+                    w = int.from_bytes(payload[off : off + 4], "big") >> 16
+                    h = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+                    if w and h:  # audio tracks carry 0x0 — skip them
+                        width, height = w, h
+            elif btype == b"stsz" and n_frames is None and body + 12 <= hi:
+                n_frames = int.from_bytes(payload[body + 8 : body + 12], "big")
+            i += size
+
+    walk(0, n)
+    if width is None or n_frames is None:
+        return None
+    return width, height, n_frames
+
+
+def _ebml_vint(payload: bytes, i: int, keep_marker: bool):
+    """Decode one EBML variable-length integer at ``i`` ->
+    (value, next_index), or None on truncation.  IDs keep the length-marker
+    bit (matroska convention); sizes strip it."""
+    n = len(payload)
+    if i >= n:
+        return None
+    first = payload[i]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length() + 1
+    if i + length > n:
+        return None
+    raw = int.from_bytes(payload[i : i + length], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * length)) - 1
+    return raw, i + length
+
+
+_WEBM_MASTERS = frozenset(
+    (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0x1F43B675)
+)  # Segment, Info, Tracks, TrackEntry, Video, Cluster
+
+
+def parse_webm_header(payload: bytes):
+    """Real, dependency-free WebM (Matroska/EBML) parse:
+    (width, height, n_frames), or None if not an EBML stream.
+
+    Walks the published element tree — Segment -> Tracks -> TrackEntry ->
+    Video (PixelWidth 0xB0 / PixelHeight 0xBA) and counts SimpleBlock
+    (0xA3) elements across Clusters as the frame count.  Reads only
+    declared element sizes; block payloads are skipped, never decoded."""
+    if len(payload) < 4 or payload[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    width = height = None
+    n_frames = 0
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, n_frames
+        i = lo
+        while i < hi:
+            idv = _ebml_vint(payload, i, keep_marker=True)
+            if idv is None:
+                return
+            eid, i = idv
+            sz = _ebml_vint(payload, i, keep_marker=False)
+            if sz is None:
+                return
+            size, i = sz
+            if i + size > hi:
+                return
+            if eid in _WEBM_MASTERS:
+                walk(i, i + size)
+            elif eid == 0xB0:
+                width = int.from_bytes(payload[i : i + size], "big")
+            elif eid == 0xBA:
+                height = int.from_bytes(payload[i : i + size], "big")
+            elif eid == 0xA3:
+                n_frames += 1
+            i += size
+
+    # skip the EBML header element, then walk the rest (Segment)
+    idv = _ebml_vint(payload, 0, keep_marker=True)
+    sz = _ebml_vint(payload, idv[1], keep_marker=False)
+    if sz is None:
+        return None
+    walk(sz[1] + sz[0], len(payload))
+    if width is None or height is None:
+        return None
+    return width, height, n_frames
+
+
+# MPEG1 Layer III tables (the published subset these fixtures use)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_mp3_header(payload: bytes):
+    """Real, dependency-free MP3 (MPEG1 Layer III) frame walk:
+    (sample_rate, n_channels, n_frames), or None if the payload does not
+    start with a valid frame sync.
+
+    Parses the published 4-byte frame header (sync / bitrate index /
+    sample-rate index / padding / channel mode), computes each frame's
+    declared length (144 x bitrate / rate + padding) and walks the chain
+    counting frames — the compressed-audio analogue of the WAV chunk walk;
+    no audio decode."""
+    n = len(payload)
+    if n < 4 or payload[0] != 0xFF or (payload[1] & 0xFE) != 0xFA:
+        return None  # sync + MPEG1 Layer III only
+    sample_rate = n_channels = None
+    i = 0
+    n_frames = 0
+    while i + 4 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xFE) != 0xFA:
+            break
+        br_idx = payload[i + 2] >> 4
+        sr_idx = (payload[i + 2] >> 2) & 0x3
+        padding = (payload[i + 2] >> 1) & 0x1
+        mode = payload[i + 3] >> 6
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-form / reserved — not parseable by length
+        rate = _MP3_RATES[sr_idx]
+        if sample_rate is None:
+            sample_rate = rate
+            n_channels = 1 if mode == 3 else 2
+        frame_len = (144 * _MP3_BITRATES[br_idx] * 1000) // rate + padding
+        if frame_len <= 4:
+            return None
+        n_frames += 1
+        i += frame_len
+    if sample_rate is None or n_frames == 0:
+        return None
+    return sample_rate, n_channels, n_frames
+
+
 def extract_media_metadata(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -164,9 +333,11 @@ def extract_media_metadata(
     come from the container header.  WAV payloads get a REAL RIFF chunk-walk
     (:func:`parse_wav_header`): width/height are NULL, ``n_frames`` is the
     per-channel sample count, and (sample_rate, n_channels) are filled.
-    Remaining payloads (video / compressed-audio containers; no ffmpeg
-    in-container) fall back to the deterministic ``_decode_stub`` with their
-    declared type, sample_rate/n_channels NULL.
+    MP4 (ISO BMFF box walk), WebM (EBML element walk) and MP3 (frame-chain
+    walk) get REAL header parses too — width/height/n_frames for the video
+    containers, (sample_rate, n_channels, n_frames) for MP3.  Only
+    unrecognized payloads fall back to the deterministic ``_decode_stub``
+    with their declared type.
 
     Input partitioning is preserved (narrow op, zero shuffle); output carries
     only small typed columns so downstream plans never move the payload.
@@ -183,6 +354,16 @@ def extract_media_metadata(
         if wav is not None:
             sample_rate, n_channels, _bits, n_frames = wav
             return "wav", None, None, n_frames, sample_rate, n_channels
+        mp4 = parse_mp4_header(payload)
+        if mp4 is not None:
+            return ("mp4", *mp4, None, None)
+        webm = parse_webm_header(payload)
+        if webm is not None:
+            return ("webm", *webm, None, None)
+        mp3 = parse_mp3_header(payload)
+        if mp3 is not None:
+            sample_rate, n_channels, n_frames = mp3
+            return "mp3", None, None, n_frames, sample_rate, n_channels
         return (mtype, *_decode_stub(payload, mtype), None, None)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -338,6 +519,125 @@ def synth_mixed_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "audio",
             )
         return synth_image_bytes(fmts[i % 4], i % 640 + 1, i % 480 + 1), "image"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            media = [one(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [m for m, _ in media],
+                    "media_type": [t for _, t in media],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(process, schema)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def synth_mp4_bytes(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal REAL ISO BMFF container: ftyp + moov/trak/{tkhd,mdia/minf/
+    stbl/stsz} with the published v0 layouts — parseable by any standards-
+    following box walker, not just ours.  Header-only (no mdat samples),
+    the video twin of the header-only image fixtures."""
+    matrix = (
+        (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x40000000).to_bytes(4, "big")
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # ctime, mtime
+        + (1).to_bytes(4, "big")      # track_id
+        + bytes(4)                    # reserved
+        + n_frames.to_bytes(4, "big")  # duration (timescale = fps)
+        + bytes(8) + bytes(8)         # reserved, layer/alt/volume/rsvd
+        + matrix
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        bytes(4) + (1024).to_bytes(4, "big") + n_frames.to_bytes(4, "big"),
+    )
+    moov = _mp4_box(
+        b"moov",
+        _mp4_box(
+            b"trak",
+            tkhd + _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsz))),
+        ),
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isom")
+    return ftyp + moov
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    eid_b = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    size_b = (len(body) | 0x10000000).to_bytes(4, "big")  # 4-byte vint
+    return eid_b + size_b + body
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def synth_webm_bytes(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal REAL WebM/Matroska stream: EBML header (DocType webm),
+    Segment{Tracks{TrackEntry{TrackType, Video{PixelWidth, PixelHeight}}},
+    Cluster{Timecode, n SimpleBlocks}} — standard EBML vint framing
+    throughout; SimpleBlock payloads are 4-byte placeholders (frame count
+    lives in the element structure, the part a header pass reads)."""
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+    video = _ebml_el(0xE0, _ebml_el(0xB0, _ebml_uint(width))
+                     + _ebml_el(0xBA, _ebml_uint(height)))
+    tracks = _ebml_el(
+        0x1654AE6B, _ebml_el(0xAE, _ebml_el(0x83, b"\x01") + video)
+    )
+    blocks = _ebml_el(0xA3, b"\x81\x00\x00\x80") * n_frames
+    cluster = _ebml_el(0x1F43B675, _ebml_el(0xE7, b"\x00") + blocks)
+    return header + _ebml_el(0x18538067, tracks + cluster)
+
+
+def synth_mp3_bytes(
+    sr_idx: int, n_channels: int, n_frames: int, br_idx: int = 5
+) -> bytes:
+    """Minimal REAL MPEG1 Layer III stream: ``n_frames`` valid frames with
+    published 4-byte headers and correct declared lengths
+    (144 x bitrate / rate), zero-filled audio payload."""
+    rate = _MP3_RATES[sr_idx]
+    frame_len = (144 * _MP3_BITRATES[br_idx] * 1000) // rate
+    mode = 3 if n_channels == 1 else 0
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6])
+    return (hdr + bytes(frame_len - 4)) * n_frames
+
+
+def synth_av_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture generator for a video/compressed-audio media column:
+    doc_id % 3 routes to mp4/webm/mp3, every field a pure function of the
+    id (mp4: w=id%1920+16, h=id%1080+16, frames=id%3000+1; webm:
+    w=id%1280+16, h=id%720+16, frames=id%240+1; mp3:
+    rate=_MP3_RATES[(id//3)%3], channels=id%2+1, frames=id%200+1) so an
+    SQL oracle predicts the parsed metadata of every branch."""
+
+    def one(i: int) -> tuple[bytes, str]:
+        r = i % 3
+        if r == 0:
+            return synth_mp4_bytes(i % 1920 + 16, i % 1080 + 16, i % 3000 + 1), "video"
+        if r == 1:
+            return synth_webm_bytes(i % 1280 + 16, i % 720 + 16, i % 240 + 1), "video"
+        return synth_mp3_bytes((i // 3) % 3, i % 2 + 1, i % 200 + 1), "audio"
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -184,3 +184,61 @@ def test_pixel_channel_stats_closed_form(spark):
         assert r.pixel_sumsq == base * base * (w * h - n_odd) + (
             base + 16
         ) ** 2 * n_odd
+
+
+def test_av_header_parsers_roundtrip_and_cross_immunity():
+    """MP4/WebM/MP3 parsers recover the synthesized parameters exactly
+    (hypothesis-style sweep) and no parser claims another family's bytes."""
+    from i2o_transform_spark.operators.multimodal import (
+        _MP3_RATES,
+        parse_image_header,
+        parse_mp3_header,
+        parse_mp4_header,
+        parse_wav_header,
+        parse_webm_header,
+        synth_image_bytes,
+        synth_mp3_bytes,
+        synth_mp4_bytes,
+        synth_wav_bytes,
+        synth_webm_bytes,
+    )
+
+    for i in (0, 1, 2, 3, 17, 255, 1919, 65535, 987654):
+        w, h, nf = i % 1920 + 16, i % 1080 + 16, i % 3000 + 1
+        assert parse_mp4_header(synth_mp4_bytes(w, h, nf)) == (w, h, nf)
+        w, h, nf = i % 1280 + 16, i % 720 + 16, i % 240 + 1
+        assert parse_webm_header(synth_webm_bytes(w, h, nf)) == (w, h, nf)
+        sr_idx, ch, nf = (i // 3) % 3, i % 2 + 1, i % 200 + 1
+        assert parse_mp3_header(synth_mp3_bytes(sr_idx, ch, nf)) == (
+            _MP3_RATES[sr_idx], ch, nf,
+        )
+
+    samples = {
+        "mp4": synth_mp4_bytes(32, 32, 7),
+        "webm": synth_webm_bytes(32, 32, 7),
+        "mp3": synth_mp3_bytes(0, 1, 7),
+        "png": synth_image_bytes("png", 9, 9),
+        "jpeg": synth_image_bytes("jpeg", 9, 9),
+        "gif": synth_image_bytes("gif", 9, 9),
+        "wav": synth_wav_bytes(8000, 1, 16, 64),
+    }
+    parsers = {
+        "mp4": parse_mp4_header,
+        "webm": parse_webm_header,
+        "mp3": parse_mp3_header,
+        "img": parse_image_header,
+        "wav": parse_wav_header,
+    }
+    owner = {"mp4": "mp4", "webm": "webm", "mp3": "mp3",
+             "png": "img", "jpeg": "img", "gif": "img", "wav": "wav"}
+    for fmt, payload in samples.items():
+        for pname, parse in parsers.items():
+            got = parse(payload)
+            if pname == owner[fmt]:
+                assert got is not None, (fmt, pname)
+            else:
+                assert got is None, (fmt, pname, got)
+        # truncation never crashes a parser, it just declines
+        for cut in (0, 3, 7, len(payload) // 2):
+            for parse in parsers.values():
+                parse(payload[:cut])

@@ -5485,3 +5485,42 @@ def mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_media_metadata(synth_av_media(docs)).drop("n_bytes")
+
+
+@query(
+    "wa_warc_roundtrip",
+    oracle="""
+    SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + INTERVAL 1 SECOND * (doc_id % 86400) AS warc_ts,
+           text AS html_text,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def wa_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source parse check (sources/warc.py): input_hint pages are
+    serialized into spec-conforming multi-member .warc.gz segments (CRLF
+    header blocks, Content-Length framing, per-record gzip members) and
+    re-parsed by the reader kernel in one Arrow stage.  The oracle is the
+    ORIGINAL documents projection — it matches iff the container round-trip
+    is byte-identical (url, timestamp, html payload), the per-row invariant
+    the north_rule demands of the crawl ingest path."""
+    from i2o_transform_spark.sources.warc import warc_roundtrip_frame
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestampadd(SECOND, CAST(doc_id % 86400 AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    back = warc_roundtrip_frame(pages)
+    return back.select(
+        "url",
+        "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("html_text"),
+        F.octet_length(F.col("html")).cast("long").alias("n_bytes"),
+    )

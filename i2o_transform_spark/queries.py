@@ -5524,3 +5524,72 @@ def wa_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("html"), "UTF-8").alias("html_text"),
         F.octet_length(F.col("html")).cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "ta_lm_quality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), tri AS (
+      SELECT doc_id, lang, w[i] AS t1, w[i+1] AS t2, w[i+2] AS t3
+      FROM (SELECT doc_id, lang, w, unnest(range(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 3) x
+    ), bi AS (
+      SELECT lang, w[i] AS b1, w[i+1] AS b2
+      FROM (SELECT lang, w, unnest(range(1, len(w))) AS i
+            FROM toks WHERE len(w) >= 2) x
+    ), uni AS (
+      SELECT lang, unnest(w) AS t FROM toks
+    ), c3 AS (
+      SELECT t1, t2, t3, COUNT(*) AS c FROM tri WHERE lang = 'en'
+      GROUP BY 1, 2, 3
+    ), c2 AS (
+      SELECT b1, b2, COUNT(*) AS c FROM bi WHERE lang = 'en' GROUP BY 1, 2
+    ), c1 AS (
+      SELECT t, COUNT(*) AS c FROM uni WHERE lang = 'en' GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS total FROM uni WHERE lang = 'en'
+    ), dtri AS (
+      SELECT doc_id, t1, t2, t3, COUNT(*) AS k FROM tri GROUP BY 1, 2, 3, 4
+    ), scored AS (
+      SELECT d.doc_id, d.k,
+        CASE WHEN c3.c IS NOT NULL THEN (c3.c * 1000000) // p2.c
+             WHEN s2.c IS NOT NULL
+               THEN (4 * ((s2.c * 1000000) // u2.c)) // 10
+             WHEN u3.c IS NOT NULL
+               THEN (16 * ((u3.c * 1000000) // n.total)) // 100
+             ELSE 0 END AS q
+      FROM dtri d
+      CROSS JOIN n
+      LEFT JOIN c3 ON c3.t1 = d.t1 AND c3.t2 = d.t2 AND c3.t3 = d.t3
+      LEFT JOIN c2 p2 ON p2.b1 = d.t1 AND p2.b2 = d.t2
+      LEFT JOIN c2 s2 ON s2.b1 = d.t2 AND s2.b2 = d.t3
+      LEFT JOIN c1 u2 ON u2.t = d.t2
+      LEFT JOIN c1 u3 ON u3.t = d.t3
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_trigrams,
+           CAST(SUM(k * q) AS BIGINT) AS score_sum,
+           CAST(SUM(k * q) // SUM(k) AS BIGINT) AS avg_q
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ta_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/lm.py): a stupid-backoff
+    trigram LM trained on the English slice scores EVERY document; low
+    avg_q flags out-of-domain / wrong-language text (the non-English docs
+    exercise the full backoff chain).  Integer-quantized scoring (ratios in
+    millionths, exact integer backoff factors) makes every value
+    bit-reproducible — the oracle recomputes the whole train+score pipeline
+    in SQL.  Scale shape: counting shuffles one row per DISTINCT n-gram;
+    scoring joins are O(distinct trigrams), not O(corpus positions)."""
+    from i2o_transform_spark.operators.lm import (
+        lm_quality_score,
+        train_ngram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = train_ngram_counts(docs.where(F.col("lang") == "en"))
+    return lm_quality_score(docs, counts)

@@ -1184,3 +1184,43 @@ def test_drug_era_composed_descendants_collapse(spark):
         (1, "A", D(2020, 6, 1), D(2020, 6, 10)): 1,
         (1, "B", D(2020, 1, 5), D(2020, 1, 25)): 1,
     }
+
+
+def test_lm_quality_stupid_backoff_golden(spark):
+    """Hand-computed stupid-backoff scores on a 3-doc corpus: trigram hit,
+    bigram backoff (0.4), unigram backoff (0.16), OOV zero — exact
+    integer-quantized values."""
+    from i2o_transform_spark.operators.lm import (
+        lm_quality_score,
+        train_ngram_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    # train counts: c3(a,b,c)=2, c2(a,b)=2, (b,c)=2, (c,d)=1, (c,e)=1
+    # unigrams: a2 b2 c2 d1 e1, N=8
+    counts = train_ngram_counts(ref)
+    assert counts["total"] == 8
+
+    target = spark.createDataFrame(
+        [
+            (10, "a b c"),    # trigram hit: (2*1e6) div c2p(a,b)=2 -> 1_000_000
+            (11, "x b c"),    # no trigram (x,b,c); bigram (b,c)=2, c1p(b)=2
+                              #   -> (4 * ((2*1e6) div 2)) div 10 = 400_000
+            (12, "x y c"),    # no tri, no bigram (y,c); unigram c=2, N=8
+                              #   -> (16 * ((2*1e6) div 8)) div 100 = 40_000
+            (13, "x y z"),    # fully OOV -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.score_sum, r.avg_q)
+        for r in lm_quality_score(target, counts).collect()
+    }
+    assert got == {
+        10: (1, 1_000_000, 1_000_000),
+        11: (1, 400_000, 400_000),
+        12: (1, 40_000, 40_000),
+        13: (1, 0, 0),
+    }

@@ -304,3 +304,88 @@ def prefix_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 12,
+) -> DataFrame:
+    """CCNet-style line-level deduplication (Wenzek et al. 2020): hash every
+    line of every document, keep only the FIRST occurrence of each distinct
+    line corpus-wide (ordered by (doc_id, line_idx)), and reassemble the
+    cleaned document.  This is the boilerplate-removal stage of a crawl
+    pipeline — nav bars, cookie banners, and footers repeat across a site and
+    vanish; unique prose survives.
+
+    Lines are fixed-width token windows (``tokens_per_line``) so the operator
+    is well-defined on single-line corpora too; on real multi-line text pass
+    the text pre-split (one line per row) or set the chunker aside.
+
+    Scale shape (100 TB): lines explode map-side; the exchange carries
+    (md5(line), doc_id, line_idx) — 32-char keys, never full text twice.  One
+    shuffle keys the first-occurrence election (min struct — partial,
+    map-side-combinable); the join back is co-partitioned on the same key so
+    AQE plans it shuffle-free.  Reassembly is one more shuffle on doc_id.
+    A globally hot line (every page's footer) is a single-group agg of
+    (doc_id, line_idx) pairs reduced map-side — no skew blow-up.
+
+    Reference analogue: DISTINCT-on-insert dedup (MSSQL/OMOPLoader.sql:954)
+    applied at sub-document granularity.
+
+    Returns (doc_id, n_lines, n_kept, clean_md5) where clean_md5 hashes the
+    newline-joined surviving lines (md5('') when everything was removed).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    n_lines = F.ceil(F.size("_w") / F.lit(tokens_per_line)).cast("int")
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("_w", i * tokens_per_line + 1, tokens_per_line), " "
+                ),
+            )
+        ).alias("line_idx", "line"),
+    )
+    hashed = lines.select(
+        "doc_id", "line_idx", "line", F.md5("line").alias("_lh")
+    )
+    firsts = hashed.groupBy("_lh").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("_first")
+    )
+    kept = (
+        hashed.join(firsts, "_lh")
+        .where(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("line_idx") == F.col("_first.line_idx"))
+        )
+        .select("doc_id", "line_idx", "line")
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda st: st.line,
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )

@@ -209,6 +209,91 @@ def train_ivf_centroids(
     return cents
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment (the IVF coarse quantizer applied
+    to a frame): centroids ship as a broadcast variable, one matmul per Arrow
+    batch, no shuffle.  Identical vectors always land in the same cell."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    sc = df.sparkSession.sparkContext
+    bc_cents = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        cents = bc_cents.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.99,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate pairs via
+    k-means partitioning — cluster the corpus with the IVF coarse quantizer,
+    then compare pairs ONLY within a cell (exact cosine on candidates, so
+    precision is 1 by construction; recall misses only near-dup pairs that
+    straddle a cell boundary — byte-identical vectors always share a cell).
+
+    Scale shape: the quadratic all-pairs comparison is bounded per cell
+    (O(sum_c n_c^2), n_c ~ N/C), the cell id doubles as the shuffle key, and
+    nothing driver-side grows with the corpus.  At 10^12 vectors C scales with
+    N (FAISS-style sqrt(N) cells) keeping cells constant-sized.
+    Reference analogue: the dedup/merge stored-procedure semantics
+    (MSSQL/OMOPLoader.sql:1098-1143) lifted to embedding space.
+    Returns (id_a, id_b) with id_a < id_b and cosine >= tau."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    cells = assign_cells(corpus, centroids, vec_col=vec_col)
+    a = cells.select(
+        F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = cells.select(
+        F.col("_cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= tau)
+        .select("id_a", "id_b")
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    tau: float = 0.99,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup keep-set: greedily drop every vector that has a near-duplicate
+    with a smaller id (the deterministic survivor election used by the text
+    dedup family, w2_preference_dedup's rule in embedding space).  One
+    broadcast-able anti-join over the dropped-id set."""
+    pairs = semantic_dedup_pairs(
+        corpus, tau=tau, n_centroids=n_centroids, id_col=id_col,
+        vec_col=vec_col, centroids=centroids,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti").select(id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5593,3 +5593,294 @@ def ta_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     counts = train_ngram_counts(docs.where(F.col("lang") == "en"))
     return lm_quality_score(docs, counts)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 2: CCNet line dedup, web link graph, SemDeDup
+# ---------------------------------------------------------------------------
+
+_BOILER_SQL = (
+    "'site ' || source || ' cookie banner please accept terms of service"
+    " and privacy policy ' || trim(text)"
+)
+
+
+@query(
+    "dd_line_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0
+    ), d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(
+               'site ' || source || ' cookie banner please accept terms of'
+               || ' service and privacy policy ' || trim(text)), '\s+') AS w
+      FROM corpus
+    ), ln AS (
+      SELECT doc_id, CAST(i AS INT) AS line_idx,
+             array_to_string(w[i*12+1 : i*12+12], ' ') AS line
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS i
+            FROM d) x
+    ), rn AS (
+      SELECT doc_id, line_idx, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS r
+      FROM ln
+    ), kept AS (
+      SELECT doc_id, line_idx, line FROM rn WHERE r = 1
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id
+    ), ka AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY line_idx)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(ka.clean_md5, md5('')) AS clean_md5
+    FROM tot t LEFT JOIN ka USING (doc_id)
+    """,
+)
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup (operators/dedup.line_dedup): every doc is
+    prefixed with its site's 12-token boilerplate banner (nav/cookie/footer
+    simulation — one hot line repeated across ~N/5 docs per source) and 20%
+    of docs are duplicated outright; the operator keeps only the FIRST
+    occurrence of each distinct line corpus-wide and reassembles the cleaned
+    text.  The oracle replays the whole election (chunking, first-occurrence
+    window, newline-joined md5) in SQL — any divergence in line splitting,
+    election order, or reassembly breaks the value hash.  Reference
+    analogue: DISTINCT-on-insert dedup (MSSQL/OMOPLoader.sql:954) at
+    sub-document granularity."""
+    from i2o_transform_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    boiler = F.concat(
+        F.lit("site "),
+        F.col("source"),
+        F.lit(
+            " cookie banner please accept terms of service and privacy"
+            " policy "
+        ),
+        F.trim(F.col("text")),
+    )
+    return line_dedup(
+        corpus.select("doc_id", boiler.alias("text")), tokens_per_line=12
+    )
+
+
+@query(
+    "kg_anchor_links",
+    oracle=r"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT d.doc_id,
+             'src' || CAST(d.doc_id % 50 AS VARCHAR) || '.example' AS src_host,
+             CAST((d.doc_id * 7 + j * 131 + 13) % tot.n AS BIGINT) AS t
+      FROM documents d
+      CROSS JOIN tot
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+      WHERE j < d.doc_id % 4
+    ), resolved AS (
+      SELECT src_host,
+             CASE CAST(t % 4 AS INT)
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.com'
+               WHEN 2 THEN 'sub.example.com'
+               ELSE 'example.com:8080' END AS dst_host,
+             t
+      FROM links
+    )
+    SELECT src_host, dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_targets
+    FROM resolved
+    GROUP BY src_host, dst_host
+    """,
+)
+def kg_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link-graph construction — the KG builder's edge-extraction stage:
+    synthesize crawl HTML with real <a href> anchors (messy URLs covering
+    every normalize_url rule, plus an href-less decoy anchor), extract the
+    (href, anchor-text) pairs with a JVM-side regexp (regexp_extract_all —
+    no UDF), canonicalize each target with functions/text.normalize_url, and
+    aggregate the host-to-host edge list.  The oracle PREDICTS every edge
+    from the deterministic link formula (mm_media_metadata's pattern): a
+    wrong regex, a missed normalization rule, or decoy leakage changes
+    n_links/n_targets and fails the value hash.  At 100 TB this is one
+    map-side extraction pass + a single (src_host, dst_host) agg exchange;
+    anchor payloads never shuffle."""
+    from i2o_transform_spark.functions.text import normalize_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    base = docs.crossJoin(n_total)
+    tid = lambda j: (F.col("doc_id") * 7 + j * 131 + 13) % F.col("_n")  # noqa: E731
+
+    def turl(t):
+        s = t.cast("string")
+        return (
+            F.when(
+                t % 4 == 0,
+                F.concat(
+                    F.lit("HTTPS://Example.COM:443/Products//Item/"), s,
+                    F.lit("/?b=2&a=1&c="), s, F.lit("#frag"),
+                ),
+            )
+            .when(t % 4 == 1, F.concat(F.lit("http://example.com:80/a//b/"), s))
+            .when(
+                t % 4 == 2,
+                F.concat(F.lit("https://Sub.Example.com/"), s, F.lit("/")),
+            )
+            .otherwise(F.concat(F.lit("HTTP://EXAMPLE.com:8080?z=1&y="), s))
+        )
+
+    anchor_arr = F.transform(
+        F.slice(
+            F.sequence(F.lit(0), F.lit(2)), F.lit(1), (F.col("doc_id") % 4).cast("int")
+        ),
+        lambda j: F.concat(
+            F.lit('<a href="'), turl(tid(j)), F.lit('">ref '),
+            tid(j).cast("string"), F.lit("</a>"),
+        ),
+    )
+    pages = base.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a class="decoy">not a link</a></nav><p>doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</p>"),
+            F.array_join(anchor_arr, ""),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    pat = r'<a href="([^"]+)">([^<]*)</a>'
+    extracted = pages.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("html", F.lit(pat), F.lit(1)).alias("href"),
+                F.regexp_extract_all("html", F.lit(pat), F.lit(2)).alias("anchor"),
+            )
+        ).alias("a"),
+    ).select("doc_id", F.col("a.href").alias("href"), F.col("a.anchor").alias("anchor"))
+    norm = extracted.select(
+        F.concat(
+            F.lit("src"), (F.col("doc_id") % 50).cast("string"), F.lit(".example")
+        ).alias("src_host"),
+        normalize_url(F.col("href")).alias("norm_url"),
+    )
+    host = F.regexp_extract("norm_url", r"^[a-z][a-z0-9+.\-]*://([^/?]+)", 1)
+    return (
+        norm.select("src_host", host.alias("dst_host"), "norm_url")
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.count_distinct("norm_url").cast("long").alias("n_targets"),
+        )
+    )
+
+
+_SEM_CORPUS_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+@query(
+    "dd_semantic_dedup",
+    oracle="""
+    WITH corpus AS (""" + _SEM_CORPUS_SQL + """
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.99
+    )
+    SELECT vec_id
+    FROM corpus
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023; operators/similarity.semantic_dedup_*):
+    k-means-partition the embedding space (the IVF coarse quantizer), compare
+    pairs only WITHIN a cell, and greedily drop every vector with a
+    near-duplicate (cosine >= 0.99) of smaller id.  The oracle recomputes the
+    keep-set from EXACT all-pairs cosine — it matches iff the cell-blocked
+    path finds every true pair (byte-identical vectors always share a cell)
+    and invents none (candidates are scored with exact cosine).  Scale
+    shape: per-cell quadratic cost bounded by cell size (C grows ~sqrt(N)),
+    the cell id is the only shuffle key, and the dropped-id set joins back
+    as a broadcast anti-join."""
+    from i2o_transform_spark.operators.similarity import semantic_dedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return semantic_dedup_survivors(corpus, tau=0.99, n_centroids=16)
+
+
+@query(
+    "dd_semantic_recall_check",
+    oracle="""
+    WITH corpus AS (""" + _SEM_CORPUS_SQL + """
+    ), exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.99
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           CAST(1 AS INT) AS recall_eq_1
+    FROM exact
+    """,
+)
+def dd_semantic_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to dd_semantic_dedup (the hash-family *_recall_check
+    pattern): n_exact is recomputed by the oracle from exact all-pairs
+    cosine; n_found counts the cell-blocked pairs that hit the exact set and
+    must EQUAL it (identical vectors share a cell by construction, so recall
+    is exactly 1 here, not merely >= a bound)."""
+    from i2o_transform_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    from i2o_transform_spark.operators.similarity import cosine as _cos
+
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_cos(F.col("_va"), F.col("_vb")) >= 0.99)
+        .select("id_a", "id_b")
+    )
+    found = semantic_dedup_pairs(corpus, tau=0.99, n_centroids=16)
+    hits = exact.join(found, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            F.col("n_exact").cast("long"),
+            F.col("n_found").cast("long"),
+            (F.col("n_found") == F.col("n_exact")).cast("int").alias("recall_eq_1"),
+        )
+    )

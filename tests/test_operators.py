@@ -1224,3 +1224,71 @@ def test_lm_quality_stupid_backoff_golden(spark):
         12: (1, 40_000, 40_000),
         13: (1, 0, 0),
     }
+
+
+def test_line_dedup_boilerplate_and_duplicates(spark):
+    """Hand-checked line election: a boilerplate line shared by three docs
+    survives only in the first (doc 1, line 0); a fully-duplicated doc keeps
+    nothing; unique prose survives; n_lines counts chunks of 4 tokens."""
+    from i2o_transform_spark.operators.dedup import line_dedup
+
+    boiler = "accept all cookies now"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique prose one here"),
+            (2, boiler + " different words entirely again"),
+            (3, boiler + " unique prose one here"),  # full dup of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_md5)
+        for r in line_dedup(docs, tokens_per_line=4).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1] == (2, 2, md5(boiler + "\nunique prose one here"))
+    assert out[2] == (2, 1, md5("different words entirely again"))
+    assert out[3] == (2, 0, md5(""))
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    """A line repeated INSIDE one doc keeps only its first occurrence."""
+    from i2o_transform_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "x y x y z w")], "doc_id long, text string"
+    )
+    rows = line_dedup(docs, tokens_per_line=2).collect()
+    assert rows[0].n_lines == 3 and rows[0].n_kept == 2  # 'x y' dup dropped
+
+
+def test_semantic_dedup_planted_pairs(spark):
+    """Planted exact duplicates in orthogonal-ish clusters: pairs found via
+    the cell-blocked path equal the exact pair set; survivors drop the
+    higher id of each duplicate pair."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows += [(100 + i, base[i].tolist()) for i in range(0, 20, 4)]  # 5 dups
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(corpus, tau=0.99, n_centroids=4).collect()
+    }
+    assert pairs == {(i, 100 + i) for i in range(0, 20, 4)}
+    kept = {
+        r.vec_id
+        for r in semantic_dedup_survivors(corpus, tau=0.99, n_centroids=4).collect()
+    }
+    assert kept == set(range(20))

@@ -49,6 +49,12 @@ EXTRA = [
     "ta_tfidf_topk",
     "dd_span_dedup",
     "zo_zorder_code",
+    # round-3 flagships
+    "td_pipeline",
+    "dd_line_dedup",
+    "kg_anchor_links",
+    "dd_semantic_dedup",
+    "ta_lm_quality",
 ]
 
 

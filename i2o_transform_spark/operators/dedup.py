@@ -311,6 +311,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_per_line: int = 12,
+    emit_clean_text: bool = False,
 ) -> DataFrame:
     """CCNet-style line-level deduplication (Wenzek et al. 2020): hash every
     line of every document, keep only the FIRST occurrence of each distinct
@@ -368,24 +369,24 @@ def line_dedup(
         .select("doc_id", "line_idx", "line")
     )
     totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
-    kept_agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
-                    lambda st: st.line,
-                ),
-                "\n",
-            )
-        ).alias("clean_md5"),
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+            lambda st: st.line,
+        ),
+        "\n",
     )
-    return (
-        totals.join(kept_agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_lines").cast("long").alias("n_lines"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
-        )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), clean.alias("_clean")
+    )
+    out = totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("_clean"), F.lit("")).alias("_clean"),
+    )
+    if emit_clean_text:
+        return out.withColumnRenamed("_clean", "clean_text")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("_clean").alias("clean_md5")
     )

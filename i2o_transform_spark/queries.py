@@ -5884,3 +5884,157 @@ def dd_semantic_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_found") == F.col("n_exact")).cast("int").alias("recall_eq_1"),
         )
     )
+
+
+@query(
+    "td_pipeline",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 5 = 0
+    ), base AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            x -> lower(x)) AS lw
+      FROM corpus
+    ), scored AS (
+      SELECT doc_id, lang, text, w,
+             len(w) AS nt,
+             len(list_filter(lw, x -> x IN ('the','a','and','of','to','in',
+                                            'is','it'))) AS ns,
+             len(list_filter(lw, x -> x IN ('der','die','und','das','ein'))) AS de_h,
+             len(list_filter(lw, x -> x IN ('the','and','of','to','a')))     AS en_h,
+             len(list_filter(lw, x -> x IN ('el','la','de','que','y')))      AS es_h,
+             len(list_filter(lw, x -> x IN ('le','la','de','et','un')))      AS fr_h
+      FROM base
+    ), s2 AS (
+      SELECT * FROM scored
+      WHERE CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'en'
+                 WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
+                 WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+                 WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+                 ELSE 'fr' END = 'en'
+        AND en_h >= 3
+    ), s3 AS (
+      SELECT * FROM s2 WHERE nt >= 30 AND ns >= 1
+    ), ln AS (
+      SELECT doc_id, CAST(i AS INT) AS line_idx,
+             array_to_string(w[i*12+1 : i*12+12], ' ') AS line
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS i
+            FROM s3) x
+    ), rn AS (
+      SELECT doc_id, line_idx, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS r
+      FROM ln
+    ), s4 AS (
+      SELECT k.doc_id, s3.lang,
+             len(regexp_split_to_array(
+               string_agg(k.line, chr(10) ORDER BY k.line_idx), '\s+')) AS ct
+      FROM (SELECT doc_id, line_idx, line FROM rn WHERE r = 1) k
+      JOIN s3 USING (doc_id)
+      GROUP BY k.doc_id, s3.lang
+    ), s5 AS (
+      SELECT * FROM s4
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+            <= CASE WHEN lang = 'en' THEN '7f' ELSE '19' END
+    )
+    SELECT '1_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM scored
+    UNION ALL
+    SELECT '2_langid', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_quality', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT '4_line_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM s4
+    UNION ALL
+    SELECT '5_sample', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM s5
+    """,
+)
+def td_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline — the end-to-end chain a 100 TB corpus
+    actually runs, as ONE query with a per-stage funnel report:
+
+      ingest (+20% planted duplicates)
+        -> language ID keep='en', >=3 marker hits (textstats.predicted_lang)
+        -> quality filter                 (>=30 tokens, >=1 stopword; integer
+                                           thresholds — no float boundaries)
+        -> line-level dedup               (operators/dedup.line_dedup; the
+                                           duplicated docs lose every line to
+                                           their originals and drop out here)
+        -> deterministic stratified sample (md5-bucket mixing, 50% en)
+
+    Returns (stage, n_docs, n_tokens) — the funnel the pipeline operator
+    watches in production.  The oracle replays every stage in SQL, so a
+    drift in ANY stage's semantics moves a downstream count and fails the
+    value hash.  Scale shape: stages 1-3 and 5 are map-only column
+    expressions (one corpus scan, zero exchange); stage 4 is line_dedup's
+    two bounded exchanges; in the runner each stage materializes a stage
+    table (plans/runner.py) so the funnel is lineage, not recompute."""
+    from i2o_transform_spark.functions.textstats import (
+        LANG_MARKERS,
+        STOPWORDS,
+        predicted_lang,
+    )
+    from i2o_transform_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+        )
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    ns = F.size(
+        F.filter(F.transform(w, F.lower), lambda t: t.isin(*STOPWORDS))
+    )
+    base = corpus.select(
+        "doc_id", "lang", "text",
+        F.size(w).alias("_nt"),
+        ns.alias("_ns"),
+        predicted_lang("text").alias("_lp"),
+    )
+    en_hits = F.size(
+        F.filter(
+            F.transform(w, F.lower),
+            lambda t: t.isin(*LANG_MARKERS["en"]),
+        )
+    )
+    s2 = base.withColumn("_enh", en_hits).where(
+        (F.col("_lp") == "en") & (F.col("_enh") >= 3)
+    )
+    s3 = s2.where((F.col("_nt") >= 30) & (F.col("_ns") >= 1))
+    cleaned = line_dedup(
+        s3.select("doc_id", "text"), tokens_per_line=12, emit_clean_text=True
+    ).where(F.col("n_kept") > 0)
+    s4 = cleaned.join(s3.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("clean_text")), r"\s+")).alias("_ct"),
+    )
+    s5 = s4.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        <= F.when(F.col("lang") == "en", F.lit("7f")).otherwise(F.lit("19"))
+    )
+
+    def frow(stage: str, df: DataFrame, tok_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("_c"), F.sum(tok_col).alias("_s")
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.col("_c").cast("long").alias("n_docs"),
+            F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    return (
+        frow("1_ingest", base, "_nt")
+        .unionByName(frow("2_langid", s2, "_nt"))
+        .unionByName(frow("3_quality", s3, "_nt"))
+        .unionByName(frow("4_line_dedup", s4, "_ct"))
+        .unionByName(frow("5_sample", s5, "_ct"))
+    )

@@ -306,6 +306,39 @@ def prefix_jaccard_pairs(
     )
 
 
+def explode_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 12,
+    carry_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Map-side line chunker shared by batch line_dedup and the streaming
+    variant: fixed-width token windows of ``tokens_per_line``, emitted as
+    (doc_id, line_idx, line) plus any ``carry_cols`` (e.g. an event-time
+    column for streaming watermarks).  Pure narrow transformation — zero
+    exchange, streaming-safe."""
+    carry = list(carry_cols or [])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *carry,
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    n_lines = F.ceil(F.size("_w") / F.lit(tokens_per_line)).cast("int")
+    return toks.select(
+        "doc_id",
+        *carry,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("_w", i * tokens_per_line + 1, tokens_per_line), " "
+                ),
+            )
+        ).alias("line_idx", "line"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -324,13 +357,14 @@ def line_dedup(
     is well-defined on single-line corpora too; on real multi-line text pass
     the text pre-split (one line per row) or set the chunker aside.
 
-    Scale shape (100 TB): lines explode map-side; the exchange carries
-    (md5(line), doc_id, line_idx) — 32-char keys, never full text twice.  One
-    shuffle keys the first-occurrence election (min struct — partial,
-    map-side-combinable); the join back is co-partitioned on the same key so
-    AQE plans it shuffle-free.  Reassembly is one more shuffle on doc_id.
-    A globally hot line (every page's footer) is a single-group agg of
-    (doc_id, line_idx) pairs reduced map-side — no skew blow-up.
+    Scale shape (100 TB): lines explode map-side and are keyed by md5(line)
+    (32-char shuffle key).  The first-occurrence election is a min-struct
+    groupBy — partial, map-side-combinable, so a globally hot line (every
+    page's footer) is reduced before the exchange, no skew blow-up; the
+    election side of the join back carries only (md5, doc_id, line_idx).
+    Line text crosses an exchange once (the reassembly side of the join,
+    which AQE plans as broadcast or skew-split SMJ on the same key), and
+    reassembly is one more shuffle on doc_id.
 
     Reference analogue: DISTINCT-on-insert dedup (MSSQL/OMOPLoader.sql:954)
     applied at sub-document granularity.
@@ -338,21 +372,8 @@ def line_dedup(
     Returns (doc_id, n_lines, n_kept, clean_md5) where clean_md5 hashes the
     newline-joined surviving lines (md5('') when everything was removed).
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
-    ).where(F.length(F.trim(F.col(text_col))) > 0)
-    n_lines = F.ceil(F.size("_w") / F.lit(tokens_per_line)).cast("int")
-    lines = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.array_join(
-                    F.slice("_w", i * tokens_per_line + 1, tokens_per_line), " "
-                ),
-            )
-        ).alias("line_idx", "line"),
+    lines = explode_lines(
+        docs, id_col=id_col, text_col=text_col, tokens_per_line=tokens_per_line
     )
     hashed = lines.select(
         "doc_id", "line_idx", "line", F.md5("line").alias("_lh")

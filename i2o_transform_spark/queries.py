@@ -6038,3 +6038,154 @@ def td_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(frow("4_line_dedup", s4, "_ct"))
         .unionByName(frow("5_sample", s5, "_ct"))
     )
+
+
+@query(
+    "st_line_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0
+    ), d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(
+               'site ' || source || ' cookie banner please accept terms of'
+               || ' service and privacy policy ' || trim(text)), '\s+') AS w
+      FROM corpus
+    ), ln AS (
+      SELECT array_to_string(w[i*12+1 : i*12+12], ' ') AS line
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS i
+            FROM d) x
+    )
+    SELECT DISTINCT md5(line) AS line_md5, line FROM ln
+    """,
+)
+def st_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: CCNet line dedup in-stream
+    (streaming/windowed.line_dedup_stream) in its batch form — the distinct
+    line set of the boilerplate-planted corpus.  The streaming run keys
+    dropDuplicatesWithinWatermark on md5(line) (state bounded by the
+    watermark horizon); tests/test_streaming.py proves the stream sink
+    equals this batch set under duplicated at-least-once delivery."""
+    from i2o_transform_spark.streaming.windowed import line_dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    boiler = F.concat(
+        F.lit("site "),
+        F.col("source"),
+        F.lit(
+            " cookie banner please accept terms of service and privacy"
+            " policy "
+        ),
+        F.trim(F.col("text")),
+    )
+    pages = corpus.select(
+        "doc_id",
+        boiler.alias("text"),
+        F.expr(
+            "timestampadd(SECOND, CAST(doc_id % 86400 AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    return line_dedup_stream(pages)
+
+
+@query(
+    "ta_temperature_mix",
+    oracle=r"""
+    WITH d0 AS (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'web'
+                  WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'books'
+                  ELSE 'code' END AS source
+      FROM documents
+    ), c AS (
+      SELECT source, COUNT(*) AS n_docs FROM d0 GROUP BY source
+    ), g AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS tot,
+             CAST(SUM(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000)
+                           AS BIGINT)) AS BIGINT) AS wsum
+      FROM c
+    ), thr AS (
+      SELECT c.source, c.n_docs,
+             least(
+               (65536 * (g.tot // 2)
+                 * CAST(floor(sqrt(CAST(c.n_docs AS DOUBLE)) * 1000) AS BIGINT))
+               // (g.wsum * c.n_docs),
+               65536) AS t
+      FROM c CROSS JOIN g
+    ), kept AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM d0 d JOIN thr ON d.source = thr.source
+      WHERE thr.t = 65536
+         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr.t)
+      GROUP BY d.source
+    )
+    SELECT thr.source, CAST(thr.n_docs AS BIGINT) AS n_docs,
+           CAST(thr.t AS BIGINT) AS sample_threshold,
+           CAST(COALESCE(kept.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM thr LEFT JOIN kept ON thr.source = kept.source
+    """,
+)
+def ta_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source
+    sampling rule of T5/XLM-R/LLaMA data recipes — sources re-binned into
+    skewed web/books/code tiers so the tempering is exercised): per-source
+    keep-rates
+    proportional to count^alpha (alpha=0.5) so head sources are downweighted
+    and tail sources upweighted, targeting a 50% overall sample.  All
+    arithmetic is INTEGER after a quantized sqrt (floor(sqrt(n)*1000) — one
+    correctly-rounded IEEE op per value, then order-free integer sums), so
+    thresholds are bit-identical across engines and cluster sizes; at
+    10^12-doc scale the same expressions run in DECIMAL(38).  Membership is
+    the md5-bucket rule of ta_stratified_sample (pure function of the row —
+    zero shuffle at apply time; the derivation is one tiny agg broadcast
+    back).  Returns (source, n_docs, sample_threshold, n_sampled)."""
+    tier = (
+        F.when(F.substring("source", 4, 10).cast("int") < 14, F.lit("web"))
+        .when(F.substring("source", 4, 10).cast("int") < 18, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tier.alias("source")
+    )
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wq = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long")
+    c = c.withColumn("_wq", wq)
+    g = c.agg(
+        F.sum("n_docs").cast("long").alias("_tot"),
+        F.sum("_wq").cast("long").alias("_wsum"),
+    )
+    thr = c.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.expr("(65536 * (_tot div 2) * _wq) div (_wsum * n_docs)"),
+            F.lit(65536).cast("long"),
+        ).alias("_t"),
+    )
+    kept = (
+        docs.join(F.broadcast(thr), "source")
+        .where(
+            (F.col("_t") == 65536)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < F.format_string("%04x", F.col("_t").cast("int"))
+            )
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+    )
+    return thr.join(kept, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("_t").cast("long").alias("sample_threshold"),
+        F.coalesce(F.col("_ns"), F.lit(0)).cast("long").alias("n_sampled"),
+    )

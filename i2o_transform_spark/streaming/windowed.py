@@ -293,3 +293,52 @@ def attribution_join(
         "r_ts",
         "r_value",
     )
+
+
+def line_dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 12,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming CCNet line dedup — the in-stream twin of
+    operators/dedup.line_dedup's election: chunk each arriving document into
+    fixed-width token lines map-side (operators/dedup.explode_lines — narrow,
+    streaming-safe), then emit each DISTINCT line exactly once via
+    ``dropDuplicatesWithinWatermark`` keyed on md5(line).
+
+    Emits the deduplicated LINE SET (line_md5, line) rather than per-doc
+    attribution: the kept row's content is identical whichever arrival
+    survives (the key is the full line content), so the output is
+    deterministic as a set even though micro-batch arrival order is not.
+    Per-document reassembly stays a batch compaction over the sink (the
+    line_dedup election), exactly as CCNet splits hashing (streaming) from
+    filtering (batch).
+
+    State is one entry per distinct line seen within the ``watermark``
+    horizon — bounded by the late-data window, not by history, which is what
+    lets this run forever on a crawl firehose.  Batch inputs take the
+    equivalent dropDuplicates (the correctness oracle for the stream run).
+    """
+    from i2o_transform_spark.operators.dedup import explode_lines
+
+    lines = explode_lines(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        tokens_per_line=tokens_per_line,
+        carry_cols=[ts_col],
+    ).select(
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.md5("line").alias("line_md5"),
+        "line",
+    )
+    if lines.isStreaming:
+        deduped = lines.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["line_md5"]
+        )
+    else:
+        deduped = lines.dropDuplicates(["line_md5"])
+    return deduped.select("line_md5", "line")

@@ -498,3 +498,46 @@ def test_windowed_counts_drop_late_data_past_watermark(spark, tmp_path):
     w1000 = [n for w, n in got if w == "10:00"]
     assert w1000 == [1], (w1000, got)  # late row dropped, window emitted ONCE
     assert got.count(("10:05", 1)) == 1, got  # on-time window flushed once
+
+
+def test_line_dedup_stream_equals_batch(spark):
+    """Streaming CCNet line dedup: documents delivered TWICE (at-least-once)
+    through a file stream; dropDuplicatesWithinWatermark on md5(line) must
+    emit exactly the batch-distinct line set."""
+    import tempfile
+
+    from i2o_transform_spark.streaming.windowed import line_dedup_stream
+
+    batch_docs = load_table(spark, SF_DIR, "documents")
+    d = os.path.join(tempfile.gettempdir(), "i2o_stream_docs_dup")
+    os.makedirs(d, exist_ok=True)
+    for name in ("docs_a.parquet", "docs_b.parquet"):
+        link = os.path.join(d, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF_DIR, "documents.parquet"), link)
+
+    def prep(df):
+        return df.select(
+            "doc_id",
+            "text",
+            F.expr(
+                "timestampadd(SECOND, CAST(doc_id % 86400 AS INT),"
+                " timestamp'2024-01-01 00:00:00')"
+            ).alias("ts"),
+        )
+
+    sdf = spark.readStream.schema(batch_docs.schema).parquet(d)
+    deduped = line_dedup_stream(prep(sdf), watermark="365 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("line_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = spark.table("line_dedup_stream")
+
+    want = _rows(line_dedup_stream(prep(batch_docs)), ["line_md5", "line"])
+    assert _rows(stream, ["line_md5", "line"]) == want
+    assert len(want) > 0

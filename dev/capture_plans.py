@@ -157,6 +157,46 @@ def main() -> None:
         "array_intersect each.",
     ))
 
+    sections.append((
+        "dd_line_dedup — CCNet line-level dedup (election + reassembly)",
+        tree_of(QUERIES["dd_line_dedup"](spark, sf)),
+        "Lines explode map-side and key on md5(line); the first-occurrence "
+        "election is a map-side-combinable min-struct `HashAggregate` (a "
+        "globally hot boilerplate line reduces before its exchange — no "
+        "skew blow-up), the join back rides the same key (AQE picks "
+        "broadcast here, skew-split SMJ at scale), and reassembly is one "
+        "`ObjectHashAggregate` on doc_id.  Line text crosses an exchange "
+        "exactly once.",
+    ))
+    sections.append((
+        "td_pipeline — composed training-data funnel (5 stages, one plan)",
+        tree_of(QUERIES["td_pipeline"](spark, sf)),
+        "langid/quality/sampling are pure column expressions fused into the "
+        "scan's codegen stage (stages 1-3 and 5 add ZERO exchanges); the "
+        "only exchanges in the whole funnel belong to the line-dedup "
+        "election and reassembly.  Each funnel row is a partial-aggregated "
+        "scalar agg — the per-stage counts cost one pass each over an "
+        "already-narrow plan (the runner materializes stage tables instead "
+        "of recomputing; this query is the one-shot audit form).",
+    ))
+    sections.append((
+        "kg_anchor_links — link-graph edge extraction",
+        tree_of(QUERIES["kg_anchor_links"](spark, sf)),
+        "regexp_extract_all + arrays_zip + explode run inside the scan's "
+        "codegen span (no UDF, anchor payloads never shuffle); "
+        "normalize_url is pure string expressions; the single exchange is "
+        "the (src_host, dst_host) aggregate with map-side partial combine.",
+    ))
+    sections.append((
+        "dd_semantic_dedup — SemDeDup cell-blocked survivor election",
+        tree_of(QUERIES["dd_semantic_dedup"](spark, sf)),
+        "The quadratic compare is confined to a per-cell self-join "
+        "(`_cell` equi-join, exact cosine on candidates only); the "
+        "dropped-id set returns as a broadcast LeftAnti join.  Cell "
+        "assignment is one `ArrowEvalPython` matmul per batch — the only "
+        "Python in the plan, map-side, zero state.",
+    ))
+
     # embedding entity-link scoring: the disambiguating link path
     d2 = generate(spark, 1000, with_ambiguity=True)
     cw2 = kg.compile_crosswalk(

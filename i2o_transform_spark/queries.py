@@ -6189,3 +6189,192 @@ def ta_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_t").cast("long").alias("sample_threshold"),
         F.coalesce(F.col("_ns"), F.lit(0)).cast("long").alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truth discovery — conflict resolution by source-reliability voting
+# ---------------------------------------------------------------------------
+
+_TD_CLAIMS_SQL = """
+    raw AS (
+      SELECT CAST(l_suppkey % 8 AS BIGINT) AS src,
+             CAST(l_orderkey % 200 AS BIGINT) AS subj,
+             CAST(CASE WHEN (l_suppkey % 8) IN (0, 3)
+                        AND ((l_orderkey + l_linenumber) % 3) < 2
+                   THEN ((l_orderkey % 200) + 1 + (l_suppkey % 8)) % 5
+                   ELSE (l_orderkey % 200) % 5 END AS BIGINT) AS obj
+      FROM lineitem
+    ), claims AS (
+      SELECT src, subj, MIN(obj) AS obj FROM raw GROUP BY src, subj
+    ), v1 AS (
+      SELECT subj, obj, COUNT(*) * 1000000 AS support
+      FROM claims GROUP BY subj, obj
+    ), w1 AS (
+      SELECT subj, MIN(obj) AS winner FROM (
+        SELECT subj, obj, support,
+               MAX(support) OVER (PARTITION BY subj) AS ms
+        FROM v1
+      ) t WHERE support = ms GROUP BY subj
+    ), acc AS (
+      SELECT c.src,
+             CAST((SUM(CASE WHEN c.obj = w1.winner THEN 1 ELSE 0 END)
+                   * 1000000) // COUNT(*) AS BIGINT) AS wt
+      FROM claims c JOIN w1 ON c.subj = w1.subj
+      GROUP BY c.src
+    )
+"""
+
+
+def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted conflicting-claims fixture over lineitem: 8 sources assert a
+    value per subject; sources 0 and 3 lie on ~2/3 of their raw rows (the lie
+    (subj+1+src)%5 never collides with the truth subj%5 because src∉{4,9}).
+    Deduped to one claim per (source, subject) via MIN — the operator's
+    documented precondition."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = (F.col("l_suppkey") % 8).cast("long")
+    subj = (F.col("l_orderkey") % 200).cast("long")
+    lie = src.isin(0, 3) & (
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3) < 2
+    )
+    obj = (
+        F.when(lie, (subj + 1 + src) % 5).otherwise(subj % 5).cast("long")
+    )
+    raw = li.select(src.alias("src"), subj.alias("subj"), obj.alias("obj"))
+    return raw.groupBy("src", "subj").agg(F.min("obj").alias("obj"))
+
+
+@query(
+    "td_truth_discovery",
+    oracle=f"""
+    WITH {_TD_CLAIMS_SQL}, v2 AS (
+      SELECT c.subj, c.obj, SUM(a.wt) AS support,
+             COUNT(DISTINCT c.src) AS nsrc
+      FROM claims c JOIN acc a ON c.src = a.src
+      GROUP BY c.subj, c.obj
+    ), f AS (
+      SELECT subj, obj, support, nsrc,
+             MAX(support) OVER (PARTITION BY subj) AS ms
+      FROM v2
+    ), pick AS (
+      SELECT subj, MIN(obj) AS resolved_obj FROM f WHERE support = ms
+      GROUP BY subj
+    )
+    SELECT p.subj, p.resolved_obj,
+           CAST(v2.support AS BIGINT) AS support_weight,
+           CAST(v2.nsrc AS BIGINT) AS n_sources
+    FROM pick p JOIN v2 ON v2.subj = p.subj AND v2.obj = p.resolved_obj
+    """,
+)
+def td_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery (conflict resolution): 2-round source-reliability
+    weighted voting over conflicting claims — the reference's hard-coded
+    group-max preference elections (MSSQL/OMOPLoader.sql:434-447) replaced by
+    *learned* per-source weights (TruthFinder-family half-EM).  All-integer
+    arithmetic (weights quantized ``(matched*1e6) div total``) so the DuckDB
+    oracle reproduces the full two-round fixpoint bit-exactly; elections are
+    aggregation-only (min-struct argmax — no windows) and the per-source
+    weight table broadcasts, so each round costs ONE shuffle at 10^12
+    claims."""
+    from i2o_transform_spark.operators.truth import resolve_conflicts
+
+    claims = _truth_claims(spark, sf_dir)
+    res = resolve_conflicts(claims, ["subj"], "obj", "src", rounds=2)
+    return res.select(
+        "subj",
+        F.col("obj").alias("resolved_obj"),
+        F.col("support").alias("support_weight"),
+        "n_sources",
+    )
+
+
+@query(
+    "td_source_weights",
+    oracle=f"""
+    WITH {_TD_CLAIMS_SQL}
+    SELECT src AS source_id, wt AS reliability_ppm FROM acc
+    """,
+)
+def td_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-discovery companion: the learned per-source reliability table
+    after the round-1 majority vote (ppm agreement with winners).  The
+    planted liars (sources 0 and 3) must surface with visibly lower weight —
+    a wrong election anywhere shifts these 8 integers."""
+    from i2o_transform_spark.operators.truth import source_accuracy, vote
+
+    claims = _truth_claims(spark, sf_dir)
+    w1 = vote(claims, ["subj"], "obj", "src", None)
+    acc = source_accuracy(claims, w1, ["subj"], "obj", "src")
+    return acc.select(
+        F.col("src").alias("source_id"), F.col("wt").alias("reliability_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity linking — SymSpell deletion blocking + levenshtein verify
+# ---------------------------------------------------------------------------
+
+@query(
+    "el_fuzzy_link",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey AS mention_id,
+             CASE CAST(c_custkey % 3 AS INT)
+               WHEN 0 THEN n_name
+               WHEN 1 THEN substr(n_name, 1,
+                                  CAST(c_custkey % length(n_name) AS INT))
+                        || substr(n_name,
+                                  CAST(c_custkey % length(n_name) AS INT) + 2)
+               ELSE n_name || 'X' END AS mention
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), cand AS (
+      SELECT m.mention_id, m.mention,
+             CAST(n.n_nationkey AS BIGINT) AS entity_id,
+             n.n_name AS entity_name,
+             CAST(levenshtein(m.mention, n.n_name) AS BIGINT) AS dist
+      FROM m CROSS JOIN nation n
+      WHERE levenshtein(m.mention, n.n_name) <= 1
+    ), pick AS (
+      SELECT mention_id, MIN(dist * 1000 + entity_id) AS k
+      FROM cand GROUP BY mention_id
+    )
+    SELECT c.mention_id, c.mention, c.entity_id, c.entity_name, c.dist
+    FROM cand c JOIN pick p
+      ON c.mention_id = p.mention_id AND c.dist * 1000 + c.entity_id = p.k
+    """,
+)
+def el_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity linking: mentions are nation names with planted
+    edit-distance-1 typos (exact / one deletion / one append, keyed off
+    c_custkey), linked back via SymSpell symmetric-delete blocking + exact
+    levenshtein verify (operators/fuzzy.py).  The DuckDB oracle is the
+    brute-force cross join, so any blocking miss fails the value hash.  The
+    Spark plan is explode → broadcast hash join → ONE shuffle (per-mention
+    min-struct election) — no cross join at 10^12 mentions."""
+    from i2o_transform_spark.operators.fuzzy import fuzzy_link
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    p = (F.col("c_custkey") % F.length("n_name")).cast("int")
+    mention = (
+        F.when((F.col("c_custkey") % 3) == 0, F.col("n_name"))
+        .when(
+            (F.col("c_custkey") % 3) == 1,
+            F.concat(
+                F.col("n_name").substr(F.lit(1), p),
+                F.col("n_name").substr(p + 2, F.length("n_name")),
+            ),
+        )
+        .otherwise(F.concat(F.col("n_name"), F.lit("X")))
+    )
+    mentions = base.select(
+        F.col("c_custkey").alias("mention_id"), mention.alias("mention")
+    )
+    dictionary = nation.select(
+        F.col("n_nationkey").cast("long").alias("entity_id"),
+        F.col("n_name").alias("entity_name"),
+    )
+    return fuzzy_link(mentions, dictionary)

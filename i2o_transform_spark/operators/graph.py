@@ -420,3 +420,93 @@ def deterministic_walks(
         out = out.unionByName(stepped)
         cur = stepped
     return out
+
+
+def cycle_tainted_nodes(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Ontology DAG QA: every node that lies on a directed cycle or is
+    reachable from one.  The reference's concept hierarchy ('Maps to' /
+    ISA walks, MSSQL/OMOPLoader.sql:214-230) silently loops forever if the
+    crosswalk ships a cyclic mapping — at web scale the ingest must *detect*
+    tainted subgraphs, not hang.
+
+    Edge-centric Kahn peeling: an edge survives a round iff its source still
+    has an incoming surviving edge (equivalently, nodes of in-degree 0 are
+    peeled with their out-edges).  The fixpoint edge set is exactly the
+    edges whose source is on or reachable from a cycle; tainted nodes are
+    the endpoints of surviving edges.
+
+    Scale shape: each round is ONE distinct-project + ONE left-semi join on
+    ``src`` (both map-side-combining hash ops; the dst-projection side is
+    tiny after distinct and broadcasts).  Rounds are bounded by the longest
+    acyclic tail hanging off a root, NOT by graph size; convergence is
+    checked with a cheap count per round and lineage is cut with an eager
+    localCheckpoint so round r never replays rounds 0..r-1.
+    """
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        has_in = e.select(F.col(dst).alias(src)).distinct()
+        survived = e.join(has_in, src, "left_semi").localCheckpoint(
+            eager=True
+        )
+        n2 = survived.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = survived, n2
+    return (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths over paths of <= k edges —
+    distributed Bellman-Ford with per-level pruning.
+
+    At level i the frontier holds the best known <=i-hop distance per node;
+    extending it through the edge table and taking ``min`` per node prunes
+    dominated paths immediately (a longer path to the same node can never
+    yield a shorter extension, weights being non-negative), so frontier size
+    is capped at |V| regardless of path multiplicity.  The union of all
+    levels min-reduced at the end gives min-cost over ALL <=k-hop paths —
+    bit-identical to the recursive-CTE oracle because weights are integers.
+
+    k is a constant (no driver actions in the loop); each level is one
+    shuffle (the groupBy-min).  Seeds start at distance 0.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    )
+    cur = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .persist()
+    )
+    best = cur
+    for _ in range(k):
+        cur = (
+            e.join(cur.withColumnRenamed("node", "_s"), "_s")
+            .select(F.col("_d").alias("node"), (F.col("d") + F.col("_w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .persist()
+        )
+        best = best.unionByName(cur)
+    return best.groupBy("node").agg(F.min("d").cast("long").alias("dist"))

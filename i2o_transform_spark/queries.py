@@ -6378,3 +6378,126 @@ def el_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("entity_name"),
     )
     return fuzzy_link(mentions, dictionary)
+
+
+# ---------------------------------------------------------------------------
+# Graph QA: ontology cycle detection + bounded weighted shortest paths
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_cycle_check",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR) AS src,
+             'N:' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR),
+             'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'R:' || CAST(n_regionkey AS VARCHAR),
+             'S:' || CAST(s_suppkey AS VARCHAR)
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey < 3
+    ), r(a, b, d) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT r.a, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.b
+      WHERE r.d < 12
+    ), cyc AS (
+      SELECT DISTINCT a FROM r WHERE a = b
+    )
+    SELECT DISTINCT node FROM (
+      SELECT a AS node FROM cyc
+      UNION ALL
+      SELECT r.b AS node FROM r JOIN cyc ON r.a = cyc.a
+    ) t
+    """,
+)
+def kg_cycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-hierarchy QA: detect cycle-tainted nodes in a concept graph
+    (supplier -> nation -> region with planted back-edges region ->
+    supplier{0,1,2}, giving three 3-cycles).  The reference's recursive
+    hierarchy walks assume a DAG and would loop forever on this input; here
+    Kahn edge-peeling (operators/graph.cycle_tainted_nodes) converges in
+    O(longest acyclic tail) rounds of hash joins.  The DuckDB oracle derives
+    the same taint set from bounded-depth reachability pairs (node on a
+    cycle = reaches itself; tainted = on or reachable from a cycle)."""
+    from i2o_transform_spark.operators.graph import cycle_tainted_nodes
+
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        su.select(tag("S:", "s_suppkey").alias("src"),
+                  tag("N:", "s_nationkey").alias("dst"))
+        .unionByName(
+            na.select(tag("N:", "n_nationkey").alias("src"),
+                      tag("R:", "n_regionkey").alias("dst")))
+        .unionByName(
+            su.where(F.col("s_suppkey") < 3)
+            .join(na, su.s_nationkey == na.n_nationkey)
+            .select(tag("R:", "n_regionkey").alias("src"),
+                    tag("S:", "s_suppkey").alias("dst")))
+    )
+    return cycle_tainted_nodes(edges)
+
+
+@query(
+    "kg_shortest_path",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT 'P:' || CAST(l_partkey AS VARCHAR) AS src,
+             'S:' || CAST(l_suppkey AS VARCHAR) AS dst,
+             MIN(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR),
+             'N:' || CAST(s_nationkey AS VARCHAR),
+             CAST(s_suppkey % 7 + 1 AS BIGINT) FROM supplier
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR),
+             'R:' || CAST(n_regionkey AS VARCHAR),
+             CAST(n_nationkey % 5 + 1 AS BIGINT) FROM nation
+    ), seeds AS (
+      SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS node
+      FROM part WHERE p_partkey <= 3
+    ), sp(node, d, hops) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+      UNION ALL
+      SELECT e.dst, sp.d + e.w, sp.hops + 1
+      FROM sp JOIN e ON e.src = sp.node WHERE sp.hops < 3
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY node
+    """,
+)
+def kg_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (<=3 hops) over the heterogeneous
+    part -> supplier -> nation -> region graph with integer edge weights —
+    distributed Bellman-Ford with per-level min-pruning
+    (operators/graph.bounded_shortest_paths).  The oracle is the equivalent
+    recursive CTE min-reduced over all <=3-edge paths; integer weights make
+    the two bit-identical."""
+    from i2o_transform_spark.operators.graph import bounded_shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        li.groupBy(tag("P:", "l_partkey").alias("src"),
+                   tag("S:", "l_suppkey").alias("dst"))
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+        .unionByName(
+            su.select(tag("S:", "s_suppkey").alias("src"),
+                      tag("N:", "s_nationkey").alias("dst"),
+                      (F.col("s_suppkey") % 7 + 1).cast("long").alias("w")))
+        .unionByName(
+            na.select(tag("N:", "n_nationkey").alias("src"),
+                      tag("R:", "n_regionkey").alias("dst"),
+                      (F.col("n_nationkey") % 5 + 1).cast("long").alias("w")))
+    )
+    seeds = pa.where(F.col("p_partkey") <= 3).select(
+        tag("P:", "p_partkey").alias("node")
+    )
+    return bounded_shortest_paths(edges, seeds, k=3)

@@ -235,6 +235,31 @@ def main() -> None:
         "hash aggregate.",
     ))
 
+    sections.append((
+        "el_fuzzy_link — SymSpell deletion-blocked fuzzy linking",
+        tree_of(QUERIES["el_fuzzy_link"](spark, sf)),
+        "Typo-tolerant linking with NO cross join: mention deletion-variants "
+        "are generated in codegen (`sequence`/`transform` -> `explode`), the "
+        "exploded dictionary ships as a `BroadcastExchange`, levenshtein "
+        "verification is a codegen'd filter, and the ONLY exchange is the "
+        "per-mention election — a packed-long `min` (dist*2^48+entity_id) "
+        "kept as a map-side-combining `HashAggregate`; a struct-min here "
+        "would force a SortAggregate.  The winner's name comes back via a "
+        "second broadcast join (free).",
+    ))
+    sections.append((
+        "td_truth_discovery — 2-round source-reliability weighted vote",
+        tree_of(QUERIES["td_truth_discovery"](spark, sf)),
+        "The claims-scale tally (`groupBy(item, value)`) is a partial-"
+        "combining `HashAggregate` pair each round; the per-item argmax is "
+        "a struct-min `SortAggregate` over the TALLY frame only (one row "
+        "per distinct (item, value) — generic value types rule out the "
+        "packed-long trick, see operators/truth.py).  The learned per-"
+        "source weight table re-enters each round through a "
+        "`BroadcastHashJoin`, so round count never multiplies shuffle "
+        "width — only depth.  No windows anywhere.",
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for flagship operators\n\n"
         "Operator trees from `.explain(\"formatted\")` at sf0.01 (shape is\n"

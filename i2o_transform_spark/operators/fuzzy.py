@@ -19,10 +19,16 @@ is the string itself.  So:
 2. equi-join against the *broadcast* exploded dictionary (the dictionary is
    vocabulary, not data: |dict| × avg_len rows stays driver-collectable),
 3. verify candidates with the built-in ``levenshtein`` (codegen'd),
-4. elect per mention with ``min(struct(dist, entity_id))`` — duplicate
-   candidate pairs reached through several shared variants are harmless to
-   the min, so NO ``distinct`` is needed and the whole operator costs
-   exactly ONE shuffle (the final per-mention aggregation).
+4. elect per mention with ``min`` over a PACKED long ``dist * 2^48 +
+   entity_id`` — a struct-min would force a ``SortAggregate`` (struct
+   buffers are not UnsafeRow-mutable); the packed primitive keeps the
+   election a map-side-combining ``HashAggregate``.  Duplicate candidate
+   pairs reached through several shared variants are harmless to the min,
+   so NO ``distinct`` is needed and the whole operator costs exactly ONE
+   shuffle (the final per-mention aggregation).  Entity ids must be in
+   [0, 2^48) — enforced with an ``assert_true`` on the (vocab-sized)
+   dictionary side; the winner's name is recovered through a second
+   broadcast join against the dictionary (free).
 
 Completeness for dist ≤ 1 is property-tested against the brute-force cross
 join (tests/test_truth_fuzzy.py); the registered query's DuckDB oracle IS
@@ -70,10 +76,21 @@ def fuzzy_link(
     """
     if max_dist != 1:
         raise ValueError("radius-1 symmetric-delete blocking covers dist<=1")
-    dict_side = dictionary.select(
-        F.col(entity_col).alias("_eid"),
+    eid_ok = (F.col(entity_col) >= 0) & (F.col(entity_col) < F.lit(1 << 48))
+    # the guard lives INSIDE the used column (a standalone assert_true
+    # projection would be pruned as dead by the optimizer)
+    checked = dictionary.select(
+        F.when(eid_ok, F.col(entity_col).cast("long"))
+        .otherwise(
+            F.raise_error(F.lit("fuzzy_link: entity ids must be in [0, 2^48)"))
+        )
+        .alias("_eid"),
         F.col(name_col).alias("_ename"),
-        F.explode(deletion_variants(F.col(name_col))).alias("_variant"),
+    )
+    dict_side = checked.select(
+        "_eid",
+        "_ename",
+        F.explode(deletion_variants(F.col("_ename"))).alias("_variant"),
     )
     m = mentions.withColumn(
         "_variant", F.explode(deletion_variants(F.col(mention_col)))
@@ -83,20 +100,22 @@ def fuzzy_link(
     )
     cand = cand.where(F.col("_dist") <= max_dist)
     keep = [c for c in mentions.columns]
-    elected = cand.groupBy(*keep).agg(
-        F.min(
-            F.struct(
-                F.col("_dist").alias("d"),
-                F.col("_eid").alias("e"),
-                F.col("_ename").alias("n"),
-            )
-        ).alias("_w")
-    )
-    return elected.select(
+    # packed-long election: HashAggregate (a struct-min would sort)
+    packed = (F.col("_dist").cast("long") * F.lit(1 << 48)) + F.col("_eid")
+    elected = cand.groupBy(*keep).agg(F.min(packed).alias("_p"))
+    elected = elected.select(
         *keep,
-        F.col("_w.e").alias(entity_col),
-        F.col("_w.n").alias(name_col),
-        F.col("_w.d").cast("long").alias("dist"),
+        (F.col("_p") % F.lit(1 << 48)).alias("_eid"),
+        F.shiftright(F.col("_p"), 48).cast("long").alias("dist"),
+    )
+    names = checked.select(
+        F.col("_eid"), F.col("_ename")
+    )
+    return elected.join(F.broadcast(names), "_eid").select(
+        *keep,
+        F.col("_eid").alias(entity_col),
+        F.col("_ename").alias(name_col),
+        "dist",
     )
 
 

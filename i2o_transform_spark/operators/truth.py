@@ -21,9 +21,14 @@ Algorithm (fixed-round, driver-bounded loop — the standard half-EM scheme):
 
 Scale notes (10^12 claims):
 
-* every election is a two-level hash aggregation — ``groupBy(item, value)``
-  partial-agg then a ``min(struct(-support, value))`` per item.  No windows,
-  no sorts; AQE coalesces the post-shuffle side.
+* the claims-scale aggregation (``groupBy(item, value)`` tally) is a
+  map-side-combining HashAggregate; the per-item argmax is a
+  ``min(struct(-support, value))`` over the *tally* frame — struct buffers
+  are not UnsafeRow-mutable, so this level is a SortAggregate, but it sorts
+  one row per distinct (item, value), never the claims.  Generic values
+  (strings etc.) rule out the packed-long trick used elsewhere
+  (operators/fuzzy.py); encode objects to ints upstream
+  (functions/hashing.content_id) if the tally frame itself is huge.
 * the weight table has one row per *source* (crawl host / feed), which is
   vocabulary-sized — it ships as a broadcast hash join every round, so each
   round adds exactly ONE shuffle (the per-(item,value) aggregation).

@@ -6350,7 +6350,8 @@ def el_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein verify (operators/fuzzy.py).  The DuckDB oracle is the
     brute-force cross join, so any blocking miss fails the value hash.  The
     Spark plan is explode → broadcast hash join → ONE shuffle (per-mention
-    min-struct election) — no cross join at 10^12 mentions."""
+    packed-long min election, HashAggregate) — no cross join at 10^12
+    mentions."""
     from i2o_transform_spark.operators.fuzzy import fuzzy_link
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

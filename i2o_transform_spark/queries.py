@@ -6502,3 +6502,87 @@ def kg_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag("P:", "p_partkey").alias("node")
     )
     return bounded_shortest_paths(edges, seeds, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Temporal KG: assertion runs -> validity intervals (SCD-2 snapshotting)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_temporal_intervals",
+    oracle="""
+    WITH a AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(CAST(floor(value) AS BIGINT) % 3 AS BIGINT) AS obj,
+             ts, event_id
+      FROM events
+    ), f AS (
+      SELECT subj, pred, obj, ts, event_id,
+             CASE WHEN lag(obj) OVER w IS NULL OR lag(obj) OVER w <> obj
+                  THEN 1 ELSE 0 END AS chg
+      FROM a WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, event_id)
+    ), g AS (
+      SELECT subj, pred, obj, ts,
+             SUM(chg) OVER (PARTITION BY subj, pred ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f
+    ), runs AS (
+      SELECT subj, pred, obj, grp, MIN(ts) AS valid_from,
+             COUNT(*) AS n_assertions
+      FROM g GROUP BY subj, pred, obj, grp
+    )
+    SELECT subj, pred, obj,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(valid_from) OVER (PARTITION BY subj, pred
+                                  ORDER BY valid_from)) AS BIGINT)
+             AS valid_to_us,
+           CAST(n_assertions AS BIGINT) AS n_assertions
+    FROM runs
+    """,
+)
+def kg_temporal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG snapshotting: timestamped (subj, pred, obj) assertions
+    collapse into validity intervals — consecutive re-assertions of the same
+    object extend the run; a changed object closes it (valid_to = next run's
+    valid_from, NULL while current).  The SCD-2 shape of the reference's
+    full-refresh loads (MSSQL/OMOPLoader.sql truncate-and-reload) re-expressed
+    as an incremental temporal dimension.
+
+    Scale shape: BOTH windows and the run aggregation share the (subj, pred)
+    hash partitioning, so the whole query is ONE exchange; the change-flag /
+    running-group-id pass shares a single window sort."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        (F.floor("value").cast("long") % 3).cast("long").alias("obj"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("subj", "pred").orderBy("ts", "event_id")
+    prev = F.lag("obj").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("obj")), 1).otherwise(0)
+    g = a.withColumn("chg", chg).withColumn(
+        "grp",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = g.groupBy("subj", "pred", "obj", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_assertions"),
+    )
+    w2 = Window.partitionBy("subj", "pred").orderBy("valid_from")
+    return runs.select(
+        "subj",
+        "pred",
+        "obj",
+        # NTZ -> timestamp is exact here: session tz is pinned UTC
+        # (session.py:65), matching DuckDB's epoch_us-on-naive semantics
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.unix_micros(
+            F.lead("valid_from").over(w2).cast("timestamp")
+        ).alias("valid_to_us"),
+        F.col("n_assertions").cast("long").alias("n_assertions"),
+    )

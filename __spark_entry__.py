@@ -73,13 +73,14 @@ DRIVER_WINDOW: list[str] = [
     # dedup / multimodal / text families
     "dd_embedding_cosine",
     "dd_contamination",
-    "dd_prefix_jaccard",
     "dd_span_dedup",
-    "dd_url_dedup",
     "mm_frame_sample",
-    "mm_mixed_metadata",
     "ta_bpe_roundtrip_check",
-    "ta_tfidf_topk",
+    # round-3 session additions (new operator families, all oracled)
+    "td_truth_discovery",
+    "el_fuzzy_link",
+    "kg_cycle_check",
+    "kg_temporal_intervals",
     # graph / QA / events / TPC-H
     "kg_graph_degrees",
     "kg_pagerank_check",

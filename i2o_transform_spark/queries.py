@@ -6586,3 +6586,41 @@ def kg_temporal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to_us"),
         F.col("n_assertions").cast("long").alias("n_assertions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON payload -> typed columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "f9_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+             AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_total
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type, k_bucket
+    """,
+)
+def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: typed values pulled out of a JSON payload
+    column (the web-scale analogue: JSON-LD / microdata blobs riding along
+    crawl records).  `get_json_object` evaluates JVM-side inside codegen —
+    no Python, no full from_json schema materialization when only one path
+    is needed (Catalyst collapses single-path extraction); the aggregation
+    is one map-side-combining exchange."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("event_type", (F.col("_k") % 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").cast("long").alias("k_total"),
+        )
+    )

@@ -60,16 +60,23 @@ def vote(
 
     Returns one row per item: item_cols + (value_col, support, n_sources)
     where ``support`` is the total integer weight behind the winner and
-    ``n_sources`` the distinct sources asserting it.
+    ``n_sources`` the number of sources asserting it (== distinct sources
+    under the module precondition of one claim per (source, item)).
     """
     if weights is None:
         weighted = claims.withColumn("_wt", F.lit(WEIGHT_SCALE).cast("long"))
     else:
         weighted = claims.join(F.broadcast(weights), source_col)
         weighted = weighted.withColumnRenamed("wt", "_wt")
+    # Under the module precondition (one claim per (source, item)) every
+    # tally row comes from a distinct source, so count(*) == distinct-source
+    # count — and unlike count_distinct it keeps this a single map-side-
+    # combining HashAggregate instead of forcing an extra claims-scale
+    # exchange on (item, value, source) (measured 0.667 -> ~0.87 scaling
+    # efficiency at 160M claims, 4 -> 16 cores).
     tallies = weighted.groupBy(*item_cols, value_col).agg(
         F.sum("_wt").alias("_support"),
-        F.count_distinct(F.col(source_col)).alias("_n_sources"),
+        F.count(F.lit(1)).alias("_n_sources"),
     )
     # argmax via min-struct: (-support, value) orders by support DESC then
     # value ASC — aggregation-only election, no window / sort at scale.

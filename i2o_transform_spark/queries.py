@@ -6624,3 +6624,317 @@ def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_k").cast("long").alias("k_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KG interchange: N-Triples serialization roundtrip (sources/ntriples.py)
+# ---------------------------------------------------------------------------
+
+def _nt_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed IRI-object + literal-object triples from nation/region, with a
+    planted escape-hostile literal (tab, quote, backslash, newline) so the
+    ECHAR escape path is exercised on every row, not just in goldens."""
+    na = _t(spark, sf_dir, "nation")
+    iri = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    located = na.select(
+        iri("http://ex.org/nation/", "n_nationkey").alias("subj"),
+        F.lit("http://ex.org/rel/locatedIn").alias("pred"),
+        iri("http://ex.org/region/", "n_regionkey").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+    )
+    comments = na.select(
+        iri("http://ex.org/nation/", "n_nationkey").alias("subj"),
+        F.lit("http://ex.org/rel/comment").alias("pred"),
+        F.concat(F.col("n_name"), F.lit('\t "\\" \n'),
+                 F.reverse(F.col("n_name"))).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    return located.unionByName(comments)
+
+
+_NT_TRIPLES_SQL = r"""
+    SELECT 'http://ex.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+           'http://ex.org/rel/locatedIn' AS pred,
+           'http://ex.org/region/' || CAST(n_regionkey AS VARCHAR) AS obj,
+           TRUE AS obj_is_iri
+    FROM nation
+    UNION ALL
+    SELECT 'http://ex.org/nation/' || CAST(n_nationkey AS VARCHAR),
+           'http://ex.org/rel/comment',
+           n_name || chr(9) || ' "\" ' || chr(10) || reverse(n_name),
+           FALSE
+    FROM nation
+"""
+
+
+@query(
+    "nt_serialize",
+    oracle=f"""
+    WITH t AS ({_NT_TRIPLES_SQL})
+    SELECT '<' || subj || '> <' || pred || '> ' ||
+           CASE WHEN obj_is_iri THEN '<' || obj || '>'
+                ELSE '"' || replace(replace(replace(replace(replace(replace(
+                     replace(obj,
+                     chr(92), chr(92)||chr(92)),
+                     chr(34), chr(92)||chr(34)),
+                     chr(10), chr(92)||'n'),
+                     chr(13), chr(92)||'r'),
+                     chr(9),  chr(92)||'t'),
+                     chr(8),  chr(92)||'b'),
+                     chr(12), chr(92)||'f') || '"'
+           END || ' .' AS line
+    FROM t
+    """,
+)
+def nt_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG sink: serialize (subj, pred, obj) triples to spec-exact N-Triples
+    lines (sources/ntriples.py) — the portable materialization of the
+    reference's warehouse INSERT loads (MSSQL/OMOPLoader.sql per-table
+    loads).  The oracle re-derives every output byte with an independent
+    replace-chain, so the ECHAR escape order is value-hashed, not assumed.
+    All JVM concat/replace — zero Python, zero shuffle (pure map)."""
+    from i2o_transform_spark.sources.ntriples import to_ntriples_lines
+
+    return to_ntriples_lines(
+        _nt_triples(spark, sf_dir), obj_is_iri="obj_is_iri"
+    )
+
+
+@query(
+    "nt_roundtrip",
+    oracle=f"SELECT subj, pred, obj, obj_is_iri FROM ({_NT_TRIPLES_SQL}) t",
+)
+def nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG source: parse N-Triples lines back to typed (subj, pred, obj,
+    obj_is_iri) — serialize-then-parse must reproduce the ORIGINAL values
+    bit-exactly (the oracle predicts them straight from the base tables, so
+    a matched serialize/parse bug cannot cancel out: nt_serialize pins the
+    wire bytes, this pins the inverse).  The parse is one anchored JVM regex
+    + the split-on-escaped-backslash unescape — line-parallel at any scale
+    (spark.read.text splits on lines for free)."""
+    from i2o_transform_spark.sources.ntriples import (
+        parse_ntriples_lines,
+        to_ntriples_lines,
+    )
+
+    lines = to_ntriples_lines(_nt_triples(spark, sf_dir),
+                              obj_is_iri="obj_is_iri")
+    return parse_ntriples_lines(lines)
+
+
+# ---------------------------------------------------------------------------
+# KG query side: basic-graph-pattern matching (operators/bgp.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_bgp_match",
+    oracle="""
+    SELECT DISTINCT
+           'O:' || CAST(o_orderkey AS VARCHAR) AS o,
+           'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+      AND c_mktsegment = 'BUILDING'
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-core conjunctive pattern over the materialized triples frame:
+
+        ?o placedBy ?c . ?o priority "1-URGENT" .
+        ?c mktsegment "BUILDING" . ?c inNation ?n . ?n inRegion R:2
+
+    compiled by operators/bgp.bgp_match into constants-first filtered scans
+    joined connectivity-first on shared variables (AQE picks broadcast per
+    side at runtime).  The generic form of the reference's hand-written
+    multi-join shape queries (MSSQL/OMOPLoader.sql SELECT...JOIN chains).
+    The oracle derives the same bindings STRAIGHT from the base tables —
+    it never sees the triples encoding or the join order, so the whole
+    compile-order-join path is independently value-hashed."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("mktsegment").alias("pred"),
+                               F.col("c_mktsegment").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("inRegion").alias("pred"),
+                               tag("R:", "n_regionkey").alias("obj")))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("placedBy").alias("pred"),
+                               tag("C:", "o_custkey").alias("obj")))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("priority").alias("pred"),
+                               F.col("o_orderpriority").alias("obj")))
+    )
+    return bgp_match(
+        triples,
+        [
+            ("?o", "placedBy", "?c"),
+            ("?o", "priority", "1-URGENT"),
+            ("?c", "mktsegment", "BUILDING"),
+            ("?c", "inNation", "?n"),
+            ("?n", "inRegion", "R:2"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG completion eval: TransE scoring + filtered-rank metrics
+# (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_transe_eval",
+    oracle="""
+    WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(4) t(i)),
+    pairs AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS q,
+             CAST(n_regionkey AS BIGINT) AS truet,
+             CAST(r_regionkey AS BIGINT) AS c
+      FROM nation, region
+    ),
+    s AS (
+      SELECT q, c, truet,
+             SUM(ABS(  ((q * (2*i+3) + 11*i) % 19 - 9)
+                     + ((5*i + 11) % 19 - 9)
+                     - (((c + 100) * (2*i+3) + 11*i) % 19 - 9))) AS score
+      FROM pairs, d GROUP BY q, c, truet
+    ),
+    ts AS (SELECT q, score AS tscore, c AS tc FROM s WHERE c = truet),
+    r AS (
+      SELECT s.q AS subj, MIN(ts.tc) AS true_cand,
+             CAST(MIN(ts.tscore) AS BIGINT) AS true_score,
+             CAST(1 + SUM(CASE WHEN s.score < ts.tscore
+                            OR (s.score = ts.tscore AND s.c < ts.tc)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+      FROM s JOIN ts USING (q) GROUP BY s.q
+    )
+    SELECT subj, true_cand, true_score, rnk,
+           CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS hit1
+    FROM r
+    """,
+)
+def kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion evaluation: TransE L1 scores over deterministic integer
+    embeddings (emb(e,i) = (e*(2i+3) + 11i) % 19 - 9, dim 4; tail space
+    offset by +100), then the distributed filtered-rank metric from
+    operators/ranking.link_prediction_ranks — rank of the true tail among
+    all candidate tails with a (score, cand) lexicographic tie-break, no
+    window function, ONE logical shuffle on the query id.
+
+    Test triples: nation --inRegion--> region; candidates: all regions.
+    Integer arithmetic end-to-end, so DuckDB re-derives every score, every
+    rank and every hit bit-identically from the same formulas."""
+    from i2o_transform_spark.operators.ranking import link_prediction_ranks
+
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+
+    def emb(e, i: int):
+        return (e * (2 * i + 3) + 11 * i) % 19 - 9
+
+    def rel(i: int) -> int:
+        return (5 * i + 11) % 19 - 9
+
+    h = F.col("q")
+    t = F.col("cand") + 100
+    score = None
+    for i in range(4):
+        term = F.abs(emb(h, i) + F.lit(rel(i)) - emb(t, i))
+        score = term if score is None else score + term
+    scores = (
+        na.crossJoin(F.broadcast(re))
+        .select(
+            F.col("n_nationkey").cast("long").alias("q"),
+            F.col("r_regionkey").cast("long").alias("cand"),
+        )
+        .withColumn("score", score.cast("long"))
+    )
+    truth = na.select(
+        F.col("n_nationkey").cast("long").alias("q"),
+        F.col("n_regionkey").cast("long").alias("cand"),
+    )
+    out = link_prediction_ranks(scores, truth, ["q"])
+    return out.select(
+        F.col("q").alias("subj"), "true_cand", "true_score", "rnk", "hit1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-text relation extraction: Hearst patterns ("Xs such as A and B")
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_hearst_hypernyms",
+    oracle="""
+    WITH m AS (
+      SELECT replace(p_type, ' ', '_') AS hyper, p_brand AS hypo FROM part
+      UNION ALL
+      SELECT replace(p_type, ' ', '_'), 'SIZE_' || CAST(p_size AS VARCHAR)
+      FROM part
+      UNION ALL
+      SELECT 'Brand', p_brand FROM part
+      UNION ALL
+      SELECT 'Brand', 'Brand#00' FROM part
+    )
+    SELECT hypo AS hyponym, hyper AS hypernym, COUNT(*) AS n_mentions
+    FROM m GROUP BY hypo, hyper
+    """,
+)
+def kg_hearst_hypernyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern relation extraction: mine (hyponym, isA, hypernym)
+    triples from free text via the classic "<hyper>s such as <hypo> and
+    <hypo>" lexical pattern (Hearst 1992) — the open-text complement of the
+    KG pipeline's dictionary mention detection (plans/kg.py), covering
+    entities no vocabulary lists.
+
+    Corpus: two planted pattern instances + a malformed decoy ("Trees such
+    as oak?" — no ' and ' tail, must extract nothing) per part row, so
+    recall AND precision of the extractor are both value-hashed.  The
+    oracle predicts every triple straight from the generating formula and
+    never runs a regex, so the extraction path is independently verified.
+
+    Scale shape: regexp_extract_all (all three capture groups) +
+    arrays_zip + explode are all JVM-side narrow ops — the only exchange is
+    the final mention-count aggregation (map-side combining).  This is the
+    plan shape for pattern mining over 10^12 crawl pages: one scan, one
+    tally-sized shuffle."""
+    pa = _t(spark, sf_dir, "part")
+    und = lambda c: F.replace(F.col(c), F.lit(" "), F.lit("_"))  # noqa: E731
+    text = F.concat(
+        und("p_type"), F.lit("s such as "), F.col("p_brand"),
+        F.lit(" and SIZE_"), F.col("p_size").cast("string"),
+        F.lit(" are stocked; "),
+        F.lit("Brands such as "), F.col("p_brand"),
+        F.lit(" and Brand#00 are common."),
+        F.lit(" Trees such as oak?"),
+    )
+    pat = r"(\S+)s such as (\S+) and (\S+)"
+    g = lambda i: F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(i))  # noqa: E731
+    return (
+        pa.select(text.alias("text"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    g(1).alias("hyper"), g(2).alias("h1"), g(3).alias("h2")
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("m.hyper").alias("hypernym"),
+            F.explode(F.array("m.h1", "m.h2")).alias("hyponym"),
+        )
+        .groupBy("hyponym", "hypernym")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )

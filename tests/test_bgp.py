@@ -1,0 +1,88 @@
+"""BGP matcher (operators/bgp.py): golden bindings, repeated-variable
+templates, disconnected-pattern cross join, bag-vs-set semantics, and the
+join-order guarantee (connected pattern never plans a cartesian product)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from i2o_transform_spark.operators.bgp import bgp_match
+
+T = [
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("a", "knows", "c"),
+    ("c", "likes", "c"),
+    ("a", "likes", "b"),
+    ("b", "type", "person"),
+    ("c", "type", "person"),
+    ("a", "type", "robot"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in T]
+    )
+
+
+def test_two_hop_golden(triples):
+    out = bgp_match(
+        triples,
+        [("?x", "knows", "?y"), ("?y", "knows", "?z"),
+         ("?z", "type", "person")],
+    )
+    assert {tuple(sorted(r.asDict().items())) for r in out.collect()} == {
+        (("x", "a"), ("y", "b"), ("z", "c")),
+    }
+
+
+def test_repeated_variable_intra_template(triples):
+    # (?x likes ?x) — only the self-loop binds
+    out = bgp_match(triples, [("?x", "likes", "?x")])
+    assert [r.x for r in out.collect()] == ["c"]
+
+
+def test_disconnected_pattern_cross_joins(triples):
+    out = bgp_match(
+        triples,
+        [("a", "knows", "?x"), ("?y", "type", "robot")], distinct=True
+    )
+    got = {(r.x, r.y) for r in out.collect()}
+    assert got == {("b", "a"), ("c", "a")}
+
+
+def test_bag_vs_set_semantics(triples):
+    # ?x knows ?z via any middle: a->b->c and a->c (direct) give ?x=a twice
+    pats = [("?x", "knows", "?m"), ("?m", "knows", "?z")]
+    bag = bgp_match(triples, [(p[0], p[1], p[2]) for p in pats],
+                    distinct=False).select("x", "z")
+    st = bgp_match(triples, pats).select("x", "z")
+    assert bag.count() >= st.distinct().count()
+    assert {(r.x, r.z) for r in st.collect()} == {("a", "c")}
+
+
+def test_constant_only_template(triples):
+    # fully-ground template acts as an ASK gate: binds nothing but
+    # filters everything when absent
+    out = bgp_match(triples, [("?x", "type", "robot"),
+                              ("zz", "knows", "zz")])
+    assert out.count() == 0
+
+
+def test_empty_pattern_raises(triples):
+    with pytest.raises(ValueError):
+        bgp_match(triples, [])
+
+
+def test_connected_pattern_has_no_cartesian(triples):
+    out = bgp_match(
+        triples,
+        [("?x", "knows", "?y"), ("?y", "knows", "?z"),
+         ("?z", "type", "person")],
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

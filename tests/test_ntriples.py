@@ -1,0 +1,104 @@
+"""N-Triples sink/source (sources/ntriples.py): adversarial escape
+roundtrip, real-file write/read, spec-grammar acceptance, malformed-line
+and bad-IRI raise contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.sources.ntriples import (
+    parse_ntriples_lines,
+    read_ntriples,
+    to_ntriples_lines,
+    write_ntriples,
+)
+
+NASTY = [
+    'plain',
+    'tab\there',
+    'quote " backslash \\ mix',
+    '\\n is two chars; \n is one',
+    'ends with backslash \\',
+    '\\\\ doubled \\\\\\ tripled',
+    'cr\rlf\n tab\t bell\b feed\f',
+    '',
+    '\\t',  # literal backslash-t, must NOT round-trip to a tab
+]
+
+
+def _df(spark, objs, iri=False):
+    rows = [
+        Row(subj=f"http://ex/s{i}", pred="http://ex/p", obj=o,
+            obj_is_iri=iri)
+        for i, o in enumerate(objs)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_escape_roundtrip_adversarial(spark):
+    df = _df(spark, NASTY)
+    lines = to_ntriples_lines(df, obj_is_iri="obj_is_iri")
+    back = parse_ntriples_lines(lines)
+    got = {r.subj: r.obj for r in back.collect()}
+    assert got == {f"http://ex/s{i}": o for i, o in enumerate(NASTY)}
+    assert all(not r.obj_is_iri for r in back.collect())
+    # wire bytes are single-line per triple (the format's split guarantee)
+    for r in lines.collect():
+        assert "\n" not in r.line and "\r" not in r.line
+        assert r.line.endswith(" .")
+
+
+def test_file_roundtrip_and_comment_skip(spark, tmp_path):
+    df = _df(spark, ["a", 'b "q" \\', "c\nd"]).unionByName(
+        _df(spark, ["http://ex/o"], iri=True)
+    )
+    path = str(tmp_path / "kg.nt")
+    write_ntriples(df, path, obj_is_iri="obj_is_iri")
+    back = read_ntriples(spark, path)
+    orig = {(r.subj, r.obj, r.obj_is_iri) for r in df.collect()}
+    assert {(r.subj, r.obj, r.obj_is_iri) for r in back.collect()} == orig
+
+
+def test_foreign_lines_accepted(spark):
+    """Lines this writer never produced: comments, blanks, datatype
+    suffixes, IRI objects — must parse per spec."""
+    lines = spark.createDataFrame(
+        [
+            Row(line="# a comment"),
+            Row(line="   "),
+            Row(line='<http://a> <http://p> "42"^^<http://int> .'),
+            Row(line="<http://a> <http://p> <http://b> ."),
+            Row(line='<http://a> <http://p> "esc\\" \\\\ \\n" . '),
+        ]
+    )
+    out = {(r.obj, r.obj_is_iri) for r in parse_ntriples_lines(lines).collect()}
+    assert out == {("42", False), ("http://b", True),
+                   ('esc" \\ \n', False)}
+
+
+def test_malformed_line_raises(spark):
+    bad = spark.createDataFrame([Row(line="<http://a> nope .")])
+    with pytest.raises(Exception, match="malformed N-Triples"):
+        parse_ntriples_lines(bad).collect()
+
+
+def test_bad_iri_raises(spark):
+    df = spark.createDataFrame(
+        [Row(subj="http://ex/has space", pred="http://ex/p", obj="x",
+             obj_is_iri=False)]
+    )
+    with pytest.raises(Exception, match="invalid IRI"):
+        to_ntriples_lines(df, obj_is_iri="obj_is_iri").collect()
+
+
+def test_serialization_is_jvm_only(spark):
+    """No Python in the row path: the serialized plan contains no
+    BatchEvalPython / ArrowEvalPython / mapInPandas nodes."""
+    df = _df(spark, NASTY)
+    plan = (
+        to_ntriples_lines(df, obj_is_iri="obj_is_iri")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "InPandas" not in plan

@@ -15,8 +15,13 @@ green across both artifacts).  DRIVER_WINDOW therefore front-loads 50 oracled
 queries that have NOT yet appeared in a round artifact — the hash-family
 recall-check companions, the round-2 flagship families (as-of join, CDC,
 global re-keying, KG pipeline P/R, canonicalization, disambiguation), the
-streaming suite, and the remaining SURVEY §2 ids — so the artifact union after
-round 3 covers ~100 of 137 registered queries with hard driver signal.
+streaming suite, and the remaining SURVEY §2 ids — then rotates in the
+round-3 session families (WARC source, LM quality, composed training-data
+pipeline, N-Triples roundtrip, BGP matching, TransE eval, truth discovery,
+fuzzy linking, cycle check, temporal intervals, real AV metadata) in place of
+rows whose families already hold multiple window representatives, so the
+artifact union after round 3 covers ~100 of 161 registered queries with hard
+driver signal.
 Everything else follows in original registration order and is verified by
 tests/run_oracle_check.py (full 137-query sweep) instead.
 """
@@ -63,26 +68,27 @@ DRIVER_WINDOW: list[str] = [
     "u2_popcodelist",
     "u4_config_modifier",
     "u5_entity_veto_rule",
-    # streaming suite (stream==batch equivalence, oracled)
-    "st_windowed_counts",
+    # streaming reps (full suite has stream==batch pytests; two hardest here)
     "st_sessionize",
-    "st_stateful_totals",
-    "st_dedup_events",
-    "st_enrich_dim",
     "st_attr_join",
     # dedup / multimodal / text families
-    "dd_embedding_cosine",
     "dd_contamination",
     "dd_span_dedup",
-    "mm_frame_sample",
+    "mm_av_metadata",
     "ta_bpe_roundtrip_check",
+    # round-3 new families: source / quality / pipeline / KG interchange+query
+    "wa_warc_roundtrip",
+    "ta_lm_quality",
+    "td_pipeline",
+    "nt_roundtrip",
+    "kg_bgp_match",
+    "kg_transe_eval",
     # round-3 session additions (new operator families, all oracled)
     "td_truth_discovery",
     "el_fuzzy_link",
     "kg_cycle_check",
     "kg_temporal_intervals",
     # graph / QA / events / TPC-H
-    "kg_graph_degrees",
     "kg_pagerank_check",
     "kg_k_hop",
     "q3_shipping_priority",

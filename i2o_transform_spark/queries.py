@@ -6938,3 +6938,143 @@ def kg_hearst_hypernyms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hyponym", "hypernym")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution evaluation: clustering + blocking quality
+# (operators/er_metrics.py)
+# ---------------------------------------------------------------------------
+
+_ER_ASSIGN_SQL = """
+    SELECT c_custkey AS record_id,
+           CASE WHEN c_custkey % 9 = 0 THEN 100 + (c_custkey % 3)
+                ELSE c_nationkey END AS pred_cluster,
+           c_nationkey AS gold_cluster
+    FROM customer
+"""
+
+
+@query(
+    "er_cluster_quality",
+    oracle=f"""
+    WITH a AS ({_ER_ASSIGN_SQL}),
+    cells AS (
+      SELECT pred_cluster AS p, gold_cluster AS g, COUNT(*) AS n
+      FROM a GROUP BY p, g
+    ),
+    tp AS (SELECT SUM(n*(n-1)) AS tp2 FROM cells),
+    pr AS (SELECT SUM(sz*(sz-1)) AS pred2
+           FROM (SELECT SUM(n) AS sz FROM cells GROUP BY p)),
+    gl AS (SELECT SUM(sz*(sz-1)) AS gold2
+           FROM (SELECT SUM(n) AS sz FROM cells GROUP BY g)),
+    m AS (
+      SELECT CAST(tp2 // 2 AS BIGINT) AS tp_pairs,
+             CAST(pred2 // 2 AS BIGINT) AS pred_pairs,
+             CAST(gold2 // 2 AS BIGINT) AS gold_pairs,
+             CAST(tp2 * 1000000 // pred2 AS BIGINT) AS precision_ppm,
+             CAST(tp2 * 1000000 // gold2 AS BIGINT) AS recall_ppm
+      FROM tp, pr, gl
+    )
+    SELECT tp_pairs, pred_pairs, gold_pairs, precision_ppm, recall_ppm,
+           CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                THEN 2 * precision_ppm * recall_ppm
+                     // (precision_ppm + recall_ppm)
+                ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM m
+    """,
+)
+def er_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER evaluation: pairwise precision/recall/F1 of a predicted entity
+    clustering vs gold, from contingency counts only — never materializing
+    a record pair (operators/er_metrics.clustering_quality).  The rigorous
+    form of the reference's merge-QA count reconciliation
+    (MSSQL/OMOPLoader.sql:1996-2097).
+
+    Planted errors: every 9th customer defects from its gold (nation)
+    cluster into one of 3 junk clusters, so precision, recall and F1 are
+    all strictly inside (0, 1) and every ppm digit is value-hashed."""
+    from i2o_transform_spark.operators.er_metrics import clustering_quality
+
+    cu = _t(spark, sf_dir, "customer")
+    assignments = cu.select(
+        F.col("c_custkey").alias("record_id"),
+        F.when(
+            F.col("c_custkey") % 9 == 0,
+            (F.lit(100) + F.col("c_custkey") % 3).cast("long"),
+        )
+        .otherwise(F.col("c_nationkey").cast("long"))
+        .alias("pred_cluster"),
+        F.col("c_nationkey").cast("long").alias("gold_cluster"),
+    )
+    return clustering_quality(assignments)
+
+
+_ER_BLOCKS_SQL = """
+    SELECT c_custkey AS record_id,
+           'M' || CAST(c_custkey % 50 AS VARCHAR) AS block_key
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+"""
+
+
+@query(
+    "er_blocking_quality",
+    oracle=f"""
+    WITH b AS ({_ER_BLOCKS_SQL}),
+    g AS (SELECT c_custkey AS rid, c_nationkey AS gc FROM customer),
+    co AS (
+      SELECT DISTINCT l.record_id AS a, r.record_id AS b
+      FROM b l JOIN b r ON l.block_key = r.block_key
+      WHERE l.record_id < r.record_id
+    ),
+    cand AS (SELECT COUNT(*) AS candidate_pairs FROM co),
+    cov AS (
+      SELECT COUNT(*) AS covered_gold_pairs
+      FROM co JOIN g ga ON co.a = ga.rid JOIN g gb ON co.b = gb.rid
+      WHERE ga.gc = gb.gc
+    ),
+    gp AS (SELECT SUM(sz*(sz-1)) AS gold2
+           FROM (SELECT COUNT(*) AS sz FROM g GROUP BY gc)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+    SELECT CAST(candidate_pairs AS BIGINT) AS candidate_pairs,
+           CAST(covered_gold_pairs AS BIGINT) AS covered_gold_pairs,
+           CAST(gold2 // 2 AS BIGINT) AS gold_pairs,
+           CAST(n*(n-1) // 2 AS BIGINT) AS total_pairs,
+           CAST(covered_gold_pairs * 1000000 // (gold2 // 2) AS BIGINT)
+             AS pair_completeness_ppm,
+           CAST((n*(n-1) // 2 - candidate_pairs) * 1000000
+                // (n*(n-1) // 2) AS BIGINT) AS reduction_ratio_ppm
+    FROM cand, cov, gp, tot
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER evaluation: pair completeness + reduction ratio of a blocking
+    scheme (operators/er_metrics.blocking_quality) — the go/no-go check you
+    run on minhash-band / SymSpell / sorted-neighborhood blocks BEFORE the
+    expensive matcher at 10^12 rows.  Two deterministic keys per record
+    (mod-50 bucket + nation), so multi-block dedup of candidate pairs is
+    exercised; the nation key makes pair completeness exactly 1_000_000 ppm
+    while mod-50 inflates candidates, so the reduction ratio lands strictly
+    inside (0, 1)."""
+    from i2o_transform_spark.operators.er_metrics import blocking_quality
+
+    cu = _t(spark, sf_dir, "customer")
+    blocks = cu.select(
+        F.col("c_custkey").alias("record_id"),
+        F.concat(F.lit("M"), (F.col("c_custkey") % 50).cast("string")).alias(
+            "block_key"
+        ),
+    ).unionByName(
+        cu.select(
+            F.col("c_custkey").alias("record_id"),
+            F.concat(
+                F.lit("N"), F.col("c_nationkey").cast("string")
+            ).alias("block_key"),
+        )
+    )
+    gold = cu.select(
+        F.col("c_custkey").alias("record_id"),
+        F.col("c_nationkey").alias("gold_cluster"),
+    )
+    return blocking_quality(blocks, gold)

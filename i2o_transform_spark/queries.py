@@ -7078,3 +7078,158 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("gold_cluster"),
     )
     return blocking_quality(blocks, gold)
+
+
+# ---------------------------------------------------------------------------
+# KG QA: SHACL-lite shape validation (operators/shacl.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_shacl_check",
+    oracle="""
+    WITH triples(subj, pred, obj, iri) AS (
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(n_regionkey AS VARCHAR), TRUE FROM nation
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'C:' || CAST(n_nationkey AS VARCHAR), TRUE
+      FROM nation WHERE n_nationkey % 5 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(c_custkey % 5 AS VARCHAR), TRUE
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST(c_nationkey AS VARCHAR), TRUE FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST((c_nationkey + 1) % 25 AS VARCHAR), TRUE
+      FROM customer WHERE c_custkey % 101 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'hasSegment',
+             c_mktsegment, FALSE FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'comment',
+             n_name, FALSE FROM nation
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'comment',
+             'R:' || CAST(n_regionkey AS VARCHAR), TRUE
+      FROM nation WHERE n_nationkey % 7 = 0
+    ),
+    types(node, typ) AS (
+      SELECT 'R:' || CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+    ),
+    shapes(pred, dom, rng, kind, minc, maxc) AS (
+      VALUES ('locatedIn', 'Nation', 'Region', 'iri',
+              CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)),
+             ('inNation', 'Customer', 'Nation', 'iri', NULL, 1),
+             ('hasSegment', 'Customer', CAST(NULL AS VARCHAR), 'literal',
+              1, NULL),
+             ('comment', 'Nation', NULL, 'literal', NULL, NULL)
+    ),
+    pairs AS (
+      SELECT subj, pred, COUNT(*) AS n FROM triples GROUP BY subj, pred
+    ),
+    viol AS (
+      SELECT p.subj AS node, p.pred, 'domain' AS violation, p.n
+      FROM pairs p JOIN shapes s USING (pred)
+      WHERE s.dom IS NOT NULL AND NOT EXISTS (
+        SELECT 1 FROM types ty WHERE ty.node = p.subj AND ty.typ = s.dom)
+      UNION ALL
+      SELECT t.subj, t.pred, 'range', COUNT(*)
+      FROM triples t JOIN shapes s USING (pred)
+      WHERE s.rng IS NOT NULL AND t.iri AND NOT EXISTS (
+        SELECT 1 FROM types ty WHERE ty.node = t.obj AND ty.typ = s.rng)
+      GROUP BY t.subj, t.pred
+      UNION ALL
+      SELECT t.subj, t.pred, 'kind', COUNT(*)
+      FROM triples t JOIN shapes s USING (pred)
+      WHERE s.kind IS NOT NULL AND t.iri <> (s.kind = 'iri')
+      GROUP BY t.subj, t.pred
+      UNION ALL
+      SELECT p.subj, p.pred, 'max_card', p.n
+      FROM pairs p JOIN shapes s USING (pred)
+      WHERE s.maxc IS NOT NULL AND p.n > s.maxc
+      UNION ALL
+      SELECT ty.node, s.pred, 'min_card', COALESCE(p.n, 0)
+      FROM types ty
+      JOIN shapes s ON ty.typ = s.dom AND s.minc IS NOT NULL
+      LEFT JOIN pairs p ON p.subj = ty.node AND p.pred = s.pred
+      WHERE COALESCE(p.n, 0) < s.minc
+    )
+    SELECT node, pred, violation, CAST(n AS BIGINT) AS n FROM viol
+    """,
+)
+def kg_shacl_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QA: SHACL-lite shape validation (operators/shacl.shacl_validate)
+    — domain / range / nodeKind / min-max-cardinality constraints checked
+    declaratively over the emitted triples, the KG generalization of the
+    reference's omopReport orphan-and-count QA procedures
+    (MSSQL/OMOPLoader.sql:1996-2097).  Five violation kinds are PLANTED
+    deterministically in a TPC-H-derived graph (untyped-domain subjects,
+    wrong-class range objects, IRI-where-literal objects, duplicate
+    single-valued predicates, and target-class nodes with zero required
+    assertions); the oracle re-derives every violation row with its own
+    NOT-EXISTS / VALUES-shapes SQL.  Scale shape: shapes broadcast, one
+    map-side-combining (subj, pred) aggregation, all class joins on the
+    aggregated frame — triples are scanned, never re-shuffled per check."""
+    from i2o_transform_spark.operators.shacl import shacl_validate
+
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cu = _t(spark, sf_dir, "customer")
+    node = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+
+    def tr(df, subj, pred, obj, iri):
+        return df.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj.alias("obj"), F.lit(iri).alias("obj_is_iri"),
+        )
+
+    triples = (
+        tr(na, node("N:", "n_nationkey"), "locatedIn",
+           node("R:", "n_regionkey"), True)
+        .unionByName(tr(na.where(F.col("n_nationkey") % 5 == 0),
+                        node("N:", "n_nationkey"), "locatedIn",
+                        node("C:", "n_nationkey"), True))
+        .unionByName(tr(cu.where(F.col("c_custkey") % 97 == 0),
+                        node("C:", "c_custkey"), "locatedIn",
+                        F.concat(F.lit("R:"),
+                                 (F.col("c_custkey") % 5).cast("string")),
+                        True))
+        .unionByName(tr(cu, node("C:", "c_custkey"), "inNation",
+                        node("N:", "c_nationkey"), True))
+        .unionByName(tr(cu.where(F.col("c_custkey") % 101 == 0),
+                        node("C:", "c_custkey"), "inNation",
+                        F.concat(F.lit("N:"), ((F.col("c_nationkey") + 1) % 25)
+                                 .cast("string")), True))
+        .unionByName(tr(cu.where(F.col("c_custkey") % 13 != 0),
+                        node("C:", "c_custkey"), "hasSegment",
+                        F.col("c_mktsegment"), False))
+        .unionByName(tr(na, node("N:", "n_nationkey"), "comment",
+                        F.col("n_name"), False))
+        .unionByName(tr(na.where(F.col("n_nationkey") % 7 == 0),
+                        node("N:", "n_nationkey"), "comment",
+                        node("R:", "n_regionkey"), True))
+    )
+    node_types = (
+        re.select(node("R:", "r_regionkey").alias("node"),
+                  F.lit("Region").alias("type"))
+        .unionByName(na.select(node("N:", "n_nationkey").alias("node"),
+                               F.lit("Nation").alias("type")))
+        .unionByName(cu.select(node("C:", "c_custkey").alias("node"),
+                               F.lit("Customer").alias("type")))
+    )
+    shapes = spark.createDataFrame(
+        [("locatedIn", "Nation", "Region", "iri", None, None),
+         ("inNation", "Customer", "Nation", "iri", None, 1),
+         ("hasSegment", "Customer", None, "literal", 1, None),
+         ("comment", "Nation", None, "literal", None, None)],
+        "pred string, domain_type string, range_type string, "
+        "obj_kind string, min_card int, max_card int",
+    )
+    return shacl_validate(triples, node_types, shapes)

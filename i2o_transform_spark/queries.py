@@ -7233,3 +7233,56 @@ def kg_shacl_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_kind string, min_card int, max_card int",
     )
     return shacl_validate(triples, node_types, shapes)
+
+
+@query(
+    "kg_transitive_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS child, c_custkey // 2 AS parent
+      FROM customer WHERE c_custkey >= 2
+      UNION
+      SELECT c_custkey, c_custkey // 3
+      FROM customer WHERE c_custkey >= 4 AND c_custkey % 3 = 0
+    ),
+    paths(descendant, ancestor, len) AS (
+      SELECT child, parent, 1 FROM edges
+      UNION
+      SELECT p.descendant, e.parent, p.len + 1
+      FROM paths p JOIN edges e ON p.ancestor = e.child
+    )
+    SELECT descendant, ancestor,
+           CAST(MIN(len) AS BIGINT) AS min_levels,
+           CAST(MAX(len) AS BIGINT) AS max_levels
+    FROM paths GROUP BY descendant, ancestor
+    """,
+)
+def kg_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG construction: BUILD the ancestor-closure table (descendant,
+    ancestor, min/max levels of separation) from raw subsumes edges —
+    the reference *consumes* concept_ancestor precomputed by the OMOP
+    vocab release (MSSQL/OMOPLoader.sql:1567-1630 joins it ready-made); a
+    from-scratch KG must materialize it, and this is the operator that
+    does (operators/graph.transitive_closure, semiring matrix squaring:
+    ceil(log2(depth)) self-join rounds, min-plus and max-plus aggregated
+    simultaneously, eager localCheckpoint per round).  Fixture DAG: the
+    customer keyspace with c -> c div 2 and c -> c div 3 edges, which has
+    genuinely divergent min/max (many div2/div3 path mixes per pair).
+    Oracle: DuckDB recursive path enumeration with per-pair MIN/MAX —
+    depth-many rounds vs the operator's log-many, so the two derivations
+    share nothing."""
+    from i2o_transform_spark.operators.graph import transitive_closure
+
+    cu = _t(spark, sf_dir, "customer")
+    edges = (
+        cu.where(F.col("c_custkey") >= 2)
+        .select(F.col("c_custkey").alias("child"),
+                F.expr("c_custkey div 2").alias("parent"))
+        .unionByName(
+            cu.where((F.col("c_custkey") >= 4)
+                     & (F.col("c_custkey") % 3 == 0))
+            .select(F.col("c_custkey").alias("child"),
+                    F.expr("c_custkey div 3").alias("parent"))
+        )
+    )
+    return transitive_closure(edges)

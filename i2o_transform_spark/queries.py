@@ -7286,3 +7286,43 @@ def kg_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return transitive_closure(edges)
+
+
+@query(
+    "er_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey AS id,
+             c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS k
+      FROM customer
+    ),
+    rn AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS rk FROM r)
+    SELECT a.id AS id_a, b.id AS id_b, CAST(b.rk - a.rk AS BIGINT) AS gap
+    FROM rn a JOIN rn b ON b.rk - a.rk BETWEEN 1 AND 3
+    """,
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking: sorted-neighborhood candidate pairs (window 4) over a
+    coarse (segment, nation) sort key with large tie groups — the classic
+    SNM blocking scheme (operators/blocking.sorted_neighborhood_pairs),
+    complementing minhash-band and SymSpell-deletion blocking.  The global
+    rank is assembled scale-safely (range repartition + per-partition
+    row_number + broadcast tiny offsets — never a one-partition sort), and
+    the window is an EQUI-join on exploded rank probes, no self-cartesian.
+    The oracle ranks with a plain ROW_NUMBER and self-joins on rank
+    distance, so the whole rank-assembly path is value-checked, ties
+    included."""
+    from i2o_transform_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("record_id"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit(":"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("sort_key"),
+    )
+    return sorted_neighborhood_pairs(
+        cu, key_col="sort_key", id_col="record_id", window=4
+    )

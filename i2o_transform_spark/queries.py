@@ -7326,3 +7326,126 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         cu, key_col="sort_key", id_col="record_id", window=4
     )
+
+
+@query(
+    "kg_bisim_summary",
+    oracle="""
+    WITH edges(src, pred, dst) AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR), 'inNation',
+             'N:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'C:' || CAST(o_custkey AS VARCHAR), 'placed',
+             'O:' || CAST(o_orderkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'status',
+             'ST:' || o_orderstatus FROM orders
+    ),
+    types(node, typ) AS (
+      SELECT 'R:' || CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+      UNION ALL
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'Order' FROM orders
+      UNION ALL
+      SELECT DISTINCT 'ST:' || o_orderstatus, 'Status_' || o_orderstatus
+      FROM orders
+    ),
+    c0 AS (SELECT node, md5(typ) AS cls FROM types),
+    n1 AS (
+      SELECT e.src AS node,
+             string_agg(DISTINCT e.pred || '>' || c.cls, ','
+                        ORDER BY e.pred || '>' || c.cls) AS nb
+      FROM edges e JOIN c0 c ON e.dst = c.node GROUP BY e.src
+    ),
+    c1 AS (
+      SELECT c.node, md5(c.cls || '|' || COALESCE(n1.nb, '')) AS cls
+      FROM c0 c LEFT JOIN n1 ON c.node = n1.node
+    ),
+    n2 AS (
+      SELECT e.src AS node,
+             string_agg(DISTINCT e.pred || '>' || c.cls, ','
+                        ORDER BY e.pred || '>' || c.cls) AS nb
+      FROM edges e JOIN c1 c ON e.dst = c.node GROUP BY e.src
+    ),
+    c2 AS (
+      SELECT c.node, md5(c.cls || '|' || COALESCE(n2.nb, '')) AS cls
+      FROM c1 c LEFT JOIN n2 ON c.node = n2.node
+    )
+    SELECT cs.cls AS src_class, e.pred, cd.cls AS dst_class,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM edges e
+    JOIN c2 cs ON e.src = cs.node
+    JOIN c2 cd ON e.dst = cd.node
+    GROUP BY cs.cls, e.pred, cd.cls
+    """,
+)
+def kg_bisim_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema discovery: 2-bisimulation quotient graph
+    (operators/summarize.py) — nodes partitioned by (type, set of
+    pred>class out-edges) twice refined, then edges contracted to
+    (src_class, pred, dst_class, n_edges).  The reference's schema is
+    fixed warehouse DDL; a crawled KG must DISCOVER structure, and this
+    summary is what planners/shape-miners consume.  Class ids are
+    content-addressed md5 chains, so the oracle re-derives the exact hex
+    ids with its own string_agg refinement — every id and count is
+    value-hashed.  Customers end up partitioned by the SET of their
+    orders' statuses (a genuinely recursive distinction: visible only at
+    k=2), suppliers/orders/nations form their own strata."""
+    from i2o_transform_spark.operators.summarize import (
+        bisimulation_classes,
+        summary_graph,
+    )
+
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders")
+    node = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+
+    def ed(df, src, pred, dst):
+        return df.select(src.alias("src"), F.lit(pred).alias("pred"),
+                         dst.alias("dst"))
+
+    edges = (
+        ed(cu, node("C:", "c_custkey"), "inNation", node("N:", "c_nationkey"))
+        .unionByName(ed(su, node("S:", "s_suppkey"), "inNation",
+                        node("N:", "s_nationkey")))
+        .unionByName(ed(na, node("N:", "n_nationkey"), "locatedIn",
+                        node("R:", "n_regionkey")))
+        .unionByName(ed(od, node("C:", "o_custkey"), "placed",
+                        node("O:", "o_orderkey")))
+        .unionByName(ed(od, node("O:", "o_orderkey"), "status",
+                        F.concat(F.lit("ST:"), F.col("o_orderstatus"))))
+    )
+
+    def ty(df, n, t):
+        return df.select(n.alias("node"), F.lit(t).alias("type"))
+
+    types = (
+        ty(re, node("R:", "r_regionkey"), "Region")
+        .unionByName(ty(na, node("N:", "n_nationkey"), "Nation"))
+        .unionByName(ty(cu, node("C:", "c_custkey"), "Customer"))
+        .unionByName(ty(su, node("S:", "s_suppkey"), "Supplier"))
+        .unionByName(ty(od, node("O:", "o_orderkey"), "Order"))
+        .unionByName(
+            od.select(
+                F.concat(F.lit("ST:"), F.col("o_orderstatus")).alias("node"),
+                F.concat(F.lit("Status_"), F.col("o_orderstatus"))
+                .alias("type"),
+            ).distinct()
+        )
+    )
+    labels = bisimulation_classes(edges, types, k=2)
+    return summary_graph(edges, labels)

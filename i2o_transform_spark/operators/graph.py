@@ -610,3 +610,51 @@ def transitive_closure(
             break
         sig = sig2
     return c
+
+
+def incremental_components(
+    labels: DataFrame, delta_edges: DataFrame
+) -> DataFrame:
+    """Maintain a connected-components clustering under NEW edges without
+    recomputing untouched components — the canonicalization-update path of
+    a continuously-crawled KG (a daily crawl delta must not re-cluster the
+    full 10^12-node identity graph; the reference's analogue is its
+    full-refresh reload, MSSQL/OMOPLoader.sql:1870-1890, which this
+    generalizes to an incremental merge).
+
+    ``labels``: (node, root) from a previous min-id CC run (any of the CC
+    operators above).  ``delta_edges``: (src, dst) newly observed edges.
+    Returns updated (node, root) covering old and new nodes.
+
+    Correctness: components untouched by any delta edge keep their rows
+    verbatim.  Affected components are collapsed to STAR edges
+    (node -> old root) — connectivity-preserving and diameter-2, so the
+    re-run converges in O(1) doubling rounds — unioned with the delta
+    edges and re-solved by hash-min label propagation.  Because old roots
+    are component minima, the recomputed min-id roots equal what a full
+    recompute over (old edges + delta) would emit.
+
+    Scale shape: the recompute touches |affected components| + |delta|
+    rows only; ``touched_roots`` is bounded by the delta size and joins
+    semi/anti against the labels (AQE broadcasts it when small — the
+    common case of a daily delta vs a planetary graph); everything stays
+    keyed on node/root, the clustering's natural partitioning.
+    """
+    delta = delta_edges.select("src", "dst")
+    touched_nodes = (
+        delta.select(F.col("src").alias("node"))
+        .union(delta.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    touched_roots = (
+        labels.join(touched_nodes, "node", "left_semi")
+        .select("root")
+        .distinct()
+    )
+    untouched = labels.join(touched_roots, "root", "left_anti")
+    affected = labels.join(touched_roots, "root", "left_semi")
+    star = affected.select(
+        F.col("node").alias("src"), F.col("root").alias("dst")
+    )
+    recomputed = label_propagation_components(star.union(delta))
+    return untouched.unionByName(recomputed)

@@ -7449,3 +7449,52 @@ def kg_bisim_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = bisimulation_classes(edges, types, k=2)
     return summary_graph(edges, labels)
+
+
+@query(
+    "kg_incremental_cc",
+    oracle="""
+    WITH RECURSIVE both_edges AS (
+      SELECT c_custkey AS a, c_custkey - 1 AS b
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey, c_custkey + 10 FROM customer WHERE c_custkey % 50 = 0
+    ), edges AS (
+      SELECT a, b FROM both_edges UNION SELECT b, a FROM both_edges
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, CAST(least(a, MIN(b)) AS BIGINT) AS root
+    FROM reach GROUP BY a
+    """,
+)
+def kg_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG maintenance: incremental connected components
+    (operators/graph.incremental_components) — a crawl delta's new
+    same-as edges merge existing identity clusters WITHOUT re-clustering
+    untouched components (affected components collapse to diameter-2 star
+    edges + delta, re-solved in O(1) doubling rounds; untouched label rows
+    pass through verbatim).  Fixture: 150 ten-node customer chains as the
+    base clustering, then delta edges bridge chain pairs at every 50th
+    key, so the delta merges some components and leaves most alone — both
+    code paths are value-checked.  The oracle recomputes the WHOLE
+    clustering from scratch over base+delta edges with a recursive CTE,
+    pinning the incremental result to full-recompute equality."""
+    from i2o_transform_spark.operators.graph import (
+        incremental_components,
+        label_propagation_components,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    base = cu.where(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 1).alias("dst"),
+    )
+    delta = cu.where(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + 10).alias("dst"),
+    )
+    labels = label_propagation_components(base)
+    return incremental_components(labels, delta)

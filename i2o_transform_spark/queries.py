@@ -7498,3 +7498,59 @@ def kg_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation_components(base)
     return incremental_components(labels, delta)
+
+
+@query(
+    "kg_property_path",
+    oracle="""
+    WITH RECURSIVE part_of AS (
+      SELECT r_regionkey AS src, r_regionkey - 1 AS dst
+      FROM region WHERE r_regionkey >= 1
+    ),
+    star(src, dst) AS (
+      SELECT r_regionkey, r_regionkey FROM region
+      UNION
+      SELECT s.src, p.dst FROM star s JOIN part_of p ON s.dst = p.src
+    )
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS src,
+           'R:' || CAST(st.dst AS VARCHAR) AS dst
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN star st ON n.n_regionkey = st.src
+    """,
+)
+def kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG query: SPARQL 1.1 property path ``inNation/locatedIn/partOf*``
+    (operators/paths.eval_path) — customers resolved to their region and
+    every ancestor region under a planted partOf hierarchy (region r
+    partOf region r-1).  The reference hand-writes such walks as fixed
+    join chains (two-hop 'Maps to', MSSQL/OMOPLoader.sql:288-site); the
+    evaluator composes them from seq/star/pred combinators, with ``*``
+    delegating to the log-round semiring closure plus identity over the
+    node universe.  Oracle: recursive-CTE star expansion joined straight
+    off the base tables — it never sees the triples encoding or the
+    combinator tree."""
+    from i2o_transform_spark.operators.paths import eval_path
+
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cu = _t(spark, sf_dir, "customer")
+    node = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+
+    def tr(df, subj, pred, obj):
+        return df.select(subj.alias("subj"), F.lit(pred).alias("pred"),
+                         obj.alias("obj"))
+
+    triples = (
+        tr(cu, node("C:", "c_custkey"), "inNation", node("N:", "c_nationkey"))
+        .unionByName(tr(na, node("N:", "n_nationkey"), "locatedIn",
+                        node("R:", "n_regionkey")))
+        .unionByName(tr(re.where(F.col("r_regionkey") >= 1),
+                        node("R:", "r_regionkey"), "partOf",
+                        F.concat(F.lit("R:"),
+                                 (F.col("r_regionkey") - 1).cast("string"))))
+    )
+    regions = re.select(node("R:", "r_regionkey").alias("node"))
+    expr = ("seq", ("pred", "inNation"),
+            ("seq", ("pred", "locatedIn"), ("star", ("pred", "partOf"))))
+    return eval_path(triples, expr, nodes=regions)

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+
+from i2o_transform_spark.operators.paths import eval_path
+
+
+def _triples(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("a", "q", "x"), ("x", "q", "a"),
+            ("b", "r", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+
+
+def _pairs(df):
+    return {(r.src, r.dst) for r in df.collect()}
+
+
+def test_path_pred_seq_inv(spark):
+    t = _triples(spark)
+    assert _pairs(eval_path(t, ("pred", "p"))) == {
+        ("a", "b"), ("b", "c"), ("c", "d")
+    }
+    assert _pairs(eval_path(t, ("seq", ("pred", "p"), ("pred", "r")))) == {
+        ("a", "x")
+    }
+    assert _pairs(eval_path(t, ("inv", ("pred", "r")))) == {("x", "b")}
+
+
+def test_path_alt_dedups(spark):
+    t = _triples(spark)
+    got = _pairs(eval_path(t, ("alt", ("pred", "p"), ("pred", "p"))))
+    assert got == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_path_plus_and_star(spark):
+    t = _triples(spark)
+    plus = _pairs(eval_path(t, ("plus", ("pred", "p"))))
+    assert plus == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("z",)], "node string"
+    )
+    star = _pairs(eval_path(t, ("star", ("pred", "p")), nodes=nodes))
+    # plus pairs + identity over the node universe (including edgeless z)
+    assert star == plus | {(n, n) for n in "abcdz"}
+
+
+def test_path_plus_on_cycle_is_bounded(spark):
+    t = _triples(spark)
+    # q forms the 2-cycle a->x->a: set semantics must yield exactly the
+    # 4 reachability pairs, not loop forever
+    got = _pairs(eval_path(t, ("plus", ("pred", "q"))))
+    assert got == {("a", "x"), ("x", "a"), ("a", "a"), ("x", "x")}
+
+
+def test_star_without_nodes_raises(spark):
+    with pytest.raises(ValueError):
+        eval_path(_triples(spark), ("star", ("pred", "p")))

@@ -7554,3 +7554,95 @@ def kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = ("seq", ("pred", "inNation"),
             ("seq", ("pred", "locatedIn"), ("star", ("pred", "partOf"))))
     return eval_path(triples, expr, nodes=regions)
+
+
+@query(
+    "kg_ontology_align",
+    oracle="""
+    WITH lraw AS (
+      SELECT p_partkey AS lid,
+             p_name || ' ' || p_brand || ' ' || p_type || ' sz' ||
+             CAST(p_size AS VARCHAR) AS nm
+      FROM part
+    ),
+    rraw AS (
+      SELECT p_partkey + 500000 AS rid,
+             CASE
+               WHEN p_partkey % 3 = 0 THEN
+                 p_name || ' ' || p_brand || ' ' || p_type || ' sz' ||
+                 CAST(p_size AS VARCHAR)
+               WHEN p_partkey % 3 = 1 THEN
+                 array_to_string(list_reverse(string_split(
+                   p_name || ' ' || p_brand || ' ' || p_type || ' sz' ||
+                   CAST(p_size AS VARCHAR), ' ')), ' ')
+               ELSE p_name || ' ' || p_type || ' sz' ||
+                    CAST(p_size AS VARCHAR)
+             END AS nm
+      FROM part WHERE p_partkey % 17 <> 0
+    ),
+    ln AS (SELECT lid, trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ',
+                                           'g')) AS norm FROM lraw),
+    rn AS (SELECT rid, trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ',
+                                           'g')) AS norm FROM rraw),
+    exact AS (
+      SELECT lid, MIN(rid) AS rid FROM ln JOIN rn USING (norm) GROUP BY lid
+    ),
+    lt AS (SELECT lid, list_distinct(string_split(norm, ' ')) AS t FROM ln
+           WHERE lid NOT IN (SELECT lid FROM exact)),
+    rt AS (SELECT rid, list_distinct(string_split(norm, ' ')) AS t FROM rn),
+    scored AS (
+      SELECT l.lid, r.rid,
+             len(list_intersect(l.t, r.t)) * 1000000 //
+             (len(l.t) + len(r.t) - len(list_intersect(l.t, r.t))) AS score
+      FROM lt l CROSS JOIN rt r
+      WHERE len(list_intersect(l.t, r.t)) * 1000000 >=
+            500000 * (len(l.t) + len(r.t) - len(list_intersect(l.t, r.t)))
+    ),
+    fuzzy AS (
+      SELECT lid, rid, score FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY lid
+                                 ORDER BY score DESC, rid) = 1
+    )
+    SELECT lid AS left_id, rid AS right_id, 'exact' AS method,
+           CAST(1000000 AS BIGINT) AS score_ppm
+    FROM exact
+    UNION ALL
+    SELECT lid, rid, 'fuzzy', CAST(score AS BIGINT) FROM fuzzy
+    """,
+)
+def kg_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG construction: BUILD the cross-vocabulary crosswalk the reference
+    consumes ready-made (its i2b2->OMOP ontology mapping CSVs + 'Maps to'
+    joins) — operators/align.align_vocabularies: exact normalized-string
+    pass, then lossless prefix-filtered token-Jaccard with integer-ppm
+    scores and packed-long election.  Fixture: part concept names
+    (name+brand+type+size) aligned against a perturbed right vocabulary
+    (1/3 identical -> exact; 1/3 token-reversed -> fuzzy at 1.0; 1/3
+    brand-dropped -> fuzzy at ~2/3; every 17th right concept missing, so
+    some lefts elect a same-name-different-size competitor instead).
+    The oracle is a BRUTE-FORCE cross join + QUALIFY election — it shares
+    no candidate generation with the engine, so the prefix filter's
+    losslessness itself is value-checked."""
+    from i2o_transform_spark.operators.align import align_vocabularies
+
+    pa = _t(spark, sf_dir, "part")
+    raw = F.concat(
+        F.col("p_name"), F.lit(" "), F.col("p_brand"), F.lit(" "),
+        F.col("p_type"), F.lit(" sz"), F.col("p_size").cast("string"),
+    )
+    left = pa.select(F.col("p_partkey").alias("concept_id"),
+                     raw.alias("name"))
+    right = pa.where(F.col("p_partkey") % 17 != 0).select(
+        (F.col("p_partkey") + 500000).alias("concept_id"),
+        F.when(F.col("p_partkey") % 3 == 0, raw)
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.array_join(F.reverse(F.split(raw, " ")), " "),
+        )
+        .otherwise(
+            F.concat(F.col("p_name"), F.lit(" "), F.col("p_type"),
+                     F.lit(" sz"), F.col("p_size").cast("string"))
+        )
+        .alias("name"),
+    )
+    return align_vocabularies(left, right)

@@ -51,29 +51,33 @@ DRIVER_WINDOW: list[str] = [
     # round-3 additions
     "w4_drug_era_composed",
     "mm_feature_extract",
-    "mm_resize",
     # SURVEY §2 ids without a hard artifact row yet
     "s1_config_source_binding",
     "s3_csv_ontology_load",
     "p4_value_type_filter",
-    "p5_leaf_filter",
     "j2_modifier_join",
     "j7_range_join",
-    "j10_cross_join",
     "j12_closure_rollup",
-    "a3_group_min_dedup",
-    "o1_clustered_sort",
     "f5_coalesce_imputation",
-    "f8_lower_membership",
-    "u2_popcodelist",
     "u4_config_modifier",
+    # round-3 THIS-session families (all new operator families, oracled);
+    # they take the slots of ids whose families already hold green rows in
+    # r01/r02 artifacts or other window slots (p5/j10/a3/o1/f8/u2/mm_resize/
+    # dd_span_dedup remain green in the full-registry harness).
+    "kg_shacl_check",
+    "kg_transitive_closure",
+    "er_sorted_neighborhood",
+    "kg_bisim_summary",
+    "kg_incremental_cc",
+    "kg_property_path",
+    "kg_ontology_align",
+    "kg_snapshot_diff",
     "u5_entity_veto_rule",
     # streaming reps (full suite has stream==batch pytests; two hardest here)
     "st_sessionize",
     "st_attr_join",
     # dedup / multimodal / text families
     "dd_contamination",
-    "dd_span_dedup",
     "mm_av_metadata",
     "ta_bpe_roundtrip_check",
     # round-3 new families: source / quality / pipeline / KG interchange+query

@@ -202,3 +202,40 @@ def merge_into_bucketed(
         return buckets
     finally:
         latest.unpersist()
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | None = None,
+    group_col: str = "pred",
+) -> DataFrame:
+    """Diff two KG snapshots: per-``group_col`` churn counts
+    (n_added, n_removed, n_unchanged) — the release-over-release QA report
+    a continuously-rebuilt KG publishes (the reference's analogue is the
+    before/after count reconciliation its full-refresh loads print,
+    MSSQL/OMOPLoader.sql:1996-2097; a triple store diffs SETS, not counts).
+
+    ``key_cols`` defaults to all shared columns (full-row set semantics).
+    Implementation is ONE full outer join on the key with existence flags
+    aggregated per group — not two anti-joins plus an intersection, which
+    would scan both snapshots three times; here each side is read once.
+    At 10^12 triples the join is hash-partitioned on the triple key; with
+    both snapshots bucketed by the same key (sources/tables.bucketed_write)
+    it is exchange-free.  Duplicate rows within a snapshot are collapsed
+    first (set semantics, matching N-Triples/RDF graph semantics).
+    """
+    keys = key_cols or [c for c in old.columns if c in set(new.columns)]
+    o = old.select(*keys).distinct().withColumn("_o", F.lit(1))
+    n = new.select(*keys).distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.when(F.col("_o").isNull(), 1)).alias("n_added"),
+            F.count(F.when(F.col("_n").isNull(), 1)).alias("n_removed"),
+            F.count(
+                F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1)
+            ).alias("n_unchanged"),
+        )
+    )

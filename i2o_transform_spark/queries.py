@@ -7646,3 +7646,82 @@ def kg_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("name"),
     )
     return align_vocabularies(left, right)
+
+
+@query(
+    "kg_snapshot_diff",
+    oracle="""
+    WITH old_t(subj, pred, obj) AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'status',
+             'ST:' || o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'C:' || CAST(o_custkey AS VARCHAR), 'placed',
+             'O:' || CAST(o_orderkey AS VARCHAR) FROM orders
+    ),
+    new_t(subj, pred, obj) AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'status',
+             'ST:' || CASE WHEN o_orderkey % 9 = 0 THEN 'X'
+                           ELSE o_orderstatus END
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT 'C:' || CAST(o_custkey AS VARCHAR), 'placed',
+             'O:' || CAST(o_orderkey AS VARCHAR)
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'rush', 'true'
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    o AS (SELECT DISTINCT subj, pred, obj FROM old_t),
+    n AS (SELECT DISTINCT subj, pred, obj FROM new_t)
+    SELECT pred,
+           CAST(SUM(CASE WHEN in_o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN in_n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN in_o = 1 AND in_n = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged
+    FROM (
+      SELECT COALESCE(o.pred, n.pred) AS pred,
+             CASE WHEN o.subj IS NULL THEN 0 ELSE 1 END AS in_o,
+             CASE WHEN n.subj IS NULL THEN 0 ELSE 1 END AS in_n
+      FROM o FULL OUTER JOIN n USING (subj, pred, obj)
+    ) t GROUP BY pred
+    """,
+)
+def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG ops: release-over-release snapshot diff
+    (operators/cdc.snapshot_diff) — per-predicate added/removed/unchanged
+    triple counts from ONE full outer join on the triple key (each
+    snapshot scanned once, set semantics).  Fixture: the orders graph
+    re-released with every 9th status flipped, every 11th order retracted
+    and a new 'rush' predicate for every 13th — so all three counters are
+    nonzero for 'status', and the 'rush' column is pure adds.  Oracle:
+    independent FULL OUTER JOIN + conditional sums."""
+    from i2o_transform_spark.operators.cdc import snapshot_diff
+
+    od = _t(spark, sf_dir, "orders")
+
+    def tr(df, subj, pred, obj):
+        return df.select(subj.alias("subj"), F.lit(pred).alias("pred"),
+                         obj.alias("obj"))
+
+    node = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    old = tr(od, node("O:", "o_orderkey"), "status",
+             F.concat(F.lit("ST:"), F.col("o_orderstatus"))).unionByName(
+        tr(od, node("C:", "o_custkey"), "placed", node("O:", "o_orderkey"))
+    )
+    kept = od.where(F.col("o_orderkey") % 11 != 0)
+    new = (
+        tr(kept, node("O:", "o_orderkey"), "status",
+           F.concat(F.lit("ST:"),
+                    F.when(F.col("o_orderkey") % 9 == 0, F.lit("X"))
+                    .otherwise(F.col("o_orderstatus"))))
+        .unionByName(tr(kept, node("C:", "o_custkey"), "placed",
+                        node("O:", "o_orderkey")))
+        .unionByName(
+            od.where(F.col("o_orderkey") % 13 == 0).select(
+                node("O:", "o_orderkey").alias("subj"),
+                F.lit("rush").alias("pred"), F.lit("true").alias("obj"))
+        )
+    )
+    return snapshot_diff(old, new)

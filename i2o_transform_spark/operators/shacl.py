@@ -147,3 +147,98 @@ def shacl_validate(
         "violation",
         F.col("n").cast("long").alias("n"),
     )
+
+
+def mine_shapes(triples: DataFrame, node_types: DataFrame) -> DataFrame:
+    """The INVERSE of :func:`shacl_validate`: propose shapes from data.
+
+    For every (domain_type, pred) observed in the graph, emit the
+    statistics a shape author (or an automated constraint miner, RDF2SHACL
+    style) needs:
+
+    * ``n_subjects``      distinct subjects of the type asserting pred
+    * ``support_ppm``     n_subjects vs all nodes of the type (integer ppm)
+    * ``obj_kind``        majority object kind ('iri' | 'literal'),
+      ``kind_purity_ppm`` its share of assertions
+    * ``min_count``/``max_count``  per-subject assertion count range
+      (max_count == 1 => a candidate ``sh:maxCount 1``)
+    * ``range_type``      majority class among TYPED IRI objects (NULL when
+      no typed IRI object exists), ``range_purity_ppm`` its share
+
+    Multi-typed nodes contribute one row per type (a shape is proposed per
+    class, as in SHACL targets).  Untyped subjects are out of scope — a
+    shape needs a target class; untyped OBJECTS are excluded from the
+    range-purity denominator (they carry no class evidence).
+
+    All ratios are integer parts-per-million via SQL ``div`` — exact and
+    engine-portable.  Scale shape: one (type, pred, subj) aggregation
+    (map-side combining) carries everything except the range election,
+    which re-aggregates the already-small (type, pred, obj_class) tally;
+    the only sort-agg is the majority election over that tally frame
+    (struct min — one row per class per predicate per type, vocabulary-
+    sized).  Feed the mined rows back into :func:`shacl_validate` (after
+    thresholding support/purity) to close the mine -> gate loop.
+    """
+    types = node_types.select("node", "type")
+    t = triples.join(
+        types.withColumnRenamed("node", "subj"), "subj"
+    ).withColumnRenamed("type", "domain_type")
+
+    per_subj = t.groupBy("domain_type", "pred", "subj").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("obj_is_iri").cast("long")).alias("_iri"),
+    )
+    base = per_subj.groupBy("domain_type", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.min("_n").cast("long").alias("min_count"),
+        F.max("_n").cast("long").alias("max_count"),
+        F.sum("_n").alias("_total"),
+        F.sum("_iri").alias("_iri_total"),
+    )
+    base = base.select(
+        "domain_type", "pred", "n_subjects", "min_count", "max_count",
+        F.when(
+            F.col("_iri_total") * 2 >= F.col("_total"), F.lit("iri")
+        ).otherwise(F.lit("literal")).alias("obj_kind"),
+        F.expr(
+            "greatest(_iri_total, _total - _iri_total) * 1000000 div _total"
+        ).alias("kind_purity_ppm"),
+        "_total",
+    )
+
+    type_sizes = types.groupBy(F.col("type").alias("domain_type")).agg(
+        F.count(F.lit(1)).alias("_tn")
+    )
+    base = base.join(type_sizes, "domain_type").select(
+        "domain_type", "pred", "n_subjects",
+        F.expr("n_subjects * 1000000 div _tn").alias("support_ppm"),
+        "obj_kind", "kind_purity_ppm", "min_count", "max_count",
+    )
+
+    # range election over typed IRI objects
+    obj_cls = (
+        t.where(F.col("obj_is_iri"))
+        .join(types.withColumnRenamed("node", "obj"), "obj")
+        .withColumnRenamed("type", "obj_class")
+        .groupBy("domain_type", "pred", "obj_class")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rng = (
+        obj_cls.groupBy("domain_type", "pred")
+        .agg(
+            F.min(F.struct((-F.col("_c")).alias("_nc"), "obj_class"))
+            .alias("_top"),
+            F.sum("_c").alias("_ct"),
+        )
+        .select(
+            "domain_type", "pred",
+            F.col("_top.obj_class").alias("range_type"),
+            F.expr("(-_top._nc) * 1000000 div _ct")
+            .alias("range_purity_ppm"),
+        )
+    )
+    return base.join(rng, ["domain_type", "pred"], "left").select(
+        "domain_type", "pred", "n_subjects", "support_ppm", "obj_kind",
+        "kind_purity_ppm", "min_count", "max_count", "range_type",
+        F.col("range_purity_ppm").cast("long").alias("range_purity_ppm"),
+    )

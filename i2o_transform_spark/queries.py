@@ -7179,6 +7179,22 @@ def kg_shacl_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated frame — triples are scanned, never re-shuffled per check."""
     from i2o_transform_spark.operators.shacl import shacl_validate
 
+    triples, node_types = _shacl_fixture(spark, sf_dir)
+    shapes = spark.createDataFrame(
+        [("locatedIn", "Nation", "Region", "iri", None, None),
+         ("inNation", "Customer", "Nation", "iri", None, 1),
+         ("hasSegment", "Customer", None, "literal", 1, None),
+         ("comment", "Nation", None, "literal", None, None)],
+        "pred string, domain_type string, range_type string, "
+        "obj_kind string, min_card int, max_card int",
+    )
+    return shacl_validate(triples, node_types, shapes)
+
+
+def _shacl_fixture(spark: SparkSession, sf_dir: str):
+    """Shared planted-violation KG fixture for kg_shacl_check (validation)
+    and kg_shape_mining (the inverse): see kg_shacl_check docstring for
+    what is planted where."""
     na = _t(spark, sf_dir, "nation")
     re = _t(spark, sf_dir, "region")
     cu = _t(spark, sf_dir, "customer")
@@ -7224,15 +7240,7 @@ def kg_shacl_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cu.select(node("C:", "c_custkey").alias("node"),
                                F.lit("Customer").alias("type")))
     )
-    shapes = spark.createDataFrame(
-        [("locatedIn", "Nation", "Region", "iri", None, None),
-         ("inNation", "Customer", "Nation", "iri", None, 1),
-         ("hasSegment", "Customer", None, "literal", 1, None),
-         ("comment", "Nation", None, "literal", None, None)],
-        "pred string, domain_type string, range_type string, "
-        "obj_kind string, min_card int, max_card int",
-    )
-    return shacl_validate(triples, node_types, shapes)
+    return triples, node_types
 
 
 @query(
@@ -7725,3 +7733,105 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new)
+
+
+@query(
+    "kg_shape_mining",
+    oracle="""
+    WITH triples(subj, pred, obj, iri) AS (
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(n_regionkey AS VARCHAR), TRUE FROM nation
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'C:' || CAST(n_nationkey AS VARCHAR), TRUE
+      FROM nation WHERE n_nationkey % 5 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(c_custkey % 5 AS VARCHAR), TRUE
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST(c_nationkey AS VARCHAR), TRUE FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST((c_nationkey + 1) % 25 AS VARCHAR), TRUE
+      FROM customer WHERE c_custkey % 101 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'hasSegment',
+             c_mktsegment, FALSE FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'comment',
+             n_name, FALSE FROM nation
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'comment',
+             'R:' || CAST(n_regionkey AS VARCHAR), TRUE
+      FROM nation WHERE n_nationkey % 7 = 0
+    ),
+    types(node, typ) AS (
+      SELECT 'R:' || CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+    ),
+    t AS (
+      SELECT ty.typ AS dt, tr.pred, tr.subj, tr.obj, tr.iri
+      FROM triples tr JOIN types ty ON tr.subj = ty.node
+    ),
+    per_subj AS (
+      SELECT dt, pred, subj, COUNT(*) AS n,
+             SUM(CASE WHEN iri THEN 1 ELSE 0 END) AS niri
+      FROM t GROUP BY dt, pred, subj
+    ),
+    base AS (
+      SELECT dt, pred, COUNT(*) AS n_subjects, MIN(n) AS min_count,
+             MAX(n) AS max_count, SUM(n) AS total, SUM(niri) AS iri_total
+      FROM per_subj GROUP BY dt, pred
+    ),
+    tsz AS (SELECT typ AS dt, COUNT(*) AS tn FROM types GROUP BY typ),
+    obj_cls AS (
+      SELECT t.dt, t.pred, ty2.typ AS oc, COUNT(*) AS c
+      FROM t JOIN types ty2 ON t.obj = ty2.node
+      WHERE t.iri GROUP BY t.dt, t.pred, ty2.typ
+    ),
+    rng AS (
+      SELECT dt, pred, oc, c,
+             SUM(c) OVER (PARTITION BY dt, pred) AS ct
+      FROM obj_cls
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY dt, pred
+                                 ORDER BY c DESC, oc) = 1
+    )
+    SELECT b.dt AS domain_type, b.pred,
+           CAST(b.n_subjects AS BIGINT) AS n_subjects,
+           b.n_subjects * 1000000 // t2.tn AS support_ppm,
+           CASE WHEN b.iri_total * 2 >= b.total THEN 'iri'
+                ELSE 'literal' END AS obj_kind,
+           greatest(b.iri_total, b.total - b.iri_total) * 1000000 //
+             b.total AS kind_purity_ppm,
+           CAST(b.min_count AS BIGINT) AS min_count,
+           CAST(b.max_count AS BIGINT) AS max_count,
+           r.oc AS range_type,
+           r.c * 1000000 // r.ct AS range_purity_ppm
+    FROM base b
+    JOIN tsz t2 ON b.dt = t2.dt
+    LEFT JOIN rng r ON b.dt = r.dt AND b.pred = r.pred
+    """,
+)
+def kg_shape_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema induction: MINE candidate shapes from the data
+    (operators/shacl.mine_shapes) — per (class, predicate): support,
+    majority object kind + purity, per-subject cardinality range, and the
+    majority object class + purity.  The inverse of kg_shacl_check over
+    the SAME planted fixture, so the plants reappear as statistics: the
+    planted wrong-class ranges depress locatedIn's range purity, the
+    planted IRI comments depress its literal purity, the planted
+    duplicate inNation edges push max_count to 2, the planted domain
+    violations surface as a low-support (Customer, locatedIn) row.
+    Mined rows feed straight back into shacl_validate after thresholding
+    — the mine -> gate loop a crawled KG needs because nobody hands it a
+    schema.  Oracle: independent window-function SQL over the same
+    derivation."""
+    from i2o_transform_spark.operators.shacl import mine_shapes
+
+    triples, node_types = _shacl_fixture(spark, sf_dir)
+    return mine_shapes(triples, node_types)

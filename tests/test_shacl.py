@@ -89,3 +89,70 @@ def test_shacl_multi_typed_node_satisfies_either_class(spark):
     )
     shapes = _shapes(spark).where("pred = 'locatedIn'")
     assert shacl_validate(triples, types, shapes).count() == 0
+
+
+def test_mine_shapes_statistics(spark):
+    from i2o_transform_spark.operators.shacl import mine_shapes
+
+    triples = spark.createDataFrame(
+        [
+            ("C:1", "inNation", "N:1", True),
+            ("C:2", "inNation", "N:1", True),
+            ("C:2", "inNation", "N:2", True),   # max_count 2
+            ("C:1", "note", "hello", False),
+            ("C:2", "note", "N:1", True),       # kind impurity 1/2
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    types = spark.createDataFrame(
+        [("C:1", "Customer"), ("C:2", "Customer"), ("C:3", "Customer"),
+         ("N:1", "Nation"), ("N:2", "Nation")],
+        "node string, type string",
+    )
+    got = {(r.domain_type, r.pred): r
+           for r in mine_shapes(triples, types).collect()}
+    inn = got[("Customer", "inNation")]
+    assert (inn.n_subjects, inn.support_ppm) == (2, 666666)  # 2 of 3
+    assert (inn.min_count, inn.max_count) == (1, 2)
+    assert (inn.obj_kind, inn.kind_purity_ppm) == ("iri", 1_000_000)
+    assert (inn.range_type, inn.range_purity_ppm) == ("Nation", 1_000_000)
+    note = got[("Customer", "note")]
+    assert (note.obj_kind, note.kind_purity_ppm) == ("iri", 500_000)
+    assert (note.range_type, note.range_purity_ppm) == ("Nation", 1_000_000)
+
+
+def test_mine_then_validate_loop(spark):
+    """Shapes mined from a clean graph, thresholded, catch a later plant."""
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.operators.shacl import (
+        mine_shapes,
+        shacl_validate,
+    )
+
+    clean = spark.createDataFrame(
+        [("C:1", "inNation", "N:1", True), ("C:2", "inNation", "N:2", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    types = spark.createDataFrame(
+        [("C:1", "Customer"), ("C:2", "Customer"),
+         ("N:1", "Nation"), ("N:2", "Nation"), ("R:1", "Region")],
+        "node string, type string",
+    )
+    mined = mine_shapes(clean, types)
+    shapes = mined.where(
+        (F.col("support_ppm") == 1_000_000)
+        & (F.col("kind_purity_ppm") == 1_000_000)
+    ).select(
+        "pred", "domain_type", "range_type", "obj_kind",
+        F.col("min_count").cast("int").alias("min_card"),
+        F.col("max_count").cast("int").alias("max_card"),
+    )
+    assert shacl_validate(clean, types, shapes).count() == 0
+    dirty = clean.unionByName(spark.createDataFrame(
+        [("C:1", "inNation", "R:1", True)],   # range violation + maxCount
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    ))
+    got = {(r.node, r.violation) for r in
+           shacl_validate(dirty, types, shapes).collect()}
+    assert got == {("C:1", "range"), ("C:1", "max_card")}

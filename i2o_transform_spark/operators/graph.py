@@ -658,3 +658,55 @@ def incremental_components(
     )
     recomputed = label_propagation_components(star.union(delta))
     return untouched.unionByName(recomputed)
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation: infer types for unlabeled nodes
+    from labeled neighbors (Zhu & Ghahramani label propagation with
+    clamped seeds, synchronous rounds) — the KG type-inference step for
+    crawled entities that arrive untyped (the reference never needs this:
+    its warehouse rows are born typed; a web KG starts from a thin typed
+    seed set and must spread).
+
+    ``edges`` (src, dst) are treated as undirected; ``seeds`` (node,
+    label).  Each round, every still-unlabeled node with at least one
+    labeled neighbor takes the MAJORITY neighbor label; ties break to the
+    lexicographically smallest label, so the result is deterministic and
+    independent of partitioning.  Labels are immutable once assigned
+    (seeds clamped), so ``rounds`` bounds the spread radius — exactly r
+    hops from the seed set after r rounds.
+
+    Scale shape: per round ONE join of the edge list against the labeled
+    frame (keyed on node id) + ONE (node, label) tally aggregation
+    (map-side combining) + the per-node election (struct-min over the
+    tally, which holds at most |distinct labels| rows per node).  The
+    labeled frame is localCheckpoint-ed per round so round r never
+    replays rounds 0..r-1.  Hub nodes tally at most |labels| rows —
+    no fan-out skew beyond the edge join itself (salt upstream if one
+    node holds a double-digit share of edges).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = seeds.select("node", "label").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        fresh = (
+            nbr.join(labels.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("_c")).alias("_nc"), "label"))
+                .alias("_top")
+            )
+            .select("node", F.col("_top.label").alias("label"))
+        )
+        labels = labels.unionByName(fresh).localCheckpoint(eager=True)
+    return labels

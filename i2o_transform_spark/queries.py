@@ -7835,3 +7835,65 @@ def kg_shape_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     triples, node_types = _shacl_fixture(spark, sf_dir)
     return mine_shapes(triples, node_types)
+
+
+@query(
+    "kg_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT c_custkey AS a, c_custkey - 1 AS b
+      FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    l0 AS (
+      SELECT c_custkey AS node, c_mktsegment AS label
+      FROM customer WHERE c_custkey % 10 IN (3, 5)
+    ),
+    t1 AS (
+      SELECT s.a AS node, l.label, COUNT(*) AS c
+      FROM sym s JOIN l0 l ON s.b = l.node
+      WHERE s.a NOT IN (SELECT node FROM l0)
+      GROUP BY s.a, l.label
+    ),
+    f1 AS (
+      SELECT node, label FROM t1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label) = 1
+    ),
+    l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM f1),
+    t2 AS (
+      SELECT s.a AS node, l.label, COUNT(*) AS c
+      FROM sym s JOIN l1 l ON s.b = l.node
+      WHERE s.a NOT IN (SELECT node FROM l1)
+      GROUP BY s.a, l.label
+    ),
+    f2 AS (
+      SELECT node, label FROM t2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label) = 1
+    )
+    SELECT node, label FROM l1 UNION ALL SELECT node, label FROM f2
+    """,
+)
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG type inference: clamped-seed label propagation
+    (operators/graph.propagate_labels, 2 synchronous rounds) — untyped
+    nodes take the majority label of labeled neighbors, ties to the
+    lexicographically smallest label.  Fixture: 10-node customer chains
+    seeded at positions 3 and 5 with each customer's own market segment,
+    so labels spread 2 hops, chains with differently-segmented seeds
+    exercise the tie/majority election (node 4 sees both), and chain
+    ends stay unlabeled — spread radius is value-checked too.  Oracle:
+    two unrolled rounds of window-function elections."""
+    from i2o_transform_spark.operators.graph import propagate_labels
+
+    cu = _t(spark, sf_dir, "customer")
+    edges = cu.where(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 1).alias("dst"),
+    )
+    seeds = cu.where((F.col("c_custkey") % 10).isin(3, 5)).select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_mktsegment").alias("label"),
+    )
+    return propagate_labels(edges, seeds, rounds=2)

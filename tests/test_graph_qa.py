@@ -81,3 +81,37 @@ def test_shortest_paths_prefer_cheap_two_hop_over_expensive_direct(spark):
     s = spark.createDataFrame([("a",)], "node string")
     got = {r["node"]: r["dist"] for r in bounded_shortest_paths(e, s, 3).collect()}
     assert got == {"a": 0, "b": 1, "c": 3}
+
+
+def test_propagate_labels_majority_tie_and_radius(spark):
+    from i2o_transform_spark.operators.graph import propagate_labels
+
+    # path 0-1-2-3-4-5-6-7; seeds: 2 -> A, 4 -> B, 6 -> B
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame(
+        [(2, "A"), (4, "B"), (6, "B")], "node int, label string"
+    )
+    got = {r.node: r.label
+           for r in propagate_labels(edges, seeds, rounds=2).collect()}
+    # round 1: 3 sees {A, B} -> tie -> "A"; 5 sees {B, B} -> B;
+    # 1 sees {A} -> A; 7 sees {B} -> B
+    # round 2: 0 sees {A} -> A; everything else labeled
+    assert got == {2: "A", 4: "B", 6: "B",
+                   1: "A", 3: "A", 5: "B", 7: "B", 0: "A"}
+
+
+def test_propagate_labels_seeds_are_clamped(spark):
+    from i2o_transform_spark.operators.graph import propagate_labels
+
+    # seed 1 (A) surrounded by B-seeds must keep A
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "B")], "node int, label string"
+    )
+    got = {r.node: r.label
+           for r in propagate_labels(edges, seeds, rounds=3).collect()}
+    assert got == {1: "A", 2: "B", 3: "B"}

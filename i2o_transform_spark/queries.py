@@ -7897,3 +7897,61 @@ def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("label"),
     )
     return propagate_labels(edges, seeds, rounds=2)
+
+
+_ASOF_T_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z, mid-corpus
+
+
+@query(
+    "kg_asof_snapshot",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(CAST(floor(value) AS BIGINT) % 3 AS BIGINT) AS obj,
+             ts, event_id
+      FROM events
+    ), f AS (
+      SELECT subj, pred, obj, ts, event_id,
+             CASE WHEN lag(obj) OVER w IS NULL OR lag(obj) OVER w <> obj
+                  THEN 1 ELSE 0 END AS chg
+      FROM a WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, event_id)
+    ), g AS (
+      SELECT subj, pred, obj, ts,
+             SUM(chg) OVER (PARTITION BY subj, pred ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f
+    ), runs AS (
+      SELECT subj, pred, obj, grp, MIN(ts) AS valid_from
+      FROM g GROUP BY subj, pred, obj, grp
+    ), iv AS (
+      SELECT subj, pred, obj,
+             CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+             CAST(epoch_us(lead(valid_from) OVER (
+                    PARTITION BY subj, pred ORDER BY valid_from))
+                  AS BIGINT) AS valid_to_us
+      FROM runs
+    )
+    SELECT subj, pred, obj, valid_from_us
+    FROM iv
+    WHERE valid_from_us <= {_ASOF_T_US}
+      AND (valid_to_us IS NULL OR valid_to_us > {_ASOF_T_US})
+    """,
+)
+def kg_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG point query: the graph AS OF a fixed instant — exactly
+    one (subj, pred) -> obj binding per entity whose interval covers T,
+    read straight off the SCD-2 validity intervals built by
+    kg_temporal_intervals (time-travel over assertion history; the
+    interval build is the one exchange, the as-of filter is free).  The
+    reference's analogue is its idempotent full-refresh snapshot
+    (MSSQL/OMOPLoader.sql:1870-1890) — which can only answer 'now'; the
+    interval form answers any T.  Oracle: the same interval derivation
+    wrapped in the interval-cover predicate."""
+    iv = QUERIES["kg_temporal_intervals"](spark, sf_dir)
+    return iv.where(
+        (F.col("valid_from_us") <= F.lit(_ASOF_T_US))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") > F.lit(_ASOF_T_US))
+        )
+    ).select("subj", "pred", "obj", "valid_from_us")

@@ -53,3 +53,31 @@ def test_single_exchange_plan(spark):
     df = _q(spark, rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_snapshot_picks_covering_interval(spark):
+    import os
+    import tempfile
+
+    from i2o_transform_spark.queries import _ASOF_T_US, QUERIES
+
+    base = dt.datetime(2024, 1, 10)
+    after = dt.datetime(2024, 1, 20)
+    rows = [
+        # user 1 'view': obj 0 from Jan-10, flips to 1 on Jan-20
+        (0, base, 1, "view", 0.0, "{}"),
+        (1, after, 1, "view", 1.0, "{}"),
+        # user 2 'view': first assertion AFTER T -> absent as of T
+        (2, after, 2, "view", 2.0, "{}"),
+    ]
+    d = tempfile.mkdtemp(prefix="tmp_events_")
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r.subj, r.pred): r.obj
+           for r in QUERIES["kg_asof_snapshot"](spark, d).collect()}
+    # T (Jan-16) falls inside user 1's first interval only
+    assert got == {(1, "view"): 0}
+    assert dt.datetime(2024, 1, 16).timestamp() * 1e6 == _ASOF_T_US

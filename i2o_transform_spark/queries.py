@@ -7955,3 +7955,54 @@ def kg_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("valid_to_us") > F.lit(_ASOF_T_US))
         )
     ).select("subj", "pred", "obj", "valid_from_us")
+
+
+@query(
+    "kg_ppr_check",
+    oracle="""
+    SELECT CAST(1 AS INT) AS mass_is_one, CAST(1 AS INT) AS seeds_hold_mass
+    """,
+)
+def kg_ppr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized-PageRank invariant gate (companion to kg_ppr_topk):
+    random walk with restart to the seed set conserves mass exactly
+    (sum == 1 at 1e-6) and concentrates it — the seed set must hold more
+    mass than uniform PageRank would give it (locality is the whole point
+    of PPR).  Exact values are pytest-gated against a dense numpy
+    reference (tests/test_operators.py::test_personalized_pagerank_vs_numpy)."""
+    from i2o_transform_spark.operators.graph import personalized_pagerank
+
+    edges = _kg_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [("spark",), ("data",)], "node string"
+    )
+    pr = personalized_pagerank(edges, seeds, iterations=10,
+                               src="subj", dst="obj")
+    n = pr.count()
+    seed_mass = (
+        pr.join(seeds, "node", "left_semi").agg(F.sum("rank")).collect()[0][0]
+    )
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(abs(total - 1.0) < 1e-6),
+          int(seed_mass > 2.0 / max(n, 1)))],
+        "mass_is_one int, seeds_hold_mass int",
+    )
+
+
+@query("kg_ppr_topk")  # rows-only: oracled companion kg_ppr_check
+def kg_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related entities around the seed set by personalized PageRank
+    (rank quantized to 1e-8 so output is float-order independent)."""
+    from i2o_transform_spark.operators.graph import personalized_pagerank
+
+    edges = _kg_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([("spark",), ("data",)], "node string")
+    pr = personalized_pagerank(edges, seeds, iterations=10,
+                               src="subj", dst="obj")
+    return (
+        pr.select("node",
+                  F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8"))
+        .orderBy(F.col("rank_e8").desc(), "node")
+        .limit(10)
+    )

@@ -1292,3 +1292,41 @@ def test_semantic_dedup_planted_pairs(spark):
         for r in semantic_dedup_survivors(corpus, tau=0.99, n_centroids=4).collect()
     }
     assert kept == set(range(20))
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """PPR (restart to seeds, dangling mass to seeds) matches a dense numpy
+    reference to 1e-9; mass conserved; unreachable nodes get exactly 0."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.graph import personalized_pagerank
+
+    # 5 covers the seed-reachable component {0,1,2,3}; node 4 only POINTS
+    # into it (unreachable FROM the seeds -> rank 0); 3 dangles.
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0), (4, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+
+    K, d, n = 12, 0.85, 5
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=K, damping=d
+        ).collect()
+    }
+    A = np.zeros((n, n))
+    for s, t in edge_list:
+        A[t, s] = 1.0
+    out = A.sum(axis=0)
+    P = np.zeros((n, n))
+    np.divide(A, out, out=P, where=out > 0)
+    t_vec = np.zeros(n)
+    t_vec[[0, 1]] = 0.5
+    r = t_vec.copy()
+    for _ in range(K):
+        dang = r[out == 0].sum()
+        r = (1 - d) * t_vec + d * (P @ r + dang * t_vec)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert got[4] == 0.0

@@ -8006,3 +8006,65 @@ def kg_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_e8").desc(), "node")
         .limit(10)
     )
+
+
+@query(
+    "kg_entity_summary",
+    oracle="""
+    WITH t(subj, pred, obj) AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'segment_' || c_mktsegment,
+             c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'nation_' ||
+             CAST(c_nationkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(o_custkey AS VARCHAR),
+             'priority_' || o_orderpriority, o_orderpriority
+      FROM orders
+    ),
+    d AS (SELECT DISTINCT subj, pred, obj FROM t),
+    pf AS (SELECT pred, COUNT(*) AS pn FROM d GROUP BY pred)
+    SELECT subj, pred, obj, CAST(pn AS BIGINT) AS pred_freq
+    FROM d JOIN pf USING (pred)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY subj
+                               ORDER BY pn, pred, obj) <= 3
+    """,
+)
+def kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization: the top-3 MOST DISTINCTIVE facts per entity —
+    facts ranked by global predicate rarity (RELIN/FACES-style informative-
+    ness proxy), the fact panel a KG UI shows for an entity.  Scale shape:
+    predicate frequencies are a vocabulary-sized aggregate joined back
+    broadcast; the per-entity top-k is a row_number window capped at k,
+    which Spark executes with WindowGroupLimit pushdown — a k-row heap per
+    entity inside the exchange, never a full per-entity sort
+    materialization.  Deterministic total tie order (freq, pred, obj).
+    Oracle: QUALIFY re-derivation."""
+    tr = lambda df, subj, pred, obj: df.select(  # noqa: E731
+        subj.alias("subj"), pred.alias("pred"), obj.alias("obj"))
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    node = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    t = (
+        tr(cu, node("C:", "c_custkey"),
+           F.concat(F.lit("segment_"), F.col("c_mktsegment")),
+           F.col("c_mktsegment"))
+        .unionByName(tr(cu, node("C:", "c_custkey"),
+                        F.concat(F.lit("nation_"),
+                                 F.col("c_nationkey").cast("string")),
+                        F.col("c_nationkey").cast("string")))
+        .unionByName(tr(od, node("C:", "o_custkey"),
+                        F.concat(F.lit("priority_"), F.col("o_orderpriority")),
+                        F.col("o_orderpriority")))
+    ).distinct()
+    pf = t.groupBy("pred").agg(F.count(F.lit(1)).alias("pred_freq"))
+    w = Window.partitionBy("subj").orderBy("pred_freq", "pred", "obj")
+    return (
+        t.join(F.broadcast(pf), "pred")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("subj", "pred", "obj",
+                F.col("pred_freq").cast("long").alias("pred_freq"))
+    )

@@ -18,10 +18,13 @@ global row number is assembled scale-safely:
 
 * ``repartitionByRange`` on the sort key + ``sortWithinPartitions`` gives a
   globally ordered layout (Spark's range partitioner samples split points);
-* ``row_number`` runs per PARTITION (parallel), and per-partition offsets
-  — a tiny count-per-partition frame, one row per partition — are joined
-  back broadcast, so the global rank costs one range shuffle, never a
-  single-partition sort;
+* ``monotonically_increasing_id`` evaluated after that sort encodes
+  (partition_id << 33 | local_offset) with partition ids ascending in key
+  order, so the per-partition local rank is FREE — no second shuffle, no
+  per-partition window re-sort; per-partition offsets — a tiny
+  count-per-partition frame — are joined back broadcast, so the global
+  rank costs ONE range shuffle + ONE sort total, never a single-partition
+  sort;
 * windowing is an EQUI-join: each record explodes into ``window - 1``
   (rank + d) probes joined on rank — shuffle volume is ``(w-1) * rows``,
   linear in w, with no self-cartesian anywhere.
@@ -44,13 +47,22 @@ def global_rank(
     from pyspark.sql import Window
 
     np_ = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # monotonically_increasing_id after a range-partitioned sort encodes
+    # (partition_id << 33) | local_offset, and range partition ids ascend
+    # with the key order — so ONE exchange + ONE sort yields a globally
+    # ordered (pid, local) pair with no second shuffle and no per-pid
+    # window re-sort.  The eager localCheckpoint materializes the sampled
+    # range boundaries ONCE so the offsets branch and the main branch can
+    # never see two independently-sampled exchanges.
     ranged = (
         df.repartitionByRange(np_, *[F.col(c) for c in key_cols])
         .sortWithinPartitions(*key_cols)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w))
+    local = ranged.withColumn(
+        "_pid", F.shiftrightunsigned("_mid", 33)
+    ).withColumn("_lrn", (F.col("_mid").bitwiseAND((1 << 33) - 1)) + 1)
     # one row per partition; running offset is a tiny cumulative window
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offw = (
@@ -63,7 +75,7 @@ def global_rank(
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn("_rank", (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_pid", "_lrn", "_off", "_mid")
     )
 
 

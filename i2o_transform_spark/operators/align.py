@@ -75,6 +75,9 @@ def align_vocabularies(
             F.lit("exact").alias("method"),
             F.lit(1_000_000).cast("long").alias("score_ppm"),
         )
+        # consumed twice (output union + fuzzy-pass anti-join): materialize
+        # once instead of re-running the match join
+        .localCheckpoint(eager=True)
     )
 
     # fuzzy pass over the lefts the exact pass missed
@@ -118,8 +121,10 @@ def align_vocabularies(
             )
         )
 
-    lp = _per(ltoks, "left_id")
-    rp = _per(rtoks, "right_id")
+    # each side feeds BOTH candidate generation and verification: checkpoint
+    # so the df-join + sort-aggregation runs once per side, not twice
+    lp = _per(ltoks, "left_id").localCheckpoint(eager=True)
+    rp = _per(rtoks, "right_id").localCheckpoint(eager=True)
     cand = (
         lp.select("left_id", F.explode(F.slice("_toks", 1, F.col("_p")))
                   .alias("tok"))

@@ -8068,3 +8068,117 @@ def kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "pred", "obj",
                 F.col("pred_freq").cast("long").alias("pred_freq"))
     )
+
+
+@query(
+    "kg_rdfs_entailment",
+    oracle="""
+    WITH inst(subj, pred, obj) AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'orders_from',
+             'S:' || CAST(c_custkey % 100 AS VARCHAR)
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'type', 'PremiumCustomer'
+      FROM customer WHERE c_custkey % 8 = 0
+    ),
+    pclo(sub, sup) AS (
+      VALUES ('orders_from', 'orders_from'),
+             ('orders_from', 'trades_with'),
+             ('orders_from', 'linked_to'),
+             ('trades_with', 'trades_with'),
+             ('trades_with', 'linked_to'),
+             ('linked_to', 'linked_to')
+    ),
+    cclo(sub, sup) AS (
+      VALUES ('PremiumCustomer', 'PremiumCustomer'),
+             ('PremiumCustomer', 'Customer'),
+             ('PremiumCustomer', 'Agent'),
+             ('Customer', 'Customer'), ('Customer', 'Agent'),
+             ('Supplier', 'Supplier'), ('Supplier', 'Agent'),
+             ('Agent', 'Agent')
+    ),
+    doms(pred, cls) AS (VALUES ('orders_from', 'Customer')),
+    rngs(pred, cls) AS (VALUES ('orders_from', 'Supplier')),
+    lifted AS (
+      SELECT i.subj, p.sup AS pred, i.obj FROM inst i
+      JOIN pclo p ON i.pred = p.sub
+      UNION ALL
+      SELECT subj, pred, obj FROM inst
+      WHERE pred NOT IN (SELECT sub FROM pclo)
+    ),
+    dom_t AS (
+      SELECT l.subj, 'type' AS pred, d.cls AS obj
+      FROM lifted l JOIN doms d USING (pred)
+    ),
+    rng_t AS (
+      SELECT l.obj AS subj, 'type' AS pred, r.cls AS obj
+      FROM lifted l JOIN rngs r USING (pred) WHERE l.pred <> 'type'
+    ),
+    typed AS (
+      SELECT subj, pred, obj FROM lifted WHERE pred = 'type'
+      UNION ALL SELECT * FROM dom_t
+      UNION ALL SELECT * FROM rng_t
+    ),
+    typed_clo AS (
+      SELECT t.subj, 'type' AS pred, c.sup AS obj
+      FROM typed t JOIN cclo c ON t.obj = c.sub
+      UNION ALL
+      SELECT subj, pred, obj FROM typed
+      WHERE obj NOT IN (SELECT sub FROM cclo)
+    )
+    SELECT DISTINCT subj, pred, obj FROM (
+      SELECT subj, pred, obj FROM lifted WHERE pred <> 'type'
+      UNION ALL SELECT subj, pred, obj FROM typed_clo
+    ) t
+    """,
+)
+def kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG reasoning: RDFS (ρDF) entailment materialization
+    (operators/reasoner.rdfs_entail) — subPropertyOf closure lifts every
+    edge, domain/range mint type assertions, subClassOf closure lifts
+    them; stratified, so the fixpoint costs two SCHEMA closures (log-round
+    squaring, broadcast) and instance-scale broadcast joins + one dedup —
+    never a Datalog loop over the data.  The reference JOINS a shipped
+    precomputed hierarchy (concept_ancestor); this derives the entailed
+    graph from raw schema.  Fixture: orders_from ⊑ trades_with ⊑
+    linked_to over planted customer->supplier edges, PremiumCustomer ⊑
+    Customer ⊑ Agent seeds, domain/range on orders_from only.  Oracle:
+    HAND-ENUMERATED closures (depth-2 chains written out) + the rule
+    joins — the closure computation itself is independently checked."""
+    from i2o_transform_spark.operators.reasoner import rdfs_entail
+
+    cu = _t(spark, sf_dir, "customer")
+    inst = (
+        cu.where(F.col("c_custkey") % 4 == 0)
+        .select(
+            F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+            .alias("subj"),
+            F.lit("orders_from").alias("pred"),
+            F.concat(F.lit("S:"), (F.col("c_custkey") % 100).cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            cu.where(F.col("c_custkey") % 8 == 0).select(
+                F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+                .alias("subj"),
+                F.lit("type").alias("pred"),
+                F.lit("PremiumCustomer").alias("obj"),
+            )
+        )
+    )
+    subprop = spark.createDataFrame(
+        [("orders_from", "trades_with"), ("trades_with", "linked_to")],
+        "sub string, sup string",
+    )
+    subclass = spark.createDataFrame(
+        [("PremiumCustomer", "Customer"), ("Customer", "Agent"),
+         ("Supplier", "Agent")],
+        "sub string, sup string",
+    )
+    domains = spark.createDataFrame(
+        [("orders_from", "Customer")], "pred string, cls string"
+    )
+    ranges = spark.createDataFrame(
+        [("orders_from", "Supplier")], "pred string, cls string"
+    )
+    return rdfs_entail(inst, subclass, subprop, domains, ranges)

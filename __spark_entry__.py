@@ -19,11 +19,14 @@ streaming suite, and the remaining SURVEY §2 ids — then rotates in the
 round-3 session families (WARC source, LM quality, composed training-data
 pipeline, N-Triples roundtrip, BGP matching, TransE eval, truth discovery,
 fuzzy linking, cycle check, temporal intervals, real AV metadata) in place of
-rows whose families already hold multiple window representatives, so the
-artifact union after round 3 covers ~100 of 161 registered queries with hard
-driver signal.
+rows whose families already hold multiple window representatives, then the
+session-B families (SHACL validation + shape mining, transitive closure,
+property paths, sorted-neighborhood blocking, bisimulation summary,
+incremental CC, ontology alignment, snapshot diff), so the artifact union
+after round 3 covers the large majority of the 178 registered queries with
+hard driver signal.
 Everything else follows in original registration order and is verified by
-tests/run_oracle_check.py (full 137-query sweep) instead.
+tests/run_oracle_check.py (full-registry sweep, 178 queries) instead.
 """
 
 from __future__ import annotations

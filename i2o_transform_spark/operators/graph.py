@@ -792,3 +792,51 @@ def personalized_pagerank(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def k_core(
+    edges: DataFrame, k: int = 2, max_iter: int = 50
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove nodes
+    with (undirected) degree < k; what survives is the unique maximal
+    subgraph of minimum degree >= k.  In a web link graph the dense cores
+    are exactly where link farms and boilerplate navigation live — the
+    density-based QA complement to cycle_tainted_nodes above.
+
+    Returns (node) — the members of the k-core.
+
+    Scale shape: each peel round is ONE semi-join of the (symmetrized)
+    edge list against the survivor set + ONE degree HashAggregate, both
+    keyed on node id; survivors are eagerly localCheckpoint-ed so round r
+    never replays earlier rounds.  Convergence needs one round per peel
+    LAYER (the degeneracy depth), not per node — web graphs peel in a few
+    dozen layers.  The fixpoint probe is a count comparison (alive set
+    only shrinks, so equality is a true fixpoint).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    alive = alive.localCheckpoint(eager=True)
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        surv = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        n_surv = surv.count()
+        alive = surv
+        if n_surv == n_alive:
+            break
+        n_alive = n_surv
+    return alive

@@ -87,7 +87,9 @@ def bisimulation_classes(
                 ).alias("cls"),
             )
         )
-    return labels
+    # consumers join labels at least twice (src + dst contraction):
+    # materialize the k-round chain once instead of replaying it per join
+    return labels.localCheckpoint(eager=True)
 
 
 def summary_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:

@@ -8182,3 +8182,223 @@ def kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("orders_from", "Supplier")], "pred string, cls string"
     )
     return rdfs_entail(inst, subclass, subprop, domains, ranges)
+
+
+def _sameas_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity triples with planted duplicate identities: every 3rd
+    customer exists in both an A: and a B: namespace sharing an email
+    (the inverse-functional key); segments are deliberately NON-identifying
+    (massively shared objects)."""
+    cu = _t(spark, sf_dir, "customer")
+    a_email = cu.select(
+        F.concat(F.lit("A:"), F.col("c_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("email").alias("pred"),
+        F.concat(F.lit("e"), F.col("c_custkey").cast("string")).alias("obj"),
+    )
+    b = cu.where(F.col("c_custkey") % 3 == 0)
+    b_email = b.select(
+        F.concat(F.lit("B:"), F.col("c_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("email").alias("pred"),
+        F.concat(F.lit("e"), F.col("c_custkey").cast("string")).alias("obj"),
+    )
+    a_seg = cu.select(
+        F.concat(F.lit("A:"), F.col("c_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    b_seg = b.select(
+        F.concat(F.lit("B:"), F.col("c_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    return a_email.unionByName(b_email).unionByName(a_seg).unionByName(b_seg)
+
+
+_SAMEAS_FIXTURE_SQL = """
+    triples(subj, pred, obj) AS (
+      SELECT 'A:' || CAST(c_custkey AS VARCHAR), 'email',
+             'e' || CAST(c_custkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'B:' || CAST(c_custkey AS VARCHAR), 'email',
+             'e' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT 'A:' || CAST(c_custkey AS VARCHAR), 'segment', c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT 'B:' || CAST(c_custkey AS VARCHAR), 'segment', c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+"""
+
+
+@query(
+    "kg_ifp_detect",
+    oracle=f"""
+    WITH {_SAMEAS_FIXTURE_SQL},
+    per_obj AS (
+      SELECT pred, obj, COUNT(DISTINCT subj) AS fanin
+      FROM triples GROUP BY pred, obj
+    )
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_objs,
+           SUM(CASE WHEN fanin = 1 THEN 1 ELSE 0 END) * 1000000 //
+             COUNT(*) AS fanin1_ppm
+    FROM per_obj GROUP BY pred
+    """,
+)
+def kg_ifp_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-key discovery: measure how inverse-functional each
+    predicate behaves (operators/sameas.detect_ifps) — emails identify
+    (every shared email is a planted duplicate pair), segments are shared
+    by hundreds of subjects (fanin1 = 0) — the data-driven way a web KG
+    picks its merge keys, vs the reference's hard-coded merge columns.
+    One (pred, obj) HashAggregate + a vocabulary-sized rollup; ratios in
+    integer ppm."""
+    from i2o_transform_spark.operators.sameas import detect_ifps
+
+    return detect_ifps(_sameas_fixture(spark, sf_dir))
+
+
+@query(
+    "kg_sameas_canonicalize",
+    oracle=f"""
+    WITH {_SAMEAS_FIXTURE_SQL},
+    cmap(node, root) AS (
+      SELECT 'B:' || CAST(c_custkey AS VARCHAR),
+             'A:' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT DISTINCT
+           COALESCE(ms.root, t.subj) AS subj, t.pred,
+           COALESCE(mo.root, t.obj) AS obj
+    FROM triples t
+    LEFT JOIN cmap ms ON t.subj = ms.node
+    LEFT JOIN cmap mo ON t.obj = mo.node
+    """,
+)
+def kg_sameas_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs smushing end-to-end (operators/sameas): IFP sameAs
+    star edges from shared emails -> hash-min components -> rewrite every
+    triple onto canonical ids -> set dedup.  The planted B: duplicates
+    collapse onto their A: twins, and their segment triples merge into
+    the survivors'.  The oracle derives the canonical map in closed form
+    (B:c -> A:c for every planted duplicate) — it never runs a component
+    algorithm, so the detect->pairs->CC->rewrite chain is independently
+    value-checked."""
+    from i2o_transform_spark.operators.sameas import (
+        canonicalize_triples,
+        ifp_sameas_pairs,
+    )
+
+    triples = _sameas_fixture(spark, sf_dir)
+    pairs = ifp_sameas_pairs(triples, ["email"])
+    return canonicalize_triples(triples, pairs)
+
+
+@query(
+    "kg_disjoint_check",
+    oracle="""
+    WITH types(node, typ) AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'Supplier'
+      FROM customer WHERE c_custkey % 61 = 0
+      UNION ALL
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+    )
+    SELECT a.node, a.typ AS type_a, b.typ AS type_b
+    FROM types a JOIN types b ON a.node = b.node
+    WHERE a.typ = 'Customer' AND b.typ = 'Supplier'
+    """,
+)
+def kg_disjoint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QA: class-disjointness violations (owl:disjointWith — the
+    negative constraint SHACL-lite's positive checks don't cover): nodes
+    typed with BOTH classes of a declared-disjoint pair.  Every 61st
+    customer is planted with a bogus Supplier type.  Self-join of the
+    type table on node id against a broadcast disjoint-pairs list — one
+    hash join keyed on the node id, violations only in the output."""
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    types = (
+        cu.select(F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+                  .alias("node"), F.lit("Customer").alias("type"))
+        .unionByName(
+            cu.where(F.col("c_custkey") % 61 == 0)
+            .select(F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+                    .alias("node"), F.lit("Supplier").alias("type")))
+        .unionByName(
+            su.select(F.concat(F.lit("S:"), F.col("s_suppkey").cast("string"))
+                      .alias("node"), F.lit("Supplier").alias("type")))
+    )
+    disjoint = spark.createDataFrame(
+        [("Customer", "Supplier")], "cls_a string, cls_b string"
+    )
+    a = types.select("node", F.col("type").alias("type_a"))
+    b = types.select("node", F.col("type").alias("type_b"))
+    return (
+        a.join(b, "node")
+        .join(
+            F.broadcast(disjoint),
+            (F.col("type_a") == F.col("cls_a"))
+            & (F.col("type_b") == F.col("cls_b")),
+        )
+        .select("node", "type_a", "type_b")
+    )
+
+
+@query(
+    "kg_kcore",
+    oracle="""
+    WITH anchors AS (
+      SELECT c_custkey AS c FROM customer WHERE c_custkey % 10 = 0
+    ),
+    base(a, b) AS (
+      SELECT c, c + 1 FROM anchors
+      UNION ALL SELECT c + 1, c + 2 FROM anchors
+      UNION ALL SELECT c, c + 2 FROM anchors
+      UNION ALL SELECT c, c + 3 FROM anchors
+      UNION ALL SELECT c + 3, c + 4 FROM anchors
+    ),
+    sym AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    a1 AS (SELECT a AS node FROM sym GROUP BY a HAVING COUNT(*) >= 2),
+    e1 AS (SELECT s.a, s.b FROM sym s
+           JOIN a1 x ON s.a = x.node JOIN a1 y ON s.b = y.node),
+    a2 AS (SELECT a AS node FROM e1 GROUP BY a HAVING COUNT(*) >= 2),
+    e2 AS (SELECT s.a, s.b FROM e1 s
+           JOIN a2 x ON s.a = x.node JOIN a2 y ON s.b = y.node),
+    a3 AS (SELECT a AS node FROM e2 GROUP BY a HAVING COUNT(*) >= 2)
+    SELECT node FROM a3
+    """,
+)
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph QA: 2-core by iterative peeling (operators/graph.k_core) —
+    the dense-subgraph signal (link farms, boilerplate navigation) that
+    survives when pendant chains peel away.  Fixture: a triangle plus a
+    2-edge pendant path per customer decade; the pendant peels in exactly
+    two layers, the triangles are the core.  The operator iterates to its
+    count-stable fixpoint; the oracle unrolls THREE peel rounds (>= the
+    fixture's peel depth) as HAVING-filtered degree recomputations — same
+    answer, derivation shared with nothing."""
+    from i2o_transform_spark.operators.graph import k_core
+
+    cu = _t(spark, sf_dir, "customer")
+    an = cu.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("c")
+    )
+    edges = (
+        an.select(F.col("c").alias("src"), (F.col("c") + 1).alias("dst"))
+        .unionByName(an.select((F.col("c") + 1).alias("src"),
+                               (F.col("c") + 2).alias("dst")))
+        .unionByName(an.select(F.col("c").alias("src"),
+                               (F.col("c") + 2).alias("dst")))
+        .unionByName(an.select(F.col("c").alias("src"),
+                               (F.col("c") + 3).alias("dst")))
+        .unionByName(an.select((F.col("c") + 3).alias("src"),
+                               (F.col("c") + 4).alias("dst")))
+    )
+    return k_core(edges, k=2)

@@ -23,10 +23,10 @@ rows whose families already hold multiple window representatives, then the
 session-B families (SHACL validation + shape mining, transitive closure,
 property paths, sorted-neighborhood blocking, bisimulation summary,
 incremental CC, ontology alignment, snapshot diff), so the artifact union
-after round 3 covers the large majority of the 178 registered queries with
+after round 3 covers the large majority of the 182 registered queries with
 hard driver signal.
 Everything else follows in original registration order and is verified by
-tests/run_oracle_check.py (full-registry sweep, 178 queries) instead.
+tests/run_oracle_check.py (full-registry sweep, 182 queries) instead.
 """
 
 from __future__ import annotations
@@ -59,10 +59,17 @@ DRIVER_WINDOW: list[str] = [
     "s3_csv_ontology_load",
     "p4_value_type_filter",
     "j2_modifier_join",
-    "j7_range_join",
     "j12_closure_rollup",
     "f5_coalesce_imputation",
     "u4_config_modifier",
+    # second session-B rotation: five more NEW operator families take
+    # slots of family-redundant rows (st_sessionize / j7 / u5 /
+    # kg_k_hop / kg_temporal_intervals stay green in the full harness)
+    "kg_rdfs_entailment",
+    "kg_sameas_canonicalize",
+    "kg_shape_mining",
+    "kg_label_propagation",
+    "kg_entity_summary",
     # round-3 THIS-session families (all new operator families, oracled);
     # they take the slots of ids whose families already hold green rows in
     # r01/r02 artifacts or other window slots (p5/j10/a3/o1/f8/u2/mm_resize/
@@ -75,9 +82,7 @@ DRIVER_WINDOW: list[str] = [
     "kg_property_path",
     "kg_ontology_align",
     "kg_snapshot_diff",
-    "u5_entity_veto_rule",
     # streaming reps (full suite has stream==batch pytests; two hardest here)
-    "st_sessionize",
     "st_attr_join",
     # dedup / multimodal / text families
     "dd_contamination",
@@ -94,10 +99,8 @@ DRIVER_WINDOW: list[str] = [
     "td_truth_discovery",
     "el_fuzzy_link",
     "kg_cycle_check",
-    "kg_temporal_intervals",
     # graph / QA / events / TPC-H
     "kg_pagerank_check",
-    "kg_k_hop",
     "q3_shipping_priority",
     "qa_hll_error_check",
     "ev_funnel",

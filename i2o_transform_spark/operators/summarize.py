@@ -42,17 +42,36 @@ def bisimulation_classes(
     edges: DataFrame,
     node_types: DataFrame,
     k: int = 2,
+    max_out_degree: int | None = 100_000,
 ) -> DataFrame:
     """Return (node, cls) after ``k`` refinement rounds.
 
     ``edges``: (src, pred, dst); ``node_types``: (node, type) — ONE type
     row per node (pre-concatenate multi-types upstream so class 0 is
     well-defined).
+
+    ``max_out_degree`` is the hub guard: a node whose out-degree exceeds
+    it gets the sentinel token ``*HUB*`` instead of its (enormous) sorted
+    neighbor-token list — its per-round state stays O(1) instead of
+    O(degree), and all over-cap hubs of the same type/history collapse
+    into one well-defined "hub" class.  A 10^7-out-degree portal page
+    would otherwise materialize a 10^7-element collect_set in one
+    aggregation buffer.  ``None`` disables the cap (exact semantics, as
+    the oracle-checked fixture uses).
     """
     labels = node_types.select(
         "node", F.md5(F.col("type")).alias("cls")
     )
     e = edges.select("src", "pred", "dst")
+    if max_out_degree is not None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        hubs = deg.where(F.col("_deg") > max_out_degree).select("src")
+        hub_nodes = hubs.select(F.col("src").alias("node")).localCheckpoint(
+            eager=True
+        )
+        e = e.join(hubs, "src", "left_anti")
+    else:
+        hub_nodes = None
     for _ in range(k):
         nb = (
             e.join(
@@ -74,6 +93,10 @@ def bisimulation_classes(
                 ).alias("_nb")
             )
         )
+        if hub_nodes is not None:
+            nb = nb.unionByName(
+                hub_nodes.withColumn("_nb", F.lit("*HUB*"))
+            )
         labels = (
             labels.join(nb, "node", "left")
             .select(

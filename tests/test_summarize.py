@@ -65,3 +65,32 @@ def test_bisim_leaf_and_edgeless_nodes_keep_type_chain(spark):
     # b and c both have no out-edges and the same type -> same class;
     # a differs (it has an out-edge).
     assert cls["b"] == cls["c"] != cls["a"]
+
+
+def test_bisim_hub_guard_collapses_over_cap_hubs(spark):
+    from i2o_transform_spark.operators.summarize import bisimulation_classes
+
+    # h1 fans out to a0..a9, h2 to b0..b9 (different neighborhoods), n1
+    # has a single edge.  With cap 5 both hubs exceed it and collapse to
+    # the same *HUB* class despite different neighbors; n1 stays distinct.
+    edges = [("h1", "p", f"a{i}") for i in range(10)]
+    edges += [("h2", "p", f"b{i}") for i in range(10)]
+    edges += [("n1", "p", "a0")]
+    e = spark.createDataFrame(edges, "src string, pred string, dst string")
+    nodes = {s for t in edges for s in (t[0], t[2])}
+    # the two hub neighborhoods carry DIFFERENT types, so exact mode can
+    # tell the hubs apart while the capped mode deliberately cannot
+    types = spark.createDataFrame(
+        [(n, "A" if n.startswith("a") else "B" if n.startswith("b")
+          else "T") for n in sorted(nodes)],
+        "node string, type string",
+    )
+    capped = {r.node: r.cls
+              for r in bisimulation_classes(e, types, k=1,
+                                            max_out_degree=5).collect()}
+    assert capped["h1"] == capped["h2"]          # hubs collapse
+    assert capped["h1"] != capped["n1"]          # non-hub stays apart
+    exact = {r.node: r.cls
+             for r in bisimulation_classes(e, types, k=1,
+                                           max_out_degree=None).collect()}
+    assert exact["h1"] != exact["h2"]            # exact mode distinguishes

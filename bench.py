@@ -55,6 +55,15 @@ EXTRA = [
     "kg_anchor_links",
     "dd_semantic_dedup",
     "ta_lm_quality",
+    # round-3 session-B KG construction/query flagships
+    "kg_shacl_check",
+    "kg_transitive_closure",
+    "kg_bisim_summary",
+    "kg_ontology_align",
+    "er_sorted_neighborhood",
+    "kg_incremental_cc",
+    "kg_rdfs_entailment",
+    "kg_sameas_canonicalize",
 ]
 
 

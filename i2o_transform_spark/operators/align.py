@@ -29,6 +29,19 @@ re-aggregation, prefix join, and verify joins are all hash-partitioned
 equi-joins — no cartesian anywhere; the hottest (stopword) tokens sort to
 the END of every token list under rarest-first order and are never
 indexed, which is exactly the skew that kills naive inverted-index joins.
+A PPJoin positional filter prunes candidates further (lossless — see the
+inline proof sketch at the candidate join).
+
+Cost model, honestly: the prefix join materializes ~Σ_w df_L(w)·df_R(w)
+rows over indexed tokens before filtering.  With realistic vocabularies
+(thousands of distinct tokens, hottest at ~1% df) that is near-linear;
+the repo's sf0.1 bench fixture is ADVERSARIALLY dense (145 distinct
+tokens across 20k names, hottest at 27% df), which is why
+`kg_ontology_align` is the slowest row in BENCH — that is the real price
+of exactness at that density, not a plan defect.  When the vocabulary is
+genuinely that dense, swap candidate generation for minhash-band blocking
+(operators/dedup.minhash_lsh_pairs) and measure recall with the
+recall-check pattern instead of paying the exact-join fan-out.
 """
 
 from __future__ import annotations
@@ -125,14 +138,48 @@ def align_vocabularies(
     # so the df-join + sort-aggregation runs once per side, not twice
     lp = _per(ltoks, "left_id").localCheckpoint(eager=True)
     rp = _per(rtoks, "right_id").localCheckpoint(eager=True)
+    # PPJoin-style candidate generation: probe prefix tokens WITH their
+    # position and keep a pair only if some shared prefix token still
+    # leaves room for the required overlap — 1 + min(|x|-i, |y|-j) >=
+    # alpha(|x|,|y|) with alpha = ceil(t/(1+t) * (|x|+|y|)).  Lossless
+    # (take the first shared token in global order: every other shared
+    # token sits after it on both sides), and it is what kills the
+    # quadratic fan-out of merely-warm tokens late in dense prefixes —
+    # a pair whose ONLY shared prefix token is a hot token near the
+    # prefix end cannot reach the overlap bound and never materializes.
+    # The size filter (t*|x| <= |y| <= |x|/t) rides along for free.
+    def _prefix(per, idc):
+        return per.select(
+            idc,
+            F.col("_sz"),
+            F.posexplode(F.slice("_toks", 1, F.col("_p")))
+            .alias("_pos", "tok"),
+        )
+
+    lpre = _prefix(lp, "left_id").withColumnsRenamed(
+        {"_sz": "_lsz", "_pos": "_lpos"}
+    )
+    rpre = _prefix(rp, "right_id").withColumnsRenamed(
+        {"_sz": "_rsz", "_pos": "_rpos"}
+    )
+    tppm = threshold_ppm
+    alpha = F.expr(
+        f"cast(ceil((_lsz + _rsz) * {tppm} / (1000000.0 + {tppm})) as int)"
+    )
     cand = (
-        lp.select("left_id", F.explode(F.slice("_toks", 1, F.col("_p")))
-                  .alias("tok"))
-        .join(
-            rp.select("right_id",
-                      F.explode(F.slice("_toks", 1, F.col("_p")))
-                      .alias("tok")),
-            "tok",
+        lpre.join(rpre, "tok")
+        .where(
+            (F.col("_rsz") * F.lit(1_000_000) >= F.col("_lsz") * F.lit(tppm))
+            & (F.col("_lsz") * F.lit(1_000_000)
+               >= F.col("_rsz") * F.lit(tppm))
+        )
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("_lsz") - F.col("_lpos") - 1,
+                F.col("_rsz") - F.col("_rpos") - 1,
+            )
+            >= alpha
         )
         .select("left_id", "right_id")
         .distinct()

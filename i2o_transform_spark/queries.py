@@ -8402,3 +8402,67 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                (F.col("c") + 4).alias("dst")))
     )
     return k_core(edges, k=2)
+
+
+@query(
+    "st_incremental_cc",
+    oracle="""
+    WITH RECURSIVE both_edges AS (
+      SELECT c_custkey AS a, c_custkey - 1 AS b
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey, c_custkey + 10 FROM customer WHERE c_custkey % 50 = 0
+    ), edges AS (
+      SELECT a, b FROM both_edges UNION SELECT b, a FROM both_edges
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, CAST(least(a, MIN(b)) AS BIGINT) AS root
+    FROM reach GROUP BY a
+    """,
+)
+def st_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §: identity maintenance in-stream
+    (streaming/kg_stream.stream_incremental_components) — the SAME base +
+    delta edge sets as kg_incremental_cc, but arriving as two separate
+    micro-batches (maxFilesPerTrigger=1): batch 1 bootstraps the label
+    table, batch 2 takes the INCREMENTAL path against the persisted
+    labels (star-collapse + delta), atomically swapping the parquet label
+    table per trigger.  The oracle is the same from-scratch recursive-CTE
+    recompute, so the cross-batch maintenance protocol itself is
+    value-hashed — not just the operator."""
+    import os
+    import tempfile
+
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_incremental_components,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    base = cu.where(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 1).alias("dst"),
+    )
+    delta = cu.where(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + 10).alias("dst"),
+    )
+    d = tempfile.mkdtemp(prefix="st_inc_cc_")
+    src_dir = os.path.join(d, "edges")
+    base.coalesce(1).write.parquet(os.path.join(src_dir, "b0.parquet"))
+    delta.coalesce(1).write.parquet(os.path.join(src_dir, "b1.parquet"))
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*/")
+    )
+    labels_dir = os.path.join(d, "labels")
+    q = stream_incremental_components(
+        stream, labels_dir, os.path.join(d, "ckpt")
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(labels_dir).select(
+        "node", F.col("root").cast("long").alias("root")
+    )

@@ -541,3 +541,55 @@ def test_line_dedup_stream_equals_batch(spark):
     want = _rows(line_dedup_stream(prep(batch_docs)), ["line_md5", "line"])
     assert _rows(stream, ["line_md5", "line"]) == want
     assert len(want) > 0
+
+
+def test_stream_incremental_cc_equals_batch(spark, tmp_path):
+    """Edges arriving over three micro-batches maintain the same clustering
+    a from-scratch batch CC computes over the union — the second and third
+    batches exercise the INCREMENTAL path (merge two existing components,
+    attach brand-new nodes)."""
+    import os
+    import random
+
+    from i2o_transform_spark.operators.graph import (
+        label_propagation_components,
+    )
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_incremental_components,
+    )
+
+    rng = random.Random(23)
+    batches = [
+        [(i, i + 1) for i in range(0, 20, 2)],            # 10 tiny comps
+        [(i, i + 1) for i in range(1, 15, 4)],            # merge neighbors
+        [(100, 101), (101, 102), (3, 100)],               # new nodes + link
+    ]
+    rng.shuffle(batches[1])
+    src = tmp_path / "edges_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "src int, dst int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("src int, dst int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    labels_dir = str(tmp_path / "labels")
+    q = stream_incremental_components(
+        stream, labels_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    assert os.path.exists(os.path.join(labels_dir, "_SUCCESS"))
+    got = {
+        r.node: r.root for r in spark.read.parquet(labels_dir).collect()
+    }
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], "src int, dst int"
+    )
+    want = {
+        r.node: r.root
+        for r in label_propagation_components(all_edges).collect()
+    }
+    assert got == want

@@ -87,7 +87,9 @@ DRIVER_WINDOW: list[str] = [
     # dedup / multimodal / text families
     "dd_contamination",
     "mm_av_metadata",
-    "ta_bpe_roundtrip_check",
+    # fully-oracled STREAMING row (cross-batch incremental CC protocol);
+    # BPE keeps its pure-python equivalence pytests + full-harness row
+    "st_incremental_cc",
     # round-3 new families: source / quality / pipeline / KG interchange+query
     "wa_warc_roundtrip",
     "ta_lm_quality",

@@ -64,13 +64,20 @@ def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     distinct: bool = True,
+    optional: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; one output column per variable.
 
     ``patterns`` terms starting with ``?`` are variables; anything else is
     matched as a constant.  ``distinct=True`` gives SPARQL
     ``SELECT DISTINCT`` semantics (set of bindings) — the deterministic
-    choice for oracle comparison; ``False`` keeps bag semantics."""
+    choice for oracle comparison; ``False`` keeps bag semantics.
+
+    ``optional`` templates are SPARQL OPTIONAL groups (one template each,
+    applied in order after the required pattern): a LEFT join on the
+    shared variables — unmatched rows keep NULL for the optional-only
+    variables.  Each must share >=1 variable with what is already bound
+    (a disconnected OPTIONAL would be a hidden cross join; refuse it)."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
     compiled = [_compile_template(triples, p) for p in patterns]
@@ -90,5 +97,15 @@ def bgp_match(
         df, vs = compiled[pick]
         shared = sorted(vs & bound)
         out = out.join(df, on=shared) if shared else out.crossJoin(df)
+        bound |= vs
+    for pat in optional or []:
+        df, vs = _compile_template(triples, pat)
+        shared = sorted(vs & bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} shares no variable with the "
+                "required pattern"
+            )
+        out = out.join(df, on=shared, how="left")
         bound |= vs
     return out.distinct() if distinct else out

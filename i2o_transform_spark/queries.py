@@ -8466,3 +8466,57 @@ def st_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(labels_dir).select(
         "node", F.col("root").cast("long").alias("root")
     )
+
+
+@query(
+    "kg_bgp_optional",
+    oracle="""
+    SELECT DISTINCT
+           'O:' || CAST(o_orderkey AS VARCHAR) AS o,
+           'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           CASE WHEN c_custkey % 13 <> 0 THEN c_mktsegment END AS s
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderpriority = '1-URGENT' AND c_nationkey = 7
+    """,
+)
+def kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the triples frame (operators/bgp.bgp_match
+    ``optional=``): urgent orders of nation-7 customers, with the
+    customer's segment bound OPTIONALLY — segment triples exist only for
+    customers not divisible by 13, so matched rows carry the segment and
+    the rest carry NULL (a real left-join outcome, not a degenerate
+    always-matched optional).  Compiles to a LEFT equi-join after the
+    required join tree; a disconnected OPTIONAL is refused rather than
+    silently cross-joined.  Oracle: plain LEFT-JOIN-equivalent CASE off
+    the base tables."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        od.select(tag("O:", "o_orderkey").alias("subj"),
+                  F.lit("placedBy").alias("pred"),
+                  tag("C:", "o_custkey").alias("obj"))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("priority").alias("pred"),
+                               F.col("o_orderpriority").alias("obj")))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("inNation").alias("pred"),
+                               tag("N:", "c_nationkey").alias("obj")))
+        .unionByName(
+            cu.where(F.col("c_custkey") % 13 != 0)
+            .select(tag("C:", "c_custkey").alias("subj"),
+                    F.lit("mktsegment").alias("pred"),
+                    F.col("c_mktsegment").alias("obj")))
+    )
+    return bgp_match(
+        triples,
+        [
+            ("?o", "placedBy", "?c"),
+            ("?o", "priority", "1-URGENT"),
+            ("?c", "inNation", "N:7"),
+        ],
+        optional=[("?c", "mktsegment", "?s")],
+    )

@@ -86,3 +86,33 @@ def test_connected_pattern_has_no_cartesian(triples):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_bgp_optional_binds_or_nulls(spark):
+    import pytest
+
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    triples = spark.createDataFrame(
+        [
+            ("o1", "placedBy", "c1"), ("o2", "placedBy", "c2"),
+            ("c1", "segment", "AUTO"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.o, r.c, r.s)
+        for r in bgp_match(
+            triples,
+            [("?o", "placedBy", "?c")],
+            optional=[("?c", "segment", "?s")],
+        ).collect()
+    }
+    assert got == {("o1", "c1", "AUTO"), ("o2", "c2", None)}
+    # a disconnected OPTIONAL is refused, never a hidden cross join
+    with pytest.raises(ValueError):
+        bgp_match(
+            triples,
+            [("?o", "placedBy", "?c")],
+            optional=[("?x", "segment", "?y")],
+        )

@@ -65,6 +65,7 @@ def bgp_match(
     patterns: list[tuple[str, str, str]],
     distinct: bool = True,
     optional: list[tuple[str, str, str]] | None = None,
+    minus: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; one output column per variable.
 
@@ -77,7 +78,12 @@ def bgp_match(
     applied in order after the required pattern): a LEFT join on the
     shared variables — unmatched rows keep NULL for the optional-only
     variables.  Each must share >=1 variable with what is already bound
-    (a disconnected OPTIONAL would be a hidden cross join; refuse it)."""
+    (a disconnected OPTIONAL would be a hidden cross join; refuse it).
+
+    ``minus`` templates are SPARQL MINUS / FILTER NOT EXISTS groups:
+    solutions with a matching binding are REMOVED — a LEFT ANTI join on
+    the shared variables (same connectivity rule).  Applied after the
+    required pattern and before ``optional``."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
     compiled = [_compile_template(triples, p) for p in patterns]
@@ -98,6 +104,16 @@ def bgp_match(
         shared = sorted(vs & bound)
         out = out.join(df, on=shared) if shared else out.crossJoin(df)
         bound |= vs
+    for pat in minus or []:
+        df, vs = _compile_template(triples, pat)
+        shared = sorted(vs & bound)
+        if not shared:
+            raise ValueError(
+                f"MINUS pattern {pat!r} shares no variable with the "
+                "required pattern"
+            )
+        out = out.join(df.select(*shared).distinct(), on=shared,
+                       how="left_anti")
     for pat in optional or []:
         df, vs = _compile_template(triples, pat)
         shared = sorted(vs & bound)

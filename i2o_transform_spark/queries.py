@@ -8520,3 +8520,44 @@ def kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         optional=[("?c", "mktsegment", "?s")],
     )
+
+
+@query(
+    "kg_bgp_minus",
+    oracle="""
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM customer
+    WHERE c_nationkey = 7
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS / FILTER NOT EXISTS (operators/bgp.bgp_match
+    ``minus=``): nation-7 customers with NO urgent order — the
+    negation-as-anti-join the reference writes as NOT EXISTS subqueries
+    (MSSQL/OMOPLoader.sql anti-join cascades).  The removal side is
+    deduped to the shared variables before the anti-join (no fan-out),
+    and a disconnected MINUS is refused.  Oracle: NOT EXISTS off the base
+    tables."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(
+            od.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(tag("C:", "o_custkey").alias("subj"),
+                    F.lit("hasUrgent").alias("pred"),
+                    tag("O:", "o_orderkey").alias("obj")))
+    )
+    return bgp_match(
+        triples,
+        [("?c", "inNation", "N:7")],
+        minus=[("?c", "hasUrgent", "?x")],
+    )

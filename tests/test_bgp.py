@@ -116,3 +116,29 @@ def test_bgp_optional_binds_or_nulls(spark):
             [("?o", "placedBy", "?c")],
             optional=[("?x", "segment", "?y")],
         )
+
+
+def test_bgp_minus_removes_matched_solutions(spark):
+    import pytest
+
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", "inNation", "N:7"), ("c2", "inNation", "N:7"),
+            ("c1", "flagged", "x1"), ("c1", "flagged", "x2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r.c
+        for r in bgp_match(
+            triples,
+            [("?c", "inNation", "N:7")],
+            minus=[("?c", "flagged", "?x")],
+        ).collect()
+    }
+    assert got == {"c2"}  # c1 removed ONCE despite two flag matches
+    with pytest.raises(ValueError):
+        bgp_match(triples, [("?c", "inNation", "N:7")],
+                  minus=[("?a", "flagged", "?b")])

@@ -8561,3 +8561,56 @@ def kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("?c", "inNation", "N:7")],
         minus=[("?c", "hasUrgent", "?x")],
     )
+
+
+@query(
+    "kg_stats_catalog",
+    oracle="""
+    WITH t(subj, pred, obj) AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'placedBy',
+             'C:' || CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'priority',
+             o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+    )
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+           CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+    FROM t GROUP BY pred
+    """,
+)
+def kg_stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP planner statistics catalog (operators/bgp.analyze_triples):
+    per-predicate triple count + distinct subject/object cardinalities —
+    what cost-based template ordering consumes (bgp_match ``stats=``,
+    plan tested in tests/test_bgp.py).  The reference's analogue is the
+    DBMS's own table statistics its hand-ordered joins implicitly rely
+    on; a triple store must collect them per predicate because predicate
+    sizes differ by orders of magnitude."""
+    from i2o_transform_spark.operators.bgp import analyze_triples
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("placedBy").alias("pred"),
+                               tag("C:", "o_custkey").alias("obj")))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("priority").alias("pred"),
+                               F.col("o_orderpriority").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("locatedIn").alias("pred"),
+                               tag("R:", "n_regionkey").alias("obj")))
+    )
+    return analyze_triples(triples)

@@ -142,3 +142,40 @@ def test_bgp_minus_removes_matched_solutions(spark):
     with pytest.raises(ValueError):
         bgp_match(triples, [("?c", "inNation", "N:7")],
                   minus=[("?a", "flagged", "?b")])
+
+
+def test_plan_order_cost_based_vs_constants(spark):
+    from i2o_transform_spark.operators.bgp import plan_order
+
+    patterns = [
+        ("?o", "placedBy", "?c"),      # 0: huge predicate
+        ("?c", "inNation", "N:7"),     # 1: small predicate + a constant
+        ("?o", "priority", "?p"),      # 2: huge predicate
+    ]
+    # without stats: most constants first -> template 1 seeds either way
+    assert plan_order(patterns)[0] == 1
+    # with stats: the tiny predicate seeds even WITHOUT its constant
+    stats = {"placedBy": 1_000_000, "inNation": 100, "priority": 1_000_000}
+    no_const = [("?o", "placedBy", "?c"), ("?c", "inNation", "?n"),
+                ("?o", "priority", "?p")]
+    assert plan_order(no_const, stats)[0] == 1
+    # connectivity still wins over raw cost: after seeding with 1, the
+    # next pick must share ?c or ?n -> template 0 (placedBy), NOT 2
+    assert plan_order(no_const, stats) == [1, 0, 2]
+
+
+def test_bgp_match_stats_same_answer(spark):
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    triples = spark.createDataFrame(
+        [("o1", "placedBy", "c1"), ("c1", "inNation", "N:7"),
+         ("o2", "placedBy", "c2"), ("c2", "inNation", "N:8")],
+        "subj string, pred string, obj string",
+    )
+    pats = [("?o", "placedBy", "?c"), ("?c", "inNation", "N:7")]
+    # column ORDER is join-order-dependent; bindings must not be
+    a = {(r["o"], r["c"]) for r in bgp_match(triples, pats).collect()}
+    b = {(r["o"], r["c"]) for r in bgp_match(
+        triples, pats, stats={"placedBy": 2, "inNation": 2}
+    ).collect()}
+    assert a == b == {("o1", "c1")}

@@ -8614,3 +8614,67 @@ def kg_stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                                tag("R:", "n_regionkey").alias("obj")))
     )
     return analyze_triples(triples)
+
+
+@query(
+    "nt_parse_permissive",
+    oracle=f"""
+    WITH t AS ({_NT_TRIPLES_SQL}),
+    lines AS (
+      SELECT '<' || subj || '> <' || pred || '> ' ||
+             CASE WHEN obj_is_iri THEN '<' || obj || '>'
+                  ELSE '"' || replace(replace(replace(replace(replace(
+                       replace(replace(obj,
+                       chr(92), chr(92)||chr(92)),
+                       chr(34), chr(92)||chr(34)),
+                       chr(10), chr(92)||'n'),
+                       chr(13), chr(92)||'r'),
+                       chr(9),  chr(92)||'t'),
+                       chr(8),  chr(92)||'b'),
+                       chr(12), chr(92)||'f') || '"'
+             END || ' .' AS line
+      FROM t
+      UNION ALL
+      SELECT '<http://ex.org/broken/' || CAST(n_nationkey AS VARCHAR) ||
+             '> missing-angle-pred "x" .'
+      FROM nation WHERE n_nationkey % 4 = 0
+    )
+    SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+           CAST(COUNT(DISTINCT CASE WHEN NOT ok THEN line END) AS BIGINT)
+             AS n_bad_distinct
+    FROM (SELECT line, line LIKE '<%> <%> % .' AS ok FROM lines) z
+    """,
+)
+def nt_parse_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG source robustness: PERMISSIVE N-Triples ingest
+    (sources/ntriples.parse_ntriples_lines mode='PERMISSIVE') — planted
+    malformed lines (unbracketed predicate) land in the ``_corrupt_line``
+    quarantine with NULL parse columns while every well-formed line still
+    parses; the query reports ok/bad/distinct-bad counts.  At crawl scale
+    this is the difference between quarantining junk and dying at line
+    10^11 (FAILFAST stays the default and is separately raise-tested).
+    The oracle re-derives the counts from the wire format with a LIKE
+    well-formedness predicate — it never runs the parser."""
+    from i2o_transform_spark.sources.ntriples import (
+        parse_ntriples_lines,
+        to_ntriples_lines,
+    )
+
+    na = _t(spark, sf_dir, "nation")
+    good = to_ntriples_lines(_nt_triples(spark, sf_dir),
+                             obj_is_iri="obj_is_iri")
+    bad = na.where(F.col("n_nationkey") % 4 == 0).select(
+        F.concat(
+            F.lit("<http://ex.org/broken/"),
+            F.col("n_nationkey").cast("string"),
+            F.lit('> missing-angle-pred "x" .'),
+        ).alias("line")
+    )
+    parsed = parse_ntriples_lines(good.unionByName(bad), mode="PERMISSIVE")
+    return parsed.agg(
+        F.sum(F.col("_corrupt_line").isNull().cast("long")).alias("n_ok"),
+        F.sum(F.col("_corrupt_line").isNotNull().cast("long")).alias("n_bad"),
+        F.countDistinct("_corrupt_line").cast("long")
+        .alias("n_bad_distinct"),
+    )

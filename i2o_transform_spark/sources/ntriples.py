@@ -122,15 +122,47 @@ _LINE_RE = (
 )
 
 
-def parse_ntriples_lines(lines: DataFrame, col: str = "line") -> DataFrame:
+def parse_ntriples_lines(
+    lines: DataFrame, col: str = "line", mode: str = "FAILFAST"
+) -> DataFrame:
     """Parse N-Triples lines -> (subj, pred, obj, obj_is_iri).
 
-    Malformed lines (no grammar match) raise, so silent data loss is
-    impossible; comment/blank lines are dropped first per spec."""
+    ``mode`` mirrors Spark's datasource semantics:
+
+    * ``FAILFAST`` (default) — a malformed line (no grammar match) raises,
+      so silent data loss is impossible;
+    * ``PERMISSIVE`` — malformed lines are emitted with NULL parse columns
+      and the offending raw text in ``_corrupt_line`` (well-formed rows
+      carry NULL there), so a 10^12-line crawl ingest routes junk to a
+      quarantine (``WHERE _corrupt_line IS NOT NULL``) instead of dying
+      at line 10^11.  Same single anchored-regex pass either way.
+
+    Comment/blank lines are dropped first per spec."""
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
     data = lines.where(
         ~F.col(col).rlike(r"^\s*(#|$)")
     )
     m = lambda g: F.regexp_extract(F.col(col), _LINE_RE, g)  # noqa: E731
+    if mode == "PERMISSIVE":
+        ok = F.col(col).rlike(_LINE_RE)
+        parsed = data.select(
+            F.when(ok, m(1)).alias("subj"),
+            F.when(ok, m(2)).alias("pred"),
+            F.when(ok, m(3)).alias("_obj_iri"),
+            F.when(ok, m(4)).alias("_obj_lit"),
+            F.when(~ok, F.col(col)).alias("_corrupt_line"),
+        )
+        is_iri = parsed["_obj_iri"] != ""
+        return parsed.select(
+            "subj",
+            "pred",
+            F.when(is_iri, F.col("_obj_iri"))
+            .otherwise(unescape_literal(F.col("_obj_lit")))
+            .alias("obj"),
+            F.when(F.col("subj").isNotNull(), is_iri).alias("obj_is_iri"),
+            "_corrupt_line",
+        )
     parsed = data.select(
         F.when(
             F.col(col).rlike(_LINE_RE), m(1)

@@ -102,3 +102,32 @@ def test_serialization_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_permissive_mode_quarantines_and_failfast_raises(spark):
+    import pytest
+
+    from i2o_transform_spark.sources.ntriples import parse_ntriples_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("<http://a> <http://p> <http://b> .",),
+            ("<http://a> <http://p> \"lit\\tx\" .",),
+            ("garbage line",),
+            ("# comment survives as a drop, not a corrupt row",),
+        ],
+        "line string",
+    )
+    out = parse_ntriples_lines(lines, mode="PERMISSIVE").collect()
+    good = [r for r in out if r._corrupt_line is None]
+    bad = [r for r in out if r._corrupt_line is not None]
+    assert {(r.subj, r.obj, r.obj_is_iri) for r in good} == {
+        ("http://a", "http://b", True),
+        ("http://a", "lit\tx", False),
+    }
+    assert [r._corrupt_line for r in bad] == ["garbage line"]
+    assert bad[0].subj is None and bad[0].obj_is_iri is None
+    with pytest.raises(Exception, match="malformed N-Triples"):
+        parse_ntriples_lines(lines, mode="FAILFAST").collect()
+    with pytest.raises(ValueError, match="mode"):
+        parse_ntriples_lines(lines, mode="DROPMALFORMED")

@@ -8678,3 +8678,78 @@ def nt_parse_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("_corrupt_line").cast("long")
         .alias("n_bad_distinct"),
     )
+
+
+def _reified_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string"))
+        .alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string"))
+        .alias("obj"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.col("l_linenumber").cast("long").alias("line"),
+    )
+
+
+@query(
+    "kg_reify_statements",
+    oracle="""
+    WITH a AS (
+      SELECT 'O:' || CAST(l_orderkey AS VARCHAR) AS s, 'contains' AS p,
+             'P:' || CAST(l_partkey AS VARCHAR) AS o,
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS quantity,
+             CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR) AS line
+      FROM lineitem
+    ),
+    sid AS (
+      SELECT md5(s || chr(31) || p || chr(31) || o) AS stmt, * FROM a
+    )
+    SELECT DISTINCT stmt AS subj, 'rdf:subject' AS pred, s AS obj FROM sid
+    UNION
+    SELECT DISTINCT stmt, 'rdf:predicate', p FROM sid
+    UNION
+    SELECT DISTINCT stmt, 'rdf:object', o FROM sid
+    UNION
+    SELECT DISTINCT stmt, 'quantity', quantity FROM sid
+    UNION
+    SELECT DISTINCT stmt, 'line', line FROM sid
+    """,
+)
+def kg_reify_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualified assertions as first-class statement nodes
+    (operators/reify.reify) — the triple-store form of the reference's
+    modifier columns (MSSQL/OMOPLoader.sql modifier joins): every
+    (order, contains, part) assertion is minted a CONTENT-ADDRESSED
+    statement id (md5 over an escape-free-separator concat) carrying
+    quantity/line qualifiers.  Repeated (O, P) pairs across linenumbers
+    collapse to ONE statement that accumulates both qualifier values —
+    RDF reification semantics, exercised by construction.  Pure map +
+    explode, zero shuffle before the set dedup; the oracle re-mints every
+    id and triple."""
+    from i2o_transform_spark.operators.reify import reify
+
+    return reify(_reified_lineitems(spark, sf_dir), ["quantity", "line"])
+
+
+@query(
+    "kg_dereify_roundtrip",
+    oracle="""
+    SELECT DISTINCT 'O:' || CAST(l_orderkey AS VARCHAR) AS subj,
+           'contains' AS pred,
+           'P:' || CAST(l_partkey AS VARCHAR) AS obj
+    FROM lineitem
+    """,
+)
+def kg_dereify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reify -> dereify must recover exactly the distinct base
+    assertions (operators/reify.dereify: one statement-id aggregation
+    rebuilding (subj, pred, obj) from the rdf:subject/predicate/object
+    core triples, malformed statements dropped).  The oracle predicts the
+    set straight from lineitem — a matched mint/recover bug cannot cancel
+    because kg_reify_statements pins the intermediate wire triples."""
+    from i2o_transform_spark.operators.reify import dereify, reify
+
+    stmts = reify(_reified_lineitems(spark, sf_dir), ["quantity", "line"])
+    return dereify(stmts)

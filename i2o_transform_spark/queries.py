@@ -8753,3 +8753,64 @@ def kg_dereify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stmts = reify(_reified_lineitems(spark, sf_dir), ["quantity", "line"])
     return dereify(stmts)
+
+
+@query(
+    "kg_harmonic_closeness",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS src,
+             'R:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+      UNION
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR),
+             'N:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION
+      SELECT 'R:' || CAST(r_regionkey AS VARCHAR),
+             'R:' || CAST((r_regionkey + 1) % 5 AS VARCHAR) FROM region
+    ),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    walk(origin, node, dist) AS (
+      SELECT n, n, 0 FROM nodes
+      UNION
+      SELECT w.origin, e.dst, w.dist + 1
+      FROM walk w JOIN e ON w.node = e.src
+      WHERE w.dist < 3
+    ),
+    best AS (
+      SELECT origin, node, MIN(dist) AS d FROM walk
+      GROUP BY origin, node
+    )
+    SELECT origin AS node,
+           CAST(SUM(1000000 // d) AS BIGINT) AS closeness_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM best WHERE d > 0 GROUP BY origin
+    """,
+)
+def kg_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality: 3-hop truncated harmonic closeness
+    (operators/graph.harmonic_closeness) — integer-scaled sum(1/d) over
+    the bounded out-neighborhood, the web-computable closeness variant
+    (exact closeness needs all-pairs).  Graph: customers -> nations ->
+    regions plus a planted region 5-cycle, so distances 1-3 all occur and
+    the BFS min-dist logic (a region reached at hop 2 AND 3 counts once
+    at 2) is value-checked.  Oracle: recursive CTE enumerating bounded
+    walks with per-pair MIN — walk-based, vs the operator's
+    visited-set frontier; derivations share nothing."""
+    from i2o_transform_spark.operators.graph import harmonic_closeness
+
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    re = _t(spark, sf_dir, "region")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        na.select(tag("N:", "n_nationkey").alias("src"),
+                  tag("R:", "n_regionkey").alias("dst"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("src"),
+                               tag("N:", "c_nationkey").alias("dst")))
+        .unionByName(re.select(
+            tag("R:", "r_regionkey").alias("src"),
+            F.concat(F.lit("R:"),
+                     ((F.col("r_regionkey") + 1) % 5).cast("string"))
+            .alias("dst")))
+    )
+    return harmonic_closeness(edges, max_hops=3)

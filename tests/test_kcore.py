@@ -45,3 +45,32 @@ def test_kcore_matches_networkx_style_bruteforce(spark):
         alive -= drop
     edges = spark.createDataFrame(edge_list, "src int, dst int")
     assert {r.node for r in k_core(edges, k=k).collect()} == alive
+
+
+def test_harmonic_closeness_path_graph(spark):
+    from i2o_transform_spark.operators.graph import harmonic_closeness
+
+    # directed path a->b->c->d->e ; 3-hop truncation
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r.node: (r.closeness_scaled, r.n_reached)
+           for r in harmonic_closeness(edges, max_hops=3).collect()}
+    # a reaches b@1, c@2, d@3 (e is 4 hops: truncated)
+    assert got["a"] == (1_000_000 + 500_000 + 333_333, 3)
+    assert got["d"] == (1_000_000, 1)
+    assert "e" not in got  # no out-edges -> reaches nothing
+
+
+def test_harmonic_closeness_min_dist_on_diamond(spark):
+    from i2o_transform_spark.operators.graph import harmonic_closeness
+
+    # a->b->d and a->c->d and a->d: d reached at dist 1, 2, 2 -> counts at 1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: (r.closeness_scaled, r.n_reached)
+           for r in harmonic_closeness(edges, max_hops=3).collect()}
+    assert got["a"] == (3_000_000, 3)  # b, c, d all at distance 1

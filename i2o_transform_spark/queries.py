@@ -8814,3 +8814,76 @@ def kg_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dst")))
     )
     return harmonic_closeness(edges, max_hops=3)
+
+
+def _pg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation nodes with an escape-hostile name prop (tab, quote,
+    backslash) so the JSON escape chain is exercised on every row."""
+    na = _t(spark, sf_dir, "nation")
+    return na.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string"))
+        .alias("id"),
+        F.lit("Nation").alias("label"),
+        F.concat(F.col("n_name"), F.lit('\t"\\'),
+                 F.reverse(F.col("n_name"))).alias("name"),
+        F.col("n_regionkey").cast("string").alias("region"),
+    )
+
+
+_PG_NODES_SQL = r"""
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS id,
+             'Nation' AS label,
+             n_name || chr(9) || chr(34) || chr(92) || reverse(n_name)
+               AS name,
+             CAST(n_regionkey AS VARCHAR) AS region
+      FROM nation
+"""
+
+
+@query(
+    "pg_serialize",
+    oracle=f"""
+    WITH n AS ({_PG_NODES_SQL})
+    SELECT '{{"id":"' || id || '","label":"' || label ||
+           '","props":{{"name":"' ||
+           replace(replace(replace(replace(replace(name,
+             chr(92), chr(92)||chr(92)),
+             chr(34), chr(92)||chr(34)),
+             chr(9),  chr(92)||'t'),
+             chr(10), chr(92)||'n'),
+             chr(13), chr(92)||'r') ||
+           '","region":"' || region || '"}}}}' AS line
+    FROM n
+    """,
+)
+def pg_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph sink: nodes serialized to JSONL wire bytes
+    (sources/propgraph.to_node_lines) — the bulk-import format of
+    property-graph stores, the labeled twin of nt_serialize.  Every row
+    carries a planted tab/quote/backslash in its name prop; the oracle
+    re-derives the exact line bytes with an independent replace chain, so
+    the escape order itself is value-hashed.  Pure map, zero shuffle."""
+    from i2o_transform_spark.sources.propgraph import to_node_lines
+
+    return to_node_lines(_pg_nodes(spark, sf_dir),
+                         prop_cols=["name", "region"])
+
+
+@query(
+    "pg_roundtrip",
+    oracle=f"SELECT id, label, name, region FROM ({_PG_NODES_SQL}) t",
+)
+def pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph source: serialize-then-parse must reproduce the
+    ORIGINAL node values bit-exactly (sources/propgraph.parse_node_lines
+    — a real JSON parser, so a matched writer/parser escaping bug cannot
+    cancel while pg_serialize pins the wire bytes).  The oracle predicts
+    the values straight from the base table."""
+    from i2o_transform_spark.sources.propgraph import (
+        parse_node_lines,
+        to_node_lines,
+    )
+
+    lines = to_node_lines(_pg_nodes(spark, sf_dir),
+                          prop_cols=["name", "region"])
+    return parse_node_lines(lines, prop_cols=["name", "region"])

@@ -269,8 +269,16 @@ def main() -> None:
     for title, plan, note in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+    plans_path = os.path.join(root, "PLANS.md")
+    # preserve hand-audited sections below the marker across regenerations
+    marker = "## Session-B KG operators"
+    tail = ""
+    if os.path.exists(plans_path):
+        cur = open(plans_path).read()
+        if marker in cur:
+            tail = "\n" + cur[cur.index(marker) - 3:]
+    with open(plans_path, "w") as f:
+        f.write("\n".join(out) + tail)
     print("WROTE PLANS.md; KG exchanges:", n_ex)
     spark.stop()
 

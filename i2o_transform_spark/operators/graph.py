@@ -901,3 +901,75 @@ def harmonic_closeness(
             F.count(F.lit(1)).cast("long").alias("n_reached"),
         )
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient — the
+    node-level density signal (boilerplate/link-farm neighborhoods score
+    near 1, organic citation structure much lower), complementing the
+    global :func:`triangle_count`.
+
+    Same degree-ordered orientation as triangle_count (wedge fan-out
+    bounded O(sqrt(E)) on hubs), but the closing join KEEPS the triangle
+    rows, explodes each into its 3 member nodes, and re-aggregates — one
+    extra exchange over the global count.  Coefficient is integer ppm
+    ``2*T*1e6 div (d*(d-1))`` over nodes with degree >= 2 (exact
+    arithmetic both engines).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a")
+                 .withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b")
+              .withColumnRenamed("d", "db"), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least(wedges.x, wedges.y) == closing.x)
+        & (F.greatest(wedges.x, wedges.y) == closing.y),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.col("d").cast("long").alias("degree"),
+            F.expr(
+                "coalesce(t, 0) * 2000000 div (d * (d - 1))"
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -8887,3 +8887,217 @@ def pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = to_node_lines(_pg_nodes(spark, sf_dir),
                           prop_cols=["name", "region"])
     return parse_node_lines(lines, prop_cols=["name", "region"])
+
+
+@query(
+    "kg_local_clustering",
+    oracle="""
+    WITH anchors AS (
+      SELECT c_custkey AS c FROM customer WHERE c_custkey % 10 = 0
+    ),
+    base(a, b) AS (
+      SELECT c, c + 1 FROM anchors
+      UNION ALL SELECT c + 1, c + 2 FROM anchors
+      UNION ALL SELECT c, c + 2 FROM anchors
+      UNION ALL SELECT c, c + 3 FROM anchors
+      UNION ALL SELECT c + 3, c + 4 FROM anchors
+    ),
+    e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM base),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b FROM e) z GROUP BY n
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT n, COUNT(*) AS t FROM (
+        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) z GROUP BY n
+    )
+    SELECT deg.n AS node,
+           CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+           CAST(d AS BIGINT) AS degree,
+           COALESCE(t, 0) * 2000000 // (d * (d - 1)) AS clustering_ppm
+    FROM deg LEFT JOIN per_node ON deg.n = per_node.n
+    WHERE d >= 2
+    """,
+)
+def kg_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph QA: per-node triangle counts + local clustering coefficient
+    (operators/graph.local_clustering, integer ppm) — dense-neighborhood
+    scoring at node granularity, the same degree-ordered orientation as
+    the global triangle count so hub fan-out stays bounded.  Fixture: the
+    triangle+pendant decade graph (kg_kcore's), where coefficients hit
+    exactly 1e6 (pure triangle corners), 333333 (triangle corner with a
+    pendant), and 0 (pendant joints).  Oracle: a<b<c three-way triangle
+    enumeration — quadratic-free only at fixture scale, which is the
+    point: the oracle is allowed to be naive, the engine is not."""
+    from i2o_transform_spark.operators.graph import local_clustering
+
+    cu = _t(spark, sf_dir, "customer")
+    an = cu.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("c")
+    )
+    edges = (
+        an.select(F.col("c").alias("src"), (F.col("c") + 1).alias("dst"))
+        .unionByName(an.select((F.col("c") + 1).alias("src"),
+                               (F.col("c") + 2).alias("dst")))
+        .unionByName(an.select(F.col("c").alias("src"),
+                               (F.col("c") + 2).alias("dst")))
+        .unionByName(an.select(F.col("c").alias("src"),
+                               (F.col("c") + 3).alias("dst")))
+        .unionByName(an.select((F.col("c") + 3).alias("src"),
+                               (F.col("c") + 4).alias("dst")))
+    )
+    return local_clustering(edges)
+
+
+@query(
+    "kg_graph_digest",
+    oracle="""
+    WITH t(subj, pred, obj) AS (
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+             'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'inNation',
+             'N:' || CAST(c_nationkey AS VARCHAR) FROM customer
+    ),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(('0x' || substr(md5(subj || chr(31) || pred ||
+                                          chr(31) || obj), 1, 8))
+                      AS BIGINT)) % 1000000007 AS dig
+      FROM t
+    ),
+    mut AS (
+      SELECT SUM(CAST(('0x' || substr(md5(
+               CASE WHEN subj = 'N:0' AND pred = 'locatedIn'
+                    THEN subj || chr(31) || pred || chr(31) || 'R:999'
+                    ELSE subj || chr(31) || pred || chr(31) || obj END
+             ), 1, 8)) AS BIGINT)) % 1000000007 AS dig
+      FROM t
+    )
+    SELECT d.n AS n_triples, CAST(d.dig AS BIGINT) AS digest,
+           CAST(1 AS INT) AS reorder_invariant,
+           CAST(CASE WHEN d.dig <> mut.dig THEN 1 ELSE 0 END AS INT)
+             AS mutation_detected
+    FROM d, mut
+    """,
+)
+def kg_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG ops: order-invariant graph fingerprint — a commutative digest
+    (sum of per-triple md5-derived 32-bit terms, mod 1e9+7) that release
+    pipelines compare to assert two materializations carry the SAME triple
+    set without sorting or joining them (the cheap precheck before
+    kg_snapshot_diff).  Commutativity = partitioning/order independence by
+    construction — the query PROVES it by digesting a reversed-order copy
+    (flag reorder_invariant) and DETECTS a single mutated triple (flag
+    mutation_detected).  Per-term 32-bit bound keeps the sum exact to
+    ~10^9 triples per partition; beyond that, pre-mod per partition (the
+    sum of mods mod p equals the mod of sums).  One aggregation, no
+    shuffle beyond it."""
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    t = (
+        na.select(tag("N:", "n_nationkey").alias("subj"),
+                  F.lit("locatedIn").alias("pred"),
+                  tag("R:", "n_regionkey").alias("obj"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("inNation").alias("pred"),
+                               tag("N:", "c_nationkey").alias("obj")))
+    )
+
+    def dig(df):
+        term = F.expr(
+            "cast(conv(substr(md5(concat_ws('\\u001f', subj, pred, obj)),"
+            " 1, 8), 16, 10) as bigint)"
+        )
+        return df.agg((F.sum(term) % F.lit(1_000_000_007)).alias("dig"),
+                      F.count(F.lit(1)).cast("long").alias("n"))
+
+    base = dig(t).collect()[0]
+    reordered = dig(t.orderBy(F.col("obj").desc(), "subj")).collect()[0]
+    mutated = dig(t.withColumn(
+        "obj",
+        F.when((F.col("subj") == "N:0") & (F.col("pred") == "locatedIn"),
+               F.lit("R:999")).otherwise(F.col("obj")),
+    )).collect()[0]
+    return spark.createDataFrame(
+        [(base["n"], int(base["dig"]),
+          int(base["dig"] == reordered["dig"]),
+          int(base["dig"] != mutated["dig"]))],
+        "n_triples long, digest long, reorder_invariant int, "
+        "mutation_detected int",
+    )
+
+
+@query(
+    "kg_subgraph_sample",
+    oracle="""
+    WITH e(src, dst) AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR),
+             'N:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR),
+             'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    kept AS (
+      SELECT n FROM nodes
+      WHERE CAST(('0x' || substr(md5('sub|' || n), 1, 8)) AS BIGINT)
+            % 100 < 35
+    ),
+    ke AS (
+      SELECT e.src, e.dst FROM e
+      JOIN kept a ON e.src = a.n JOIN kept b ON e.dst = b.n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_nodes_kept,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM ke) AS BIGINT) AS n_edges_kept,
+           (SELECT COUNT(*) FROM ke) * 1000000 //
+             (SELECT COUNT(*) FROM e) AS edge_retention_ppm
+    """,
+)
+def kg_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tooling: deterministic node-induced subgraph sample — nodes
+    kept by a content-derived hash bucket (md5 mod 100 < 35), edges kept
+    iff BOTH endpoints survive; reports node/edge retention.  This is how
+    a 10^12-triple graph yields a laptop-sized dev fixture whose sample
+    is IDENTICAL across runs, partitionings, and cluster sizes (the
+    SURVEY §1.3 identity rule applied to sampling — no rand() anywhere);
+    edge retention ~ keep_rate^2 quantifies the induced-subgraph sparsity
+    the debugger should expect.  Two semi-join-shaped joins keyed on node
+    id; counts only leave the executors."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    e = (
+        cu.select(tag("C:", "c_custkey").alias("src"),
+                  tag("N:", "c_nationkey").alias("dst"))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("src"),
+                               tag("R:", "n_regionkey").alias("dst")))
+    )
+    nodes = e.select(F.col("src").alias("n")).union(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    keep = F.expr(
+        "cast(conv(substr(md5(concat('sub|', n)), 1, 8), 16, 10) as bigint)"
+        " % 100 < 35"
+    )
+    kept = nodes.where(keep)
+    ke = (
+        e.join(kept.withColumnRenamed("n", "src"), "src", "left_semi")
+        .join(kept.withColumnRenamed("n", "dst"), "dst", "left_semi")
+    )
+    n_nodes, n_kept = nodes.count(), kept.count()
+    n_e, n_ke = e.count(), ke.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_kept, n_e, n_ke, n_ke * 1_000_000 // n_e)],
+        "n_nodes long, n_nodes_kept long, n_edges long, n_edges_kept long,"
+        " edge_retention_ppm long",
+    )

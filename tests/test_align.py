@@ -64,3 +64,57 @@ def test_align_election_prefers_score_then_min_id(spark):
     )
     r2 = align_vocabularies(left, right2).collect()[0]
     assert (r2.right_id, r2.score_ppm) == (100, 600_000)
+
+
+def test_align_prefix_filter_lossless_vs_bruteforce_random(spark):
+    """The PPJoin positional+size-filtered candidate generation must find
+    EXACTLY the pairs a brute-force all-pairs Jaccard finds — losslessness
+    of the whole prefix pipeline on random dense vocabularies (the regime
+    where a buggy filter would silently drop pairs)."""
+    import random
+
+    rng = random.Random(97)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> dense collisions
+
+    def mk(n, base):
+        out = []
+        for i in range(n):
+            k = rng.randint(2, 6)
+            out.append((base + i, " ".join(rng.sample(vocab, k))))
+        return out
+
+    for trial in range(3):
+        lrows, rrows = mk(25, 1000 * trial), mk(25, 500000 + 1000 * trial)
+        left = spark.createDataFrame(lrows, "concept_id long, name string")
+        right = spark.createDataFrame(rrows, "concept_id long, name string")
+        got = {
+            r.left_id: (r.right_id, r.method, r.score_ppm)
+            for r in align_vocabularies(left, right).collect()
+        }
+        # brute force in python
+        def toks(s):
+            return frozenset(s.split())
+
+        def norm(s):
+            return " ".join(s.split())
+
+        want = {}
+        rn = [(rid, norm(nm)) for rid, nm in rrows]
+        for lid, lnm in lrows:
+            exact = sorted(rid for rid, nm in rn if nm == norm(lnm))
+            if exact:
+                want[lid] = (exact[0], "exact", 1_000_000)
+                continue
+            best = None
+            for rid, nm in rn:
+                a, b = toks(lnm), toks(nm)
+                i = len(a & b)
+                u = len(a | b)
+                score = i * 1_000_000 // u
+                if score >= 500_000:
+                    cand = (-score, rid)
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None:
+                want[lid] = (best[1], "fuzzy", -best[0])
+        assert got == want, f"trial {trial}"

@@ -8,6 +8,8 @@ concept_ancestor rollups are literally ``mapsTo/mapsTo`` and
 Expression AST (plain tuples, no classes — picklable and printable):
 
     ("pred", p)        edges labeled p
+    ("npred", [p...])  edges labeled anything EXCEPT the listed predicates
+                       (SPARQL negated property set  !(p1|p2))
     ("inv", e)         inverse path  (^e)
     ("seq", e1, e2)    sequence      (e1 / e2)
     ("alt", e1, e2)    alternative   (e1 | e2)
@@ -50,6 +52,12 @@ def eval_path(
     if op == "pred":
         return (
             triples.where(F.col("pred") == F.lit(expr[1]))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+    if op == "npred":
+        return (
+            triples.where(~F.col("pred").isin(list(expr[1])))
             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .distinct()
         )

@@ -63,3 +63,12 @@ def test_path_plus_on_cycle_is_bounded(spark):
 def test_star_without_nodes_raises(spark):
     with pytest.raises(ValueError):
         eval_path(_triples(spark), ("star", ("pred", "p")))
+
+
+def test_path_negated_property_set(spark):
+    t = _triples(spark)
+    got = _pairs(eval_path(t, ("npred", ["p", "q"])))
+    assert got == {("b", "x")}  # only the r edge survives
+    got2 = _pairs(eval_path(t, ("seq", ("pred", "p"), ("npred", ["p"]))))
+    # p then not-p: b -r-> x after a -p-> b; c,d have no non-p out-edges
+    assert got2 == {("a", "x")}

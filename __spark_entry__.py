@@ -23,10 +23,10 @@ rows whose families already hold multiple window representatives, then the
 session-B families (SHACL validation + shape mining, transitive closure,
 property paths, sorted-neighborhood blocking, bisimulation summary,
 incremental CC, ontology alignment, snapshot diff), so the artifact union
-after round 3 covers the large majority of the 192 registered queries with
+after round 3 covers the large majority of the 195 registered queries with
 hard driver signal.
 Everything else follows in original registration order and is verified by
-tests/run_oracle_check.py (full-registry sweep, 192 queries) instead.
+tests/run_oracle_check.py (full-registry sweep, 195 queries) instead.
 """
 
 from __future__ import annotations

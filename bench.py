@@ -172,29 +172,52 @@ def run_headline() -> None:
         sys.stderr.write(f"bandwidth control skipped: {e}\n")
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "timing": f"steady_min_of_{N_RUNS - 1}_after_1_cold",
-                "queries": timings,
-                "queries_cold": cold,
-                "queries_extra": extra,
-                "queries_spread_min_med_max": spread,
-                "bandwidth_ctrl_gib_s": bw,
-                "sf": sf,
-                "kg_pages": KG_BENCH_PAGES,
-                "kg_triples": kg["triples"],
-                "kg_pages_per_sec": kg["pages_per_sec"],
-                "kg_triples_per_sec": kg["triples_per_sec"],
-                "kg_disambig_sec": kg_dis["sec"],
-                "kg_disambig_pages_per_sec": kg_dis["pages_per_sec"],
-                "cpus": cpus,
-            }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "timing": f"steady_min_of_{N_RUNS - 1}_after_1_cold",
+        "queries": timings,
+        "queries_cold": cold,
+        "queries_extra": extra,
+        "queries_spread_min_med_max": spread,
+        "bandwidth_ctrl_gib_s": bw,
+        "sf": sf,
+        "kg_pages": KG_BENCH_PAGES,
+        "kg_triples": kg["triples"],
+        "kg_pages_per_sec": kg["pages_per_sec"],
+        "kg_triples_per_sec": kg["triples_per_sec"],
+        "kg_disambig_sec": kg_dis["sec"],
+        "kg_disambig_pages_per_sec": kg_dis["pages_per_sec"],
+        "cpus": cpus,
+    }
+    # VERDICT r03 "What's wrong #3": the r03 artifact captured only the
+    # TAIL of the (long) JSON line, so the headline fell off the front and
+    # the artifact recorded `parsed: null`.  Two-layer fix: (1) the full
+    # payload — spreads and all — is written whole to BENCH_LAST.json,
+    # which the driver can snapshot; (2) stdout gets the full line first,
+    # then a compact essentials-only line LAST (short enough that no
+    # plausible byte-cap truncates it, and last so tail-capture keeps it).
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(payload, f)
+        f.write("\n")
+    print(json.dumps(payload))
+    compact = {
+        k: payload[k]
+        for k in (
+            "metric", "value", "unit", "timing", "queries", "sf",
+            "kg_pages", "kg_triples_per_sec", "kg_pages_per_sec",
+            "kg_disambig_pages_per_sec", "cpus",
         )
-    )
+    }
+    compact["full_payload_in"] = "BENCH_LAST.json"
+    sys.stdout.flush()
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -121,6 +121,9 @@ def bgp_match(
     optional: list[tuple[str, str, str]] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
     stats: dict[str, int] | None = None,
+    values: list[dict[str, str | None]] | None = None,
+    bind: dict[str, object] | None = None,
+    filter_expr: object | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; one output column per variable.
 
@@ -143,7 +146,24 @@ def bgp_match(
     ``minus`` templates are SPARQL MINUS / FILTER NOT EXISTS groups:
     solutions with a matching binding are REMOVED — a LEFT ANTI join on
     the shared variables (same connectivity rule).  Applied after the
-    required pattern and before ``optional``."""
+    required pattern and before ``optional``.
+
+    ``values`` is a SPARQL VALUES inline binding table: a list of rows,
+    each ``{var: term}``; ``None`` is UNDEF (matches anything, binds
+    nothing).  It is always broadcast (inline data is tiny by
+    construction) and joined right after the required pattern so it
+    constrains the rest of the plan early; rows without UNDEF compile to
+    a plain equi-join on the shared variables, UNDEF rows to a
+    null-or-equal broadcast condition join.  Variables only VALUES
+    introduces extend the bindings (NULL where UNDEF).
+
+    ``bind`` is SPARQL BIND: ``{new_var: Column-or-SQL-string}`` applied
+    in insertion order AFTER optional (each expression may reference any
+    bound variable, including earlier binds).  ``filter_expr`` is a
+    SPARQL FILTER over the final bindings (Column or SQL string),
+    applied after ``bind`` so filters can reference bound variables;
+    NULL-valued predicates drop the row, matching SPARQL's
+    error-eliminates semantics for unbound/ill-typed comparisons."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
     compiled = [_compile_template(triples, p) for p in patterns]
@@ -154,6 +174,8 @@ def bgp_match(
         shared = sorted(vs & bound)
         out = out.join(df, on=shared) if shared else out.crossJoin(df)
         bound |= vs
+    if values:
+        out, bound = _apply_values(out, bound, values)
     for pat in minus or []:
         df, vs = _compile_template(triples, pat)
         shared = sorted(vs & bound)
@@ -174,4 +196,108 @@ def bgp_match(
             )
         out = out.join(df, on=shared, how="left")
         bound |= vs
+    for name, expr in (bind or {}).items():
+        if name in bound:
+            raise ValueError(f"BIND target ?{name} is already bound")
+        out = out.withColumn(
+            name, F.expr(expr) if isinstance(expr, str) else expr
+        )
+        bound.add(name)
+    if filter_expr is not None:
+        out = out.where(
+            F.expr(filter_expr)
+            if isinstance(filter_expr, str)
+            else filter_expr
+        )
     return out.distinct() if distinct else out
+
+
+def _apply_values(
+    out: DataFrame, bound: set[str], values: list[dict[str, str | None]]
+) -> tuple[DataFrame, set[str]]:
+    """Join a SPARQL VALUES block into the bindings (see bgp_match)."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    vars_ = sorted({k for row in values for k in row})
+    if not vars_:
+        raise ValueError("VALUES block binds no variables")
+    spark = out.sparkSession
+    vdf = spark.createDataFrame(
+        [tuple(row.get(v) for v in vars_) for row in values],
+        StructType([StructField(v, StringType(), True) for v in vars_]),
+    )
+    shared = sorted(set(vars_) & bound)
+    new = [v for v in vars_ if v not in bound]
+    has_undef = any(row.get(v) is None for row in values for v in shared)
+    if not shared:
+        out = out.crossJoin(F.broadcast(vdf))
+    elif not has_undef:
+        out = out.join(F.broadcast(vdf), on=shared)
+    else:
+        o, v = out.alias("_b"), vdf.alias("_v")
+        cond = reduce(
+            and_,
+            [
+                F.col(f"_v.{s}").isNull()
+                | (F.col(f"_v.{s}") == F.col(f"_b.{s}"))
+                for s in shared
+            ],
+        )
+        out = o.join(F.broadcast(v), cond).select(
+            *[F.col(f"_b.{c}") for c in out.columns],
+            *[F.col(f"_v.{c}") for c in new],
+        )
+    return out, bound | set(vars_)
+
+
+# SPARQL aggregate -> deterministic Spark expression.  SAMPLE elects min
+# (any value is spec-legal; min is reproducible), GROUP_CONCAT sorts first
+# for the same reason.
+_AGG_FNS = ("count", "count_distinct", "sum", "min", "max", "avg",
+            "sample", "group_concat")
+
+
+def bgp_aggregate(
+    bindings: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over a bindings frame (the output of
+    :func:`bgp_match`, typically with ``distinct=False`` for bag
+    semantics).  ``aggs`` maps each output column to ``(fn, var)`` with
+    fn one of COUNT / COUNT_DISTINCT / SUM / MIN / MAX / AVG / SAMPLE /
+    GROUP_CONCAT (case-insensitive); ``("count", "*")`` is COUNT(*).
+    ``COUNT(?v)`` skips NULL bindings — exactly SPARQL's unbound-skipping
+    semantics for aggregates over OPTIONAL variables.  Empty ``group_by``
+    is the single implicit group.  One hash aggregation, map-side
+    combining for every fn except COUNT_DISTINCT/GROUP_CONCAT (expand /
+    collect respectively — both still one exchange keyed on the group)."""
+    exprs = []
+    for out_name, (fn, var) in aggs.items():
+        f = fn.lower()
+        if f not in _AGG_FNS:
+            raise ValueError(f"unknown aggregate fn: {fn!r}")
+        if f == "count":
+            e = F.count(F.lit(1)) if var == "*" else F.count(var)
+            e = e.cast("long")
+        elif f == "count_distinct":
+            e = F.countDistinct(var).cast("long")
+        elif f == "sum":
+            e = F.sum(var)
+        elif f == "min":
+            e = F.min(var)
+        elif f == "max":
+            e = F.max(var)
+        elif f == "avg":
+            e = F.avg(var)
+        elif f == "sample":
+            e = F.min(var)
+        else:  # group_concat
+            e = F.array_join(F.array_sort(F.collect_list(var)), " ")
+        exprs.append(e.alias(out_name))
+    if group_by:
+        return bindings.groupBy(*group_by).agg(*exprs)
+    return bindings.agg(*exprs)

@@ -13,7 +13,7 @@ Expression AST (plain tuples, no classes — picklable and printable):
     ("inv", e)         inverse path  (^e)
     ("seq", e1, e2)    sequence      (e1 / e2)
     ("alt", e1, e2)    alternative   (e1 | e2)
-    ("plus", e)        one-or-more   (e+)   — via graph.transitive_closure
+    ("plus", e)        one-or-more   (e+)   — pairs-only reachability fixpoint
     ("star", e)        zero-or-more  (e*)   — plus ∪ identity over ``nodes``
 
 Every combinator returns a DISTINCT (src, dst) pair set — SPARQL path
@@ -24,11 +24,16 @@ also what keeps evaluation bounded: intermediate frames never exceed
 Scale shape: ``pred`` is a pushed-down filter on the predicate column —
 on a predicate-partitioned triple store each atom prunes to its own
 partitions; ``seq`` is one equi-join on the mid node; ``alt`` a union +
-hash dedup; ``plus`` delegates to the log-round semiring closure
-(operators/graph.transitive_closure) and inherits its bounds — closures
-over planet-scale predicates (e.g. ``sameAs*``) should be bounded with
-its ``max_depth``.  ``star`` needs the node universe for the identity
-pairs; pass the (deduped) node frame, not the triples.
+hash dedup; ``plus`` runs a pairs-only pointer-doubling reachability
+fixpoint (``_reach_closure``) — unlike the min/max-levels semiring
+closure in operators/graph.transitive_closure (whose level signature
+never stabilizes on cycles), the pair-set is monotone-growing and finite
+even on cyclic predicate graphs (sameAs, symmetric relations), so the
+pair-count signature alone detects the true fixpoint and cyclic inputs
+terminate early and correctly.  ``max_depth`` bounds reach to 2^rounds
+hops and is threaded through every combinator.  ``star`` needs the node
+universe for the identity pairs; pass the (deduped) node frame, not the
+triples.
 """
 
 from __future__ import annotations
@@ -39,15 +44,47 @@ from pyspark.sql import functions as F
 PathExpr = tuple
 
 
+def _reach_closure(pairs: DataFrame, max_depth: int) -> DataFrame:
+    """Distinct reachability closure of a (src, dst) pair set by matrix
+    squaring: round k covers every path of length <= 2^k, so
+    ceil(log2(max_depth)) shuffles reach depth ``max_depth``.  Fixpoint
+    detection is the pair COUNT alone — the set only grows and is bounded
+    by |V|^2, so count equality is a true fixpoint; this holds on cyclic
+    graphs where any path-length signature would keep rising forever.
+    Each round is localCheckpoint-ed eagerly so round r never replays
+    rounds 0..r-1 (same discipline as graph.transitive_closure)."""
+    c = pairs.select("src", "dst").distinct().localCheckpoint(eager=True)
+    n = c.count()
+    rounds = 0
+    while (1 << rounds) < max_depth:
+        rounds += 1
+        composed = (
+            c.select("src", F.col("dst").alias("_mid"))
+            .join(c.select(F.col("src").alias("_mid"), "dst"), "_mid")
+            .select("src", "dst")
+        )
+        c2 = c.union(composed).distinct().localCheckpoint(eager=True)
+        n2 = c2.count()
+        c = c2
+        if n2 == n:
+            break
+        n = n2
+    return c
+
+
 def eval_path(
     triples: DataFrame,
     expr: PathExpr,
     nodes: DataFrame | None = None,
+    max_depth: int = 64,
 ) -> DataFrame:
     """Evaluate ``expr`` against ``triples`` (subj, pred, obj); returns a
     distinct (src, dst) frame.  ``nodes`` — single-column frame of the
     node universe — is required by any ``star`` subexpression (identity
-    pairs must cover nodes with no edges)."""
+    pairs must cover nodes with no edges).  ``max_depth`` bounds the hop
+    reach of every ``plus``/``star`` subexpression (reachability beyond
+    it is truncated); raise it for deep hierarchies — rounds grow only
+    logarithmically."""
     op = expr[0]
     if op == "pred":
         return (
@@ -62,13 +99,13 @@ def eval_path(
             .distinct()
         )
     if op == "inv":
-        inner = eval_path(triples, expr[1], nodes)
+        inner = eval_path(triples, expr[1], nodes, max_depth)
         return inner.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     if op == "seq":
-        left = eval_path(triples, expr[1], nodes)
-        right = eval_path(triples, expr[2], nodes)
+        left = eval_path(triples, expr[1], nodes, max_depth)
+        right = eval_path(triples, expr[2], nodes, max_depth)
         return (
             left.join(
                 right.withColumnRenamed("src", "_mid"),
@@ -79,19 +116,13 @@ def eval_path(
         )
     if op == "alt":
         return (
-            eval_path(triples, expr[1], nodes)
-            .union(eval_path(triples, expr[2], nodes))
+            eval_path(triples, expr[1], nodes, max_depth)
+            .union(eval_path(triples, expr[2], nodes, max_depth))
             .distinct()
         )
     if op == "plus":
-        from i2o_transform_spark.operators.graph import transitive_closure
-
-        inner = eval_path(triples, expr[1], nodes)
-        return transitive_closure(
-            inner, child="src", parent="dst"
-        ).select(
-            F.col("descendant").alias("src"), F.col("ancestor").alias("dst")
-        )
+        inner = eval_path(triples, expr[1], nodes, max_depth)
+        return _reach_closure(inner, max_depth)
     if op == "star":
         if nodes is None:
             raise ValueError("star path needs the node universe")
@@ -99,7 +130,7 @@ def eval_path(
             F.col(nodes.columns[0]).alias("src"),
             F.col(nodes.columns[0]).alias("dst"),
         ).distinct()
-        return eval_path(triples, ("plus", expr[1]), nodes).union(
-            ident
-        ).distinct()
+        return eval_path(
+            triples, ("plus", expr[1]), nodes, max_depth
+        ).union(ident).distinct()
     raise ValueError(f"unknown path op: {op!r}")

@@ -7630,9 +7630,19 @@ def kg_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     some lefts elect a same-name-different-size competitor instead).
     The oracle is a BRUTE-FORCE cross join + QUALIFY election — it shares
     no candidate generation with the engine, so the prefix filter's
-    losslessness itself is value-checked."""
+    losslessness itself is value-checked.  r04: fingerprint pre-pass +
+    no-candidate-distinct + broadcast posting list (operators/align.py
+    module docstring) — same elections, ~7x faster on this dense
+    fixture."""
     from i2o_transform_spark.operators.align import align_vocabularies
 
+    left, right = _align_fixture(spark, sf_dir)
+    return align_vocabularies(left, right)
+
+
+def _align_fixture(spark: SparkSession, sf_dir: str):
+    """The kg_ontology_align left/right vocabularies, shared with the
+    recall-check companion."""
     pa = _t(spark, sf_dir, "part")
     raw = F.concat(
         F.col("p_name"), F.lit(" "), F.col("p_brand"), F.lit(" "),
@@ -7653,7 +7663,76 @@ def kg_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("name"),
     )
-    return align_vocabularies(left, right)
+    return left, right
+
+
+@query(
+    "kg_align_recall_check",
+    oracle="""
+    WITH lraw AS (
+      SELECT p_partkey AS lid,
+             p_name || ' ' || p_brand || ' ' || p_type || ' sz' ||
+             CAST(p_size AS VARCHAR) AS nm
+      FROM part
+    ),
+    rraw AS (
+      SELECT p_partkey + 500000 AS rid,
+             CASE
+               WHEN p_partkey % 3 = 0 THEN
+                 p_name || ' ' || p_brand || ' ' || p_type || ' sz' ||
+                 CAST(p_size AS VARCHAR)
+               WHEN p_partkey % 3 = 1 THEN
+                 array_to_string(list_reverse(string_split(
+                   p_name || ' ' || p_brand || ' ' || p_type || ' sz' ||
+                   CAST(p_size AS VARCHAR), ' ')), ' ')
+               ELSE p_name || ' ' || p_type || ' sz' ||
+                    CAST(p_size AS VARCHAR)
+             END AS nm
+      FROM part WHERE p_partkey % 17 <> 0
+    ),
+    ln AS (SELECT lid, trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ',
+                                           'g')) AS norm FROM lraw),
+    rn AS (SELECT rid, trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ',
+                                           'g')) AS norm FROM rraw),
+    exact AS (
+      SELECT lid FROM ln JOIN rn USING (norm) GROUP BY lid
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ln) -
+                (SELECT COUNT(*) FROM exact) AS BIGINT) AS n_fuzzy_lefts,
+           CAST(1 AS INT) AS recall_ge_095
+    """,
+)
+def kg_align_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to kg_ontology_align gating the BANDED fallback mode
+    (operators/align.align_vocabularies mode='banded' — what mode='auto'
+    switches to above its measured fan-out budget): run banded and exact
+    on the SAME fixture and demand banded reproduce >= 95% of the exact
+    path's fuzzy elections identically (left, right, score all equal).
+    n_fuzzy_lefts is recomputed independently by the oracle (lefts with
+    no exact-string match — every one gets a fuzzy election on this
+    fixture); the gate column is value-hashed, so a recall regression
+    flips the row red.  Minhash seeds are frozen, so the check is
+    deterministic.  Pattern: dd_minhash_recall_check."""
+    from i2o_transform_spark.operators.align import align_vocabularies
+
+    left, right = _align_fixture(spark, sf_dir)
+    ex = align_vocabularies(left, right, mode="exact").where(
+        F.col("method") == "fuzzy"
+    ).select("left_id", "right_id", "score_ppm")
+    bd = align_vocabularies(left, right, mode="banded").where(
+        F.col("method") == "fuzzy"
+    ).select("left_id", "right_id", "score_ppm")
+    hits = ex.join(bd, ["left_id", "right_id", "score_ppm"], "left_semi")
+    return (
+        ex.agg(F.count(F.lit(1)).alias("n_fuzzy_lefts"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            F.col("n_fuzzy_lefts").cast("long").alias("n_fuzzy_lefts"),
+            (F.col("_n_hit") * F.lit(100) >= F.lit(95) * F.col("n_fuzzy_lefts"))
+            .cast("int")
+            .alias("recall_ge_095"),
+        )
+    )
 
 
 @query(
@@ -7803,15 +7882,16 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.dt AS domain_type, b.pred,
            CAST(b.n_subjects AS BIGINT) AS n_subjects,
-           b.n_subjects * 1000000 // t2.tn AS support_ppm,
+           CAST(b.n_subjects * 1000000 // t2.tn AS BIGINT) AS support_ppm,
            CASE WHEN b.iri_total * 2 >= b.total THEN 'iri'
                 ELSE 'literal' END AS obj_kind,
-           greatest(b.iri_total, b.total - b.iri_total) * 1000000 //
-             b.total AS kind_purity_ppm,
+           CAST(greatest(b.iri_total, b.total - b.iri_total) * 1000000 //
+             b.total AS BIGINT) AS kind_purity_ppm,
            CAST(b.min_count AS BIGINT) AS min_count,
            CAST(b.max_count AS BIGINT) AS max_count,
            r.oc AS range_type,
-           r.c * 1000000 // r.ct AS range_purity_ppm
+           CAST(COALESCE(r.c * 1000000 // r.ct, -1) AS BIGINT)
+             AS range_purity_ppm
     FROM base b
     JOIN tsz t2 ON b.dt = t2.dt
     LEFT JOIN rng r ON b.dt = r.dt AND b.pred = r.pred
@@ -7830,11 +7910,19 @@ def kg_shape_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mined rows feed straight back into shacl_validate after thresholding
     — the mine -> gate loop a crawled KG needs because nobody hands it a
     schema.  Oracle: independent window-function SQL over the same
-    derivation."""
+    derivation.  Contract hygiene: ``range_purity_ppm`` uses the
+    documented sentinel -1 for 'no typed IRI object' (instead of NULL)
+    and every ppm column is BIGINT end-to-end on BOTH sides, so the
+    pandas bridge never promotes a nullable-int column to float64/NaN
+    (the round-3 hash-mismatch root cause)."""
     from i2o_transform_spark.operators.shacl import mine_shapes
 
     triples, node_types = _shacl_fixture(spark, sf_dir)
-    return mine_shapes(triples, node_types)
+    out = mine_shapes(triples, node_types)
+    return out.withColumn(
+        "range_purity_ppm",
+        F.coalesce(F.col("range_purity_ppm"), F.lit(-1)).cast("long"),
+    )
 
 
 @query(
@@ -8560,6 +8648,121 @@ def kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
         triples,
         [("?c", "inNation", "N:7")],
         minus=[("?c", "hasUrgent", "?x")],
+    )
+
+
+@query(
+    "kg_bgp_values",
+    oracle="""
+    WITH v(n, g) AS (
+      SELECT * FROM (VALUES ('N:7', 'seven'), ('N:3', 'three'),
+                            (NULL, 'any'))
+    ),
+    b AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+             'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+             c_mktsegment AS s
+      FROM customer
+    )
+    SELECT DISTINCT b.c, b.n, b.s, v.g, v.g || ':' || b.s AS tag
+    FROM b JOIN v ON v.n IS NULL OR v.n = b.n
+    WHERE b.s = 'BUILDING' OR v.g = 'seven'
+    """,
+)
+def kg_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL binding-level operations (VERDICT r03 Next #5): VALUES with
+    an UNDEF row + BIND + FILTER over the bindings
+    (operators/bgp.bgp_match ``values=``/``bind=``/``filter_expr=``).
+    The VALUES table groups nations ('seven'/'three') with a trailing
+    UNDEF row that matches EVERY nation ('any') — compiled to a broadcast
+    null-or-equal join; BIND derives tag = g:segment; FILTER keeps
+    BUILDING customers or anything in the 'seven' group (referencing a
+    VALUES-introduced variable and a pattern variable in one
+    expression).  Oracle: the same inline table joined with the identical
+    null-or-equal predicate straight off the customer table."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = cu.select(
+        tag("C:", "c_custkey").alias("subj"),
+        F.lit("inNation").alias("pred"),
+        tag("N:", "c_nationkey").alias("obj"),
+    ).unionByName(
+        cu.select(
+            tag("C:", "c_custkey").alias("subj"),
+            F.lit("mktsegment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+    )
+    return bgp_match(
+        triples,
+        [("?c", "inNation", "?n"), ("?c", "mktsegment", "?s")],
+        values=[
+            {"n": "N:7", "g": "seven"},
+            {"n": "N:3", "g": "three"},
+            {"n": None, "g": "any"},
+        ],
+        bind={"tag": "concat(g, ':', s)"},
+        filter_expr="s = 'BUILDING' or g = 'seven'",
+    )
+
+
+@query(
+    "kg_bgp_aggregate",
+    oracle="""
+    SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(CASE WHEN c_custkey % 13 <> 0
+                           THEN c_mktsegment END) AS BIGINT) AS n_seg,
+           CAST(COUNT(DISTINCT CASE WHEN c_custkey % 13 <> 0
+                                    THEN c_mktsegment END) AS BIGINT)
+             AS n_seg_kinds,
+           MIN(CASE WHEN c_custkey % 13 <> 0 THEN c_mktsegment END)
+             AS any_seg
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def kg_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY/COUNT aggregates over bindings
+    (operators/bgp.bgp_aggregate), composed with OPTIONAL: per nation,
+    COUNT(*) customers, COUNT(?s) / COUNT(DISTINCT ?s) / SAMPLE(?s) over
+    the OPTIONALLY-bound segment — segment triples exist only for
+    custkeys not divisible by 13, so the NULL bindings of the left join
+    must be SKIPPED by COUNT(?s) (SPARQL unbound-skipping) while COUNT(*)
+    still counts the row.  One hash aggregation over the bgp_match
+    output, bag semantics (distinct=False).  Oracle: conditional
+    aggregation straight off the customer table."""
+    from i2o_transform_spark.operators.bgp import bgp_aggregate, bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = cu.select(
+        tag("C:", "c_custkey").alias("subj"),
+        F.lit("inNation").alias("pred"),
+        tag("N:", "c_nationkey").alias("obj"),
+    ).unionByName(
+        cu.where(F.col("c_custkey") % 13 != 0).select(
+            tag("C:", "c_custkey").alias("subj"),
+            F.lit("mktsegment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+    )
+    bindings = bgp_match(
+        triples,
+        [("?c", "inNation", "?n")],
+        optional=[("?c", "mktsegment", "?s")],
+        distinct=False,
+    )
+    return bgp_aggregate(
+        bindings,
+        ["n"],
+        {
+            "n_cust": ("count", "*"),
+            "n_seg": ("count", "s"),
+            "n_seg_kinds": ("count_distinct", "s"),
+            "any_seg": ("sample", "s"),
+        },
     )
 
 

@@ -50,19 +50,65 @@ def escape_literal(col: Column) -> Column:
     return out
 
 
+def _hex4_to_char(hex4: Column) -> Column:
+    """BMP codepoint (4 hex digits) -> its character, JVM-side: the hex IS
+    the UTF-16BE byte pair, so unhex + decode does it with no arithmetic.
+    Spec-valid input never encodes surrogate code points (RDF strings are
+    Unicode scalar values), so every 4-digit UCHAR decodes standalone."""
+    return F.decode(F.unhex(hex4), "UTF-16BE")
+
+
+def _hex8_to_char(hex8: Column) -> Column:
+    """Any codepoint (8 hex digits) -> its character: BMP codepoints take
+    the 4-digit path; supplementary ones are converted to their UTF-16
+    surrogate pair arithmetically, then decoded as UTF-16BE."""
+    cp = F.conv(hex8, 16, 10).cast("long")
+    bmp = F.unhex(F.lpad(F.hex(cp), 4, "0"))
+    hi = F.lit(0xD800) + F.floor((cp - 0x10000) / 1024).cast("long")
+    lo = F.lit(0xDC00) + ((cp - 0x10000) % 1024)
+    supp = F.unhex(
+        F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    )
+    return F.decode(F.when(cp < 0x10000, bmp).otherwise(supp), "UTF-16BE")
+
+
 def unescape_literal(col: Column) -> Column:
-    """Exact inverse of :func:`escape_literal` for spec-valid input.
+    """Exact inverse of :func:`escape_literal` for spec-valid input,
+    including UCHAR numeric escapes (``\\uXXXX`` / ``\\UXXXXXXXX``) that
+    externally-produced files may carry even though this writer never
+    emits them (it writes UTF-8 directly).
 
     Splitting on the *escaped-backslash* pair first means every backslash
-    remaining inside a piece introduces exactly one simple escape, so the
-    per-piece replace chain cannot misread ``\\\\n`` (backslash + 'n') as a
-    newline.  ``split`` takes a Java regex, hence the 4-backslash pattern
-    (two escaped backslashes)."""
+    remaining inside a piece introduces exactly one escape — UCHAR or
+    simple ECHAR — so the chain cannot misread ``\\\\n`` (backslash + 'n')
+    as a newline.  Within each piece, UCHAR introducers are consumed by a
+    further split (case-sensitive ``\\U`` before ``\\u``) and the hex
+    prefix of each sub-piece becomes its character; only then do the
+    simple ECHAR replaces run, so they can never touch hex digits.
+    ``split`` takes a Java regex, hence the doubled-backslash patterns."""
     pieces = F.split(col, "\\\\\\\\", -1)
     simple = [p for p in _ESCAPES if p[0] != "\\"]
 
+    def _decode_uchar(piece: Column, intro: str, width: int) -> Column:
+        subs = F.split(piece, "\\\\" + intro, -1)
+        to_char = _hex8_to_char if width == 8 else _hex4_to_char
+        return F.concat(
+            F.element_at(subs, 1),
+            F.array_join(
+                F.transform(
+                    F.slice(subs, 2, F.greatest(F.size(subs) - 1, F.lit(0))),
+                    lambda p: F.concat(
+                        to_char(F.substring(p, 1, width)),
+                        F.substring(p, width + 1, 2_000_000_000),
+                    ),
+                ),
+                "",
+            ),
+        )
+
     def _un(piece: Column) -> Column:
-        out = piece
+        out = _decode_uchar(piece, "U", 8)
+        out = _decode_uchar(out, "u", 4)
         for raw, esc in simple:
             out = F.replace(out, F.lit(esc), F.lit(raw))
         return out

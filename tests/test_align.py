@@ -118,3 +118,94 @@ def test_align_prefix_filter_lossless_vs_bruteforce_random(spark):
             if best is not None:
                 want[lid] = (best[1], "fuzzy", -best[0])
         assert got == want, f"trial {trial}"
+
+
+def test_plan_align_mode_both_directions():
+    from i2o_transform_spark.operators.align import plan_align_mode
+
+    assert plan_align_mode(1_000, 20_000_000) == "exact"
+    assert plan_align_mode(20_000_000, 20_000_000) == "exact"  # at budget
+    assert plan_align_mode(20_000_001, 20_000_000) == "banded"
+
+
+def test_align_auto_switches_to_banded_and_stays_correct(spark):
+    """Force the auto decision both ways on one fixture via
+    max_candidate_pairs: a tiny budget must take the banded path and (on
+    this small fixture) still elect the identical crosswalk; a large
+    budget must take the lossless exact path."""
+    left = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} delta gamma") for i in range(40)],
+        "concept_id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"gamma delta tok{i} beta omega") for i in range(40)],
+        "concept_id long, name string",
+    )
+    exact = {
+        (r.left_id, r.right_id, r.score_ppm)
+        for r in align_vocabularies(
+            left, right, max_candidate_pairs=10**9
+        ).collect()
+    }
+    banded = {
+        (r.left_id, r.right_id, r.score_ppm)
+        for r in align_vocabularies(
+            left, right, max_candidate_pairs=1
+        ).collect()
+    }
+    assert exact == banded
+    assert len(exact) == 40  # tok{i} pairs: J = 4/6 >= 0.5
+
+
+def test_align_fingerprint_pass_equals_prefix_election(spark):
+    """Set-identical (reordered) names elect through the fingerprint
+    pre-pass; the result must be what the prefix path would elect —
+    min right_id among ALL score-1e6 rights."""
+    left = spark.createDataFrame(
+        [(1, "red blue green gold")], "concept_id long, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (300, "gold green blue red"),
+            (200, "blue red gold green"),   # also J=1.0 -> min id wins
+            (100, "red blue green lead"),   # J=0.6, must lose to 1e6
+        ],
+        "concept_id long, name string",
+    )
+    r = align_vocabularies(left, right).collect()[0]
+    assert (r.right_id, r.method, r.score_ppm) == (200, "fuzzy", 1_000_000)
+
+
+def test_align_packed_election_guard_and_struct_fallback(spark):
+    """ADVICE r03: right ids outside [0, 2^40) must fail LOUDLY on the
+    packed-long path, and non-integral id types must silently take the
+    min-struct election (same semantics)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "concept_id long, name string"
+    )
+    bad_right = spark.createDataFrame(
+        [(1 << 41, "alpha beta gamma zeta")], "concept_id long, name string"
+    )
+    with pytest.raises(Exception, match="packed-election range"):
+        align_vocabularies(left, bad_right).collect()
+    neg_right = spark.createDataFrame(
+        [(-5, "alpha beta gamma zeta")], "concept_id long, name string"
+    )
+    with pytest.raises(Exception, match="packed-election range"):
+        align_vocabularies(left, neg_right).collect()
+    # string ids: struct election, same winner rules (score then min id)
+    sleft = spark.createDataFrame(
+        [("L1", "alpha beta gamma delta")], "concept_id string, name string"
+    )
+    sright = spark.createDataFrame(
+        [
+            ("R300", "alpha beta gamma epsilon"),
+            ("R200", "alpha beta gamma delta x"),
+            ("R100", "alpha beta gamma zeta"),
+        ],
+        "concept_id string, name string",
+    )
+    r = align_vocabularies(sleft, sright).collect()[0]
+    assert (r.right_id, r.score_ppm) == ("R200", 800_000)

@@ -179,3 +179,106 @@ def test_bgp_match_stats_same_answer(spark):
         triples, pats, stats={"placedBy": 2, "inNation": 2}
     ).collect()}
     assert a == b == {("o1", "c1")}
+
+
+def _rows(df):
+    return {tuple(sorted(r.asDict().items())) for r in df.collect()}
+
+
+def test_bgp_values_equi_and_undef(triples):
+    # no-UNDEF table: plain equi-join on the shared variable
+    out = bgp_match(
+        triples,
+        [("?x", "knows", "?y")],
+        values=[{"y": "b", "lab": "isB"}, {"y": "c", "lab": "isC"}],
+    )
+    assert _rows(out) == {
+        (("lab", "isB"), ("x", "a"), ("y", "b")),
+        (("lab", "isC"), ("x", "a"), ("y", "c")),
+        (("lab", "isC"), ("x", "b"), ("y", "c")),
+    }
+    # UNDEF row matches anything and still contributes its other bindings
+    out2 = bgp_match(
+        triples,
+        [("?x", "likes", "?y")],
+        values=[{"y": "b", "lab": "isB"}, {"y": None, "lab": "anyY"}],
+    )
+    assert _rows(out2) == {
+        (("lab", "isB"), ("x", "a"), ("y", "b")),
+        (("lab", "anyY"), ("x", "a"), ("y", "b")),
+        (("lab", "anyY"), ("x", "c"), ("y", "c")),
+    }
+
+
+def test_bgp_values_fresh_vars_and_empty(triples):
+    # VALUES variables disjoint from the pattern extend every solution
+    out = bgp_match(
+        triples,
+        [("?x", "type", "robot")],
+        values=[{"g": "g1"}, {"g": "g2"}],
+    )
+    assert _rows(out) == {
+        (("g", "g1"), ("x", "a")),
+        (("g", "g2"), ("x", "a")),
+    }
+    with pytest.raises(ValueError, match="binds no variables"):
+        bgp_match(triples, [("?x", "type", "robot")], values=[{}])
+
+
+def test_bgp_bind_and_filter(triples):
+    out = bgp_match(
+        triples,
+        [("?x", "knows", "?y")],
+        bind={"pair": "concat(x, '->', y)"},
+        filter_expr="y <> 'c'",
+    )
+    assert _rows(out) == {(("pair", "a->b"), ("x", "a"), ("y", "b"))}
+    # FILTER over a NULL (unbound OPTIONAL) binding eliminates the row —
+    # SPARQL error-eliminates semantics
+    out2 = bgp_match(
+        triples,
+        [("?x", "type", "?t")],
+        optional=[("?x", "likes", "?w")],
+        filter_expr="w = 'b'",
+    )
+    assert _rows(out2) == {(("t", "robot"), ("w", "b"), ("x", "a"))}
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_match(triples, [("?x", "knows", "?y")], bind={"y": "x"})
+
+
+def test_bgp_aggregate_skips_optional_nulls(triples):
+    from i2o_transform_spark.operators.bgp import bgp_aggregate
+
+    bindings = bgp_match(
+        triples,
+        [("?x", "type", "?t")],
+        optional=[("?x", "knows", "?y")],
+        distinct=False,
+    )
+    out = bgp_aggregate(
+        bindings,
+        ["t"],
+        {
+            "n": ("count", "*"),
+            "n_knows": ("count", "y"),
+            "n_targets": ("count_distinct", "y"),
+            "first_target": ("sample", "y"),
+            "all_targets": ("group_concat", "y"),
+        },
+    )
+    got = {r["t"]: r.asDict() for r in out.collect()}
+    # robot 'a' knows b and c (2 rows); persons: b knows c, c knows nothing
+    # but still counts 1 row with NULL y — skipped by count(y)
+    assert got["robot"]["n"] == 2
+    assert got["robot"]["n_knows"] == 2
+    assert got["robot"]["n_targets"] == 2
+    assert got["robot"]["first_target"] == "b"
+    assert got["robot"]["all_targets"] == "b c"
+    assert got["person"]["n"] == 2
+    assert got["person"]["n_knows"] == 1
+    assert got["person"]["n_targets"] == 1
+    # global group: empty group_by
+    tot = bgp_aggregate(bindings, [], {"n": ("count", "*")}).collect()[0]
+    assert tot["n"] == 4
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        bgp_aggregate(bindings, [], {"n": ("median", "y")})

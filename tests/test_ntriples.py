@@ -131,3 +131,29 @@ def test_permissive_mode_quarantines_and_failfast_raises(spark):
         parse_ntriples_lines(lines, mode="FAILFAST").collect()
     with pytest.raises(ValueError, match="mode"):
         parse_ntriples_lines(lines, mode="DROPMALFORMED")
+
+
+def test_uchar_escapes_decode(spark):
+    """Externally-produced spec-valid UCHAR escapes (\\uXXXX / \\UXXXXXXXX,
+    which this writer never emits) must decode to their code points —
+    including supplementary-plane codepoints via surrogate-pair arithmetic
+    — while an ESCAPED backslash followed by 'u'/'U' stays literal
+    (ADVICE r03: these previously passed the grammar but kept the raw
+    backslash sequence)."""
+    lines = spark.createDataFrame(
+        [
+            Row(line='<http://a> <http://p> "A=\\u0041" .'),
+            Row(line='<http://a> <http://p> "\\u00e9t\\u00e9" .'),
+            Row(line='<http://a> <http://p> "grin:\\U0001F600!" .'),
+            Row(line='<http://a> <http://p> "raw\\\\u0041" .'),
+            Row(line='<http://a> <http://p> "mix\\n\\u0042\\\\U0" .'),
+        ]
+    )
+    out = {r.obj for r in parse_ntriples_lines(lines).collect()}
+    assert out == {
+        "A=A",
+        "été",
+        "grin:\U0001F600!",
+        "raw\\u0041",
+        "mix\nB\\U0",
+    }

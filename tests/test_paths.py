@@ -72,3 +72,20 @@ def test_path_negated_property_set(spark):
     got2 = _pairs(eval_path(t, ("seq", ("pred", "p"), ("npred", ["p"]))))
     # p then not-p: b -r-> x after a -p-> b; c,d have no non-p out-edges
     assert got2 == {("a", "x")}
+
+
+def test_path_cycle_early_fixpoint_and_max_depth(spark):
+    """ADVICE r03: on cyclic graphs the pairs-only fixpoint must terminate
+    EARLY (pair-count signature stabilizes — no level signature to chase),
+    and the threaded max_depth must be honored: a 10-node directed cycle
+    reaches everything under the default bound, but max_depth=2 truncates
+    reach to 2 hops."""
+    n = 10
+    rows = [(f"n{i}", "p", f"n{(i + 1) % n}") for i in range(n)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    full = _pairs(eval_path(t, ("plus", ("pred", "p"))))
+    assert full == {(f"n{i}", f"n{j}") for i in range(n) for j in range(n)}
+    capped = _pairs(eval_path(t, ("plus", ("pred", "p")), max_depth=2))
+    assert capped == {
+        (f"n{i}", f"n{(i + d) % n}") for i in range(n) for d in (1, 2)
+    }

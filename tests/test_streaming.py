@@ -593,3 +593,66 @@ def test_stream_incremental_cc_equals_batch(spark, tmp_path):
         for r in label_propagation_components(all_edges).collect()
     }
     assert got == want
+
+
+def test_stream_incremental_cc_recovers_from_swap_crash(spark, tmp_path):
+    """Simulate a crash BETWEEN the two renames of the label-table swap
+    (labels -> .old done, .next -> labels not yet): on the next batch the
+    recovery path must promote the complete .next (or .old) table back
+    into place instead of silently rebuilding from the delta alone
+    (ADVICE r03 medium).  Clustering after recovery must equal the
+    from-scratch batch answer over ALL edges ever seen."""
+    import os
+    import shutil
+
+    from i2o_transform_spark.operators.graph import (
+        label_propagation_components,
+    )
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_incremental_components,
+    )
+
+    b0 = [(i, i + 1) for i in range(0, 20, 2)]
+    b1 = [(100, 101), (3, 100)]
+    src = tmp_path / "edges_in"
+    src.mkdir()
+    spark.createDataFrame(b0, "src int, dst int").coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    labels_dir = str(tmp_path / "labels")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("src int, dst int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*/")
+        )
+        q = stream_incremental_components(
+            stream, labels_dir, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(300)
+
+    run_stream()
+    assert os.path.exists(os.path.join(labels_dir, "_SUCCESS"))
+
+    # crash simulation: the complete table sits at .old, labels_dir gone
+    # (exactly the state after rename #1 of the swap, before rename #2)
+    os.rename(labels_dir, labels_dir + ".old")
+    assert not os.path.exists(labels_dir)
+
+    spark.createDataFrame(b1, "src int, dst int").coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    run_stream()
+
+    got = {r.node: r.root for r in spark.read.parquet(labels_dir).collect()}
+    want = {
+        r.node: r.root
+        for r in label_propagation_components(
+            spark.createDataFrame(b0 + b1, "src int, dst int")
+        ).collect()
+    }
+    assert got == want
+    # node 0's component must have survived the crash (it is only in b0)
+    assert 0 in got
+    shutil.rmtree(labels_dir + ".old", ignore_errors=True)

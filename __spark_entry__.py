@@ -10,23 +10,24 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
                ground truth instead.
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
-queries().  Rounds 1-2 hard-verified the first 50 registered (51 distinct ids
-green across both artifacts).  DRIVER_WINDOW therefore front-loads 50 oracled
-queries that have NOT yet appeared in a round artifact — the hash-family
-recall-check companions, the round-2 flagship families (as-of join, CDC,
-global re-keying, KG pipeline P/R, canonicalization, disambiguation), the
-streaming suite, and the remaining SURVEY §2 ids — then rotates in the
-round-3 session families (WARC source, LM quality, composed training-data
-pipeline, N-Triples roundtrip, BGP matching, TransE eval, truth discovery,
-fuzzy linking, cycle check, temporal intervals, real AV metadata) in place of
-rows whose families already hold multiple window representatives, then the
-session-B families (SHACL validation + shape mining, transitive closure,
-property paths, sorted-neighborhood blocking, bisimulation summary,
-incremental CC, ontology alignment, snapshot diff), so the artifact union
-after round 3 covers the large majority of the 195 registered queries with
-hard driver signal.
+queries().  The union of green rows across CORRECTNESS_r01..r03 is exactly
+100 distinct ids (of 198 now registered — the r03 verdict was right that
+the earlier "large majority" claim here overstated it).  The r04
+DRIVER_WINDOW therefore holds 50 ids with NO green row in any prior round
+artifact: the type-fixed kg_shape_mining (red in r03 on oracle float
+promotion, engine values were correct), this round's new families (SPARQL
+VALUES/BIND/FILTER + aggregates, banded-alignment recall gate, real RVID
+video-frame decode), the eight SURVEY §2 ids never sampled (P5 J7 J10 A3
+O1 F8 U2 U5), and one-to-three representatives per never-artifacted
+family: streaming windowed suite, embedding entity-link pair, prefix/
+semantic/span/URL/embedding dedup, CDC SCD-2 + temporal intervals + as-of
+snapshot, N-Triples serialize/permissive-parse, reification + property
+graph, seven graph algorithms, the QA sketch gates, BPE roundtrip, rekey
+report, multimodal metadata/pixels/resize, PII scrub, and Hearst
+hypernyms.  A green r04 artifact lifts the union to 150/198 (76%).
 Everything else follows in original registration order and is verified by
-tests/run_oracle_check.py (full-registry sweep, 195 queries) instead.
+tests/run_oracle_check.py (full-registry sweep, 198 queries, all green at
+HEAD) instead.
 """
 
 from __future__ import annotations
@@ -39,74 +40,72 @@ from i2o_transform_spark.queries import ORACLES, QUERIES
 
 # First 50 = this round's driver-sampled correctness window (all oracled).
 DRIVER_WINDOW: list[str] = [
-    # hash-family oracled companions (replace the r02 `no_oracle` rows)
-    "dd_minhash_recall_check",
-    "dd_simhash_recall_check",
-    "ann_lsh_recall_check",
-    "ann_ivf_recall_check",
-    # round-2 flagship families, never yet in an artifact
-    "kg_pipeline_pr_check",
-    "kg_canonical_map",
-    "el_kg_disambig_check",
-    "j14_asof_join",
-    "rk_global_rekey",
-    "cdc_snapshot",
-    # round-3 additions
-    "w4_drug_era_composed",
-    "mm_feature_extract",
-    # SURVEY §2 ids without a hard artifact row yet
-    "s1_config_source_binding",
-    "s3_csv_ontology_load",
-    "p4_value_type_filter",
-    "j2_modifier_join",
-    "j12_closure_rollup",
-    "f5_coalesce_imputation",
-    "u4_config_modifier",
-    # second session-B rotation: five more NEW operator families take
-    # slots of family-redundant rows (st_sessionize / j7 / u5 /
-    # kg_k_hop / kg_temporal_intervals stay green in the full harness)
-    "kg_rdfs_entailment",
-    "kg_sameas_canonicalize",
+    # r04 must-green: the one red r03 row (kg_shape_mining), type-fixed on
+    # both sides of the contract (integer ppm + -1 sentinel)
     "kg_shape_mining",
-    "kg_label_propagation",
-    "kg_entity_summary",
-    # round-3 THIS-session families (all new operator families, oracled);
-    # they take the slots of ids whose families already hold green rows in
-    # r01/r02 artifacts or other window slots (p5/j10/a3/o1/f8/u2/mm_resize/
-    # dd_span_dedup remain green in the full-registry harness).
-    "kg_shacl_check",
-    "kg_transitive_closure",
-    "er_sorted_neighborhood",
-    "kg_bisim_summary",
-    "kg_incremental_cc",
-    "kg_property_path",
-    "kg_ontology_align",
-    "kg_snapshot_diff",
-    # streaming reps (full suite has stream==batch pytests; two hardest here)
-    "st_attr_join",
-    # dedup / multimodal / text families
-    "dd_contamination",
-    "mm_av_metadata",
-    # fully-oracled STREAMING row (cross-batch incremental CC protocol);
-    # BPE keeps its pure-python equivalence pytests + full-harness row
-    "st_incremental_cc",
-    # round-3 new families: source / quality / pipeline / KG interchange+query
-    "wa_warc_roundtrip",
-    "ta_lm_quality",
-    "td_pipeline",
-    "nt_roundtrip",
-    "kg_bgp_match",
-    "kg_transe_eval",
-    # round-3 session additions (new operator families, all oracled)
-    "td_truth_discovery",
-    "el_fuzzy_link",
-    "kg_cycle_check",
-    # graph / QA / events / TPC-H
-    "kg_pagerank_check",
-    "q3_shipping_priority",
-    "qa_hll_error_check",
-    "ev_funnel",
-    "zo_zorder_code",
+    # r04 NEW operator families: SPARQL binding-level ops (VALUES/BIND/
+    # FILTER, GROUP BY aggregates), the banded-alignment recall gate, and
+    # real video frame decode (RVID raw-RGB container, pixel-sum oracle)
+    "kg_bgp_values",
+    "kg_bgp_aggregate",
+    "kg_align_recall_check",
+    "mm_frame_sample",
+    # SURVEY §2 ids never in a round artifact (VERDICT r03 Next #2)
+    "p5_leaf_filter",
+    "j7_range_join",
+    "j10_cross_join",
+    "a3_group_min_dedup",
+    "o1_clustered_sort",
+    "f8_lower_membership",
+    "u2_popcodelist",
+    "u5_entity_veto_rule",
+    # streaming windowed suite (never artifacted; stream==batch pytests)
+    "st_windowed_counts",
+    "st_sessionize",
+    "st_stateful_totals",
+    "st_dedup_events",
+    "st_line_dedup",
+    # embedding entity-link pair (staged + Arrow-fused)
+    "el_embedding_link",
+    "el_embedding_link_arrow",
+    # dedup family reps without artifact rows
+    "dd_prefix_jaccard",
+    "dd_semantic_recall_check",
+    "dd_span_dedup",
+    "dd_url_dedup",
+    "dd_embedding_cosine",
+    # CDC / temporal / as-of family
+    "cdc_scd2_history",
+    "kg_temporal_intervals",
+    "kg_asof_snapshot",
+    # KG interchange / reification / property graph
+    "nt_serialize",
+    "nt_parse_permissive",
+    "kg_reify_statements",
+    "kg_dereify_roundtrip",
+    "pg_roundtrip",
+    # graph algorithms never artifacted
+    "kg_shortest_path",
+    "kg_ppr_check",
+    "kg_kcore",
+    "kg_harmonic_closeness",
+    "kg_local_clustering",
+    "kg_graph_digest",
+    "kg_subgraph_sample",
+    # QA sketch gates
+    "qa_quantile_sketch_check",
+    "qa_heavy_hitters_check",
+    "qa_bloom_membership_check",
+    # BPE roundtrip gate + global re-keying report
+    "ta_bpe_roundtrip_check",
+    "rk_rekey_report",
+    # multimodal metadata / pixel stats / resize
+    "mm_mixed_metadata",
+    "mm_pixel_stats",
+    "mm_resize",
+    # text analysis + pattern-extraction reps
+    "ta_pii_scrub",
+    "kg_hearst_hypernyms",
 ]
 
 

@@ -2204,29 +2204,69 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     oracle="""
     WITH meta AS (
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) % 250 + 1 AS INT) AS n_frames
+      SELECT doc_id, CAST(doc_id % 25 + 1 AS INT) AS n_frames
       FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+      FROM meta
+    ),
+    px AS (
+      SELECT f.doc_id, f.frame_idx, xx.x, yy.y
+      FROM fr f,
+           (SELECT unnest(range(0, 8)) AS x) xx,
+           (SELECT unnest(range(0, 4)) AS y) yy
     )
-    SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
-    FROM meta WHERE n_frames > 1
+    SELECT doc_id, frame_idx,
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(SUM((3*doc_id + 7*frame_idx + 5*x + 11*y) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((3*doc_id + 7*frame_idx + 5*x + 11*y + 17) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((3*doc_id + 7*frame_idx + 5*x + 11*y + 34) % 256)
+                AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, frame_idx
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling: metadata-driven fan-out (explode over a
-    frame-index sequence) — the payload bytes never enter the exchange; only
-    (doc_id, frame_idx) rows flow to the (stubbed) decoder."""
-    from i2o_transform_spark.operators.multimodal import frame_sample_plan
+    """Multimodal VIDEO frame sampling with REAL pixel decode (r03 Next
+    #7, stub CLOSED): each document carries a synthesized RVID raw-RGB
+    container (doc_id % 25 + 1 frames of 8x4 RGB24, pixel value
+    (3*doc + 7*frame + 5*x + 11*y + 17*channel) mod 256 — built as real
+    container BYTES in one pandas UDF); sample_video_frames then walks
+    the header, decodes every 10th frame from the raw bytes and reduces
+    to exact integer channel sums inside the Arrow batch — frame pixels
+    never enter an exchange.  The oracle recomputes every channel sum
+    analytically from the same pixel formula, so a single wrong byte
+    anywhere in encode -> decode -> reduce flips the row red.
+    Compressed codecs stay out of scope (no codec libs in-container);
+    production swaps decode_rvid_frame behind the same seam."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from i2o_transform_spark.operators.multimodal import (
+        encode_rvid,
+        sample_video_frames,
+    )
+
+    @pandas_udf("binary")
+    def make_rvid(doc_id):
+        y, x = np.ogrid[0:4, 0:8]
+        base = (5 * x + 11 * y)[:, :, None] + np.array([0, 17, 34])[None, None, :]
+        out = []
+        for d in doc_id:
+            n = int(d) % 25 + 1
+            frames = [
+                ((3 * int(d) + 7 * k + base) % 256).astype(np.uint8)
+                for k in range(n)
+            ]
+            out.append(encode_rvid(frames))
+        return pd.Series(out)
 
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("media"),
-        F.lit("video").alias("media_type"),
-    )
-    meta = extract_media_metadata(media)
-    out = frame_sample_plan(meta, every_n=10)
-    return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+    media = docs.select("doc_id", make_rvid("doc_id").alias("media"))
+    return sample_video_frames(media, every_n=10)
 
 
 @query(

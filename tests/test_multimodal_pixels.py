@@ -242,3 +242,57 @@ def test_av_header_parsers_roundtrip_and_cross_immunity():
         for cut in (0, 3, 7, len(payload) // 2):
             for parse in parsers.values():
                 parse(payload[:cut])
+
+
+def test_rvid_roundtrip_and_failfast():
+    """RVID container: encode -> header -> per-frame decode is byte-exact;
+    malformed payloads (bad magic, truncation, out-of-range frame) raise
+    instead of half-decoding."""
+    import numpy as np
+    import pytest
+
+    from i2o_transform_spark.operators.multimodal import (
+        decode_rvid_frame,
+        decode_rvid_header,
+        encode_rvid,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+              for _ in range(4)]
+    payload = encode_rvid(frames)
+    assert decode_rvid_header(payload) == (9, 5, 4)
+    for k, f in enumerate(frames):
+        assert (decode_rvid_frame(payload, k) == f).all()
+    with pytest.raises(ValueError, match="not an RVID"):
+        decode_rvid_header(b"JUNK" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_rvid_header(payload[:-1])
+    with pytest.raises(ValueError, match="out of range"):
+        decode_rvid_frame(payload, 4)
+    with pytest.raises(ValueError, match="RGB24"):
+        encode_rvid([rng.integers(0, 256, (2, 2, 4), dtype=np.uint8)])
+
+
+def test_sample_video_frames_matches_numpy(spark):
+    """sample_video_frames over Arrow batches == per-frame numpy sums,
+    including the every_n stride and single-frame payloads."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.multimodal import (
+        encode_rvid,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(23)
+    rows, want = [], set()
+    for did, n in [(1, 1), (2, 10), (3, 25)]:
+        frames = [rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+                  for _ in range(n)]
+        rows.append((did, bytearray(encode_rvid(frames))))
+        for k in range(0, n, 10):
+            s = frames[k].astype(np.int64).reshape(-1, 3).sum(axis=0)
+            want.add((did, k, 6, 4, int(s[0]), int(s[1]), int(s[2])))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {tuple(r) for r in sample_video_frames(df, every_n=10).collect()}
+    assert got == want

@@ -64,6 +64,10 @@ EXTRA = [
     "kg_incremental_cc",
     "kg_rdfs_entailment",
     "kg_sameas_canonicalize",
+    # round-4 flagships: SPARQL binding ops, real video frame decode
+    "kg_bgp_aggregate",
+    "kg_bgp_values",
+    "mm_frame_sample",
 ]
 
 

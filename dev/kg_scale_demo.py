@@ -7,6 +7,15 @@
    log-round squaring at a closure size of ~40M pairs.
 
 Run: python dev/kg_scale_demo.py  (local[32]; prints one JSON line)
+
+3. ``--align``: crosswalk construction at 1M x ~0.94M concepts with a
+   REALISTIC sparse token vocabulary (150k distinct tokens, Zipf-biased
+   draws, 6-token names; perturbations mirror the bench fixture: 1/3
+   identical -> exact pass, 1/3 reversed -> fingerprint pass, 1/3
+   one-token-dropped -> prefix pass) — the VERDICT r03 Next #8 endurance
+   record for the alignment flagship, with REST-API spill accounting
+   (sum of memory/disk bytes spilled over every stage) and a
+   banded-fallback recall gate on the same vocabulary.
 """
 
 from __future__ import annotations
@@ -25,6 +34,117 @@ from i2o_transform_spark.operators.graph import (  # noqa: E402
     transitive_closure,
 )
 from i2o_transform_spark.session import get_spark  # noqa: E402
+
+
+def _spill_bytes(spark) -> dict:
+    """Sum spill over every stage of this app via the local REST API —
+    quantitative zero-spill evidence instead of a log grep."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    apps = json.loads(
+        urllib.request.urlopen(f"{base}/api/v1/applications").read()
+    )
+    app_id = apps[0]["id"]
+    stages = json.loads(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages"
+        ).read()
+    )
+    return {
+        "memory_spilled": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        "disk_spilled": sum(s.get("diskBytesSpilled", 0) for s in stages),
+        "n_stages": len(stages),
+    }
+
+
+def _zipf_tok(seed_col, vocab: int):
+    """Zipf-biased token id: u^2 over a uniform hash biases toward small
+    ids — hottest token df well under 1%% at vocab=150k, a realistic web-text
+    shape (vs the bench fixture's adversarial 27%%)."""
+    u = (F.pmod(F.xxhash64(seed_col), F.lit(1_000_003)) + 0.5) / 1_000_003.0
+    return F.concat(
+        F.lit("t"), F.floor(u * u * F.lit(float(vocab))).cast("long")
+    )
+
+
+def run_align_demo() -> None:
+    from i2o_transform_spark.operators.align import align_vocabularies
+
+    spark = get_spark("kg-align-scale", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+    n = 1_000_000
+    vocab = 150_000
+    k_toks = 6
+
+    def name_expr(idc):
+        return F.concat_ws(
+            " ",
+            *[
+                _zipf_tok(F.concat(idc.cast("string"), F.lit(f":{j}")), vocab)
+                for j in range(k_toks)
+            ],
+        )
+
+    ids = spark.range(n)
+    left = ids.select(
+        F.col("id").alias("concept_id"), name_expr(F.col("id")).alias("name")
+    ).localCheckpoint(eager=True)
+    toks_arr = F.split(name_expr(F.col("id")), " ")
+    right = (
+        ids.where(F.col("id") % 17 != 0)
+        .select(
+            (F.col("id") + 5_000_000).alias("concept_id"),
+            F.when(F.col("id") % 3 == 0, name_expr(F.col("id")))
+            .when(F.col("id") % 3 == 1,
+                  F.array_join(F.reverse(toks_arr), " "))
+            .otherwise(
+                F.array_join(F.slice(toks_arr, 1, k_toks - 1), " ")
+            )
+            .alias("name"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nl, nr = left.count(), right.count()
+    t0 = time.time()
+    res = align_vocabularies(left, right)
+    by_method = {
+        r["method"]: r["n"]
+        for r in res.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wall = round(time.time() - t0, 1)
+    out["align_1m"] = {
+        "n_left": nl,
+        "n_right": nr,
+        "vocab_tokens": vocab,
+        "sec": wall,
+        "elections_by_method": by_method,
+        "concepts_per_sec": int((nl + nr) / max(wall, 1e-9)),
+        **_spill_bytes(spark),
+    }
+    # banded-fallback recall on the SAME vocabulary (what auto mode would
+    # run if the fan-out budget were exceeded): elections identical to the
+    # exact path for >= 95% of fuzzy lefts is the gate
+    t0 = time.time()
+    ex = res.where(F.col("method") == "fuzzy").select(
+        "left_id", "right_id", "score_ppm"
+    ).localCheckpoint(eager=True)
+    bd = align_vocabularies(left, right, mode="banded").where(
+        F.col("method") == "fuzzy"
+    ).select("left_id", "right_id", "score_ppm")
+    n_ex = ex.count()
+    n_hit = ex.join(bd, ["left_id", "right_id", "score_ppm"], "left_semi").count()
+    out["align_1m_banded"] = {
+        "sec": round(time.time() - t0, 1),
+        "n_exact_elections": n_ex,
+        "n_identical_banded": n_hit,
+        "recall_ppm": int(n_hit * 1_000_000 / max(n_ex, 1)),
+        "gate_ge_95pct": n_hit * 100 >= 95 * n_ex,
+    }
+    print("KGALIGN " + json.dumps(out))
+    spark.stop()
 
 
 def main() -> None:
@@ -91,4 +211,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--align" in sys.argv:
+        run_align_demo()
+    else:
+        main()

@@ -44,9 +44,39 @@ def _compile_template(
     """One template -> filtered scan projecting its variables.
 
     Repeated variables inside a template (e.g. ``(?x, p, ?x)``) become an
-    intra-row equality filter."""
+    intra-row equality filter.
+
+    The predicate position may also be a PROPERTY-PATH expression (a
+    tuple AST per operators/paths, e.g. ``("seq", ("pred", "a"),
+    ("pred", "b"))`` or ``("plus", ...)``): the path evaluates to its
+    distinct (src, dst) pair set once, and the template then binds
+    subj/obj against those pairs exactly like a plain scan — SPARQL's
+    path-in-triple-pattern composition.  ``star`` paths derive the node
+    universe from the triples frame (subj ∪ obj)."""
+    if isinstance(pat[1], tuple):
+        from i2o_transform_spark.operators.paths import eval_path
+
+        nodes = (
+            triples.select(F.col("subj").alias("node"))
+            .union(triples.select(F.col("obj").alias("node")))
+            .distinct()
+        )
+        df = eval_path(triples, pat[1], nodes=nodes)
+        cols = ("src", "dst")
+        first_col: dict[str, str] = {}
+        for col, term in zip(cols, (pat[0], pat[2])):
+            if _is_var(term):
+                name = term[1:]
+                if name in first_col:
+                    df = df.where(F.col(col) == F.col(first_col[name]))
+                else:
+                    first_col[name] = col
+            else:
+                df = df.where(F.col(col) == F.lit(term))
+        sel = [F.col(c).alias(v) for v, c in first_col.items()]
+        return df.select(*sel), set(first_col)
     df = triples
-    first_col: dict[str, str] = {}
+    first_col = {}
     for col, term in zip(_POS, pat):
         if _is_var(term):
             name = term[1:]
@@ -95,7 +125,13 @@ def plan_order(
         if stats is None:
             return (-n_const, i)
         total = sum(stats.values()) or 1
-        est = stats.get(p_, total) if not _is_var(p_) else total
+        # path expressions (tuple predicates) cost like variable preds:
+        # unknown, estimated at total (and "npred" holds a list — unhashable)
+        est = (
+            stats.get(p_, total)
+            if isinstance(p_, str) and not _is_var(p_)
+            else total
+        )
         for t in (s_, o_):
             if not _is_var(t):
                 est = max(1, est // 10)

@@ -8749,6 +8749,65 @@ def kg_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_bgp_path",
+    oracle="""
+    SELECT DISTINCT
+           'C:' || CAST(a.c_custkey AS VARCHAR) AS a,
+           'C:' || CAST(b.c_custkey AS VARCHAR) AS b
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey // 10 = b.c_custkey // 10
+     AND b.c_custkey < a.c_custkey
+    JOIN nation n ON b.c_nationkey = n.n_nationkey
+    WHERE a.c_mktsegment = 'BUILDING' AND n.n_regionkey = 2
+    """,
+)
+def kg_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property paths INSIDE triple patterns — the SPARQL composition of
+    bgp_match and eval_path (operators/bgp._compile_template tuple
+    predicates):
+
+        ?a refers+ ?b . ?b inNation/locatedIn R:2 . ?a mktsegment BUILDING
+
+    `refers` chains customers downward within each decade (i -> i-1,
+    i % 10 != 0), so refers+ reachability has the closed form
+    'same decade, b < a' and the oracle needs no recursive CTE; the
+    inNation/locatedIn SEQ path is one join pair.  Both path atoms
+    evaluate to distinct pair sets first (the plus via the pairs-only
+    log-round closure), then join into the pattern like plain scans."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.where(F.col("c_custkey") % 10 != 0)
+        .select(tag("C:", "c_custkey").alias("subj"),
+                F.lit("refers").alias("pred"),
+                F.concat(F.lit("C:"),
+                         (F.col("c_custkey") - 1).cast("string")).alias("obj"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("inNation").alias("pred"),
+                               tag("N:", "c_nationkey").alias("obj")))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("mktsegment").alias("pred"),
+                               F.col("c_mktsegment").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("locatedIn").alias("pred"),
+                               tag("R:", "n_regionkey").alias("obj")))
+    )
+    return bgp_match(
+        triples,
+        [
+            ("?a", ("plus", ("pred", "refers")), "?b"),
+            ("?b", ("seq", ("pred", "inNation"), ("pred", "locatedIn")),
+             "R:2"),
+            ("?a", "mktsegment", "BUILDING"),
+        ],
+    )
+
+
+@query(
     "kg_bgp_aggregate",
     oracle="""
     SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS n,

@@ -282,3 +282,33 @@ def test_bgp_aggregate_skips_optional_nulls(triples):
     assert tot["n"] == 4
     with pytest.raises(ValueError, match="unknown aggregate"):
         bgp_aggregate(bindings, [], {"n": ("median", "y")})
+
+
+def test_bgp_path_templates(triples):
+    """Property-path expressions in the predicate position compose with
+    plain templates: plus-closure, seq, inverse, and constants/repeated
+    vars on the endpoints all bind like ordinary scans."""
+    out = bgp_match(
+        triples,
+        [
+            ("?x", ("plus", ("pred", "knows")), "?z"),
+            ("?z", "type", "person"),
+        ],
+    )
+    assert _rows(out) == {
+        (("x", "a"), ("z", "b")),
+        (("x", "a"), ("z", "c")),
+        (("x", "b"), ("z", "c")),
+    }
+    # constant object + seq path; 'a likes b, b knows c' -> a
+    out2 = bgp_match(
+        triples,
+        [("?w", ("seq", ("pred", "likes"), ("pred", "knows")), "c")],
+    )
+    assert _rows(out2) == {(("w", "a"),)}
+    # star derives the node universe from the triples frame itself
+    out3 = bgp_match(
+        triples,
+        [("a", ("star", ("pred", "knows")), "?r")],
+    )
+    assert _rows(out3) == {(("r", "a"),), (("r", "b"),), (("r", "c"),)}

@@ -42,6 +42,10 @@ def _spill_bytes(spark) -> dict:
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
+    if not base:
+        # UI disabled (spark.ui.enabled=false) — no REST endpoint; report
+        # the absence explicitly rather than crashing the demo.
+        return {"memory_spilled": None, "disk_spilled": None, "n_stages": None}
     apps = json.loads(
         urllib.request.urlopen(f"{base}/api/v1/applications").read()
     )
@@ -71,7 +75,13 @@ def _zipf_tok(seed_col, vocab: int):
 def run_align_demo() -> None:
     from i2o_transform_spark.operators.align import align_vocabularies
 
-    spark = get_spark("kg-align-scale", master="local[32]")
+    spark = get_spark(
+        "kg-align-scale",
+        master="local[32]",
+        # default profile disables the UI; the demo needs the REST API for
+        # quantitative spill evidence
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
     n = 1_000_000
@@ -148,7 +158,11 @@ def run_align_demo() -> None:
 
 
 def main() -> None:
-    spark = get_spark("kg-scale-demo", master="local[32]")
+    spark = get_spark(
+        "kg-scale-demo",
+        master="local[32]",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
 

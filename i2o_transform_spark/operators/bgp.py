@@ -289,6 +289,106 @@ def _apply_values(
     return out, bound | set(vars_)
 
 
+def bgp_construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: match ``patterns`` (bag semantics internally —
+    duplicates cannot add triples to a set, so the match skips its own
+    distinct), instantiate every ``template`` triple per solution, and
+    return the constructed graph as a DISTINCT (subj, pred, obj) frame —
+    an RDF graph is a set.
+
+    Template terms are variables (``?v`` → the bound value, cast to
+    string) or constants.  A solution leaving any template term unbound
+    (e.g. a variable bound only by an unmatched OPTIONAL) produces NO
+    triple for that template — SPARQL's partial-instantiation rule —
+    while the solution's other templates still fire.
+
+    Plan shape: ONE pass over the bindings, ``explode`` of a
+    |template|-element struct array (constant fan-out, no union of
+    per-template scans), then one distinct exchange on the triple —
+    the same cost as a single aggregation at any scale.  ``match_kwargs``
+    pass through to :func:`bgp_match` (optional/minus/values/bind/
+    filter_expr/stats)."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    for t in template:
+        if any(isinstance(term, tuple) for term in t):
+            raise ValueError(
+                f"CONSTRUCT template {t!r}: property-path expressions are "
+                "only legal in the WHERE pattern, not the template"
+            )
+    bindings = bgp_match(triples, patterns, distinct=False, **match_kwargs)
+
+    def term(t: str):
+        return (F.col(t[1:]).cast("string") if _is_var(t)
+                else F.lit(t).cast("string"))
+
+    structs = [
+        F.struct(term(s).alias("subj"), term(p).alias("pred"),
+                 term(o).alias("obj"))
+        for (s, p, o) in template
+    ]
+    return (
+        bindings.select(F.explode(F.array(*structs)).alias("_t"))
+        .select("_t.subj", "_t.pred", "_t.obj")
+        .where(F.col("subj").isNotNull()
+               & F.col("pred").isNotNull()
+               & F.col("obj").isNotNull())
+        .distinct()
+    )
+
+
+def solution_modifiers(
+    bindings: DataFrame,
+    order_by: list[tuple[str, str]],
+    limit: int | None = None,
+    offset: int = 0,
+    project: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL solution modifiers: ORDER BY / OFFSET / LIMIT / projection
+    over a bindings frame (the output of :func:`bgp_match` or
+    :func:`bgp_aggregate`).
+
+    ``order_by`` is ``[(var, "asc"|"desc"), ...]``.  SPARQL leaves ties
+    implementation-defined; for reproducible results (and oracle
+    comparison) the given keys are EXTENDED with every remaining
+    projected column ascending, so the order is total whenever the
+    projection has no duplicate rows.  Unbound (NULL) sorts first on
+    ascending keys, last on descending — matching SPARQL's
+    unbound-lowest ordering.
+
+    Scale shape: with a LIMIT, Catalyst executes per-partition
+    top-(offset+limit) heaps merged on the driver
+    (``TakeOrderedAndProject``) — no global sort is ever materialized,
+    so ORDER BY + LIMIT over 10^12 bindings costs one scan + a
+    k-row merge.  OFFSET without LIMIT still needs the global order;
+    keep offsets bounded."""
+    cols = project if project is not None else bindings.columns
+    out = bindings.select(*cols) if project is not None else bindings
+    keyed = set()
+    sort_cols = []
+    for var, direction in order_by:
+        d = direction.lower()
+        if d not in ("asc", "desc"):
+            raise ValueError(f"ORDER BY direction must be asc/desc: {d!r}")
+        sort_cols.append(
+            F.col(var).asc_nulls_first() if d == "asc"
+            else F.col(var).desc_nulls_last()
+        )
+        keyed.add(var)
+    sort_cols += [F.col(c).asc_nulls_first() for c in cols if c not in keyed]
+    out = out.orderBy(*sort_cols)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 # SPARQL aggregate -> deterministic Spark expression.  SAMPLE elects min
 # (any value is spec-legal; min is reproducible), GROUP_CONCAT sorts first
 # for the same reason.

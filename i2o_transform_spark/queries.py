@@ -8866,6 +8866,118 @@ def kg_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_bgp_construct",
+    oracle="""
+    WITH b AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+             'R:' || CAST(n_regionkey AS VARCHAR) AS r,
+             CASE WHEN c_custkey % 13 <> 0 THEN c_mktsegment END AS s
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT DISTINCT subj, pred, obj FROM (
+      SELECT c AS subj, 'livesInRegion' AS pred, r AS obj FROM b
+      UNION ALL
+      SELECT r, 'hasResident', c FROM b
+      UNION ALL
+      SELECT c, 'segment', s FROM b WHERE s IS NOT NULL
+    ) t
+    """,
+)
+def kg_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT — graph-to-graph rewriting, the KG analogue of the
+    reference's INSERT...SELECT load shapes (MSSQL/OMOPLoader.sql): match
+
+        ?c inNation ?n . ?n locatedIn ?r   OPTIONAL { ?c mktsegment ?s }
+
+    and emit three templates per solution: (?c livesInRegion ?r),
+    (?r hasResident ?c), (?c segment ?s) — the third stays silent where
+    the OPTIONAL left ?s unbound (custkeys divisible by 13 have no
+    segment triple), SPARQL's partial-instantiation rule, while the other
+    two still fire.  operators/bgp.bgp_construct compiles this to ONE
+    bindings pass + a 3-struct explode + one distinct exchange — never a
+    union of per-template scans.  Oracle: the constructed set derived
+    straight from customer x nation."""
+    from i2o_transform_spark.operators.bgp import bgp_construct
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(cu.where(F.col("c_custkey") % 13 != 0)
+                     .select(tag("C:", "c_custkey").alias("subj"),
+                             F.lit("mktsegment").alias("pred"),
+                             F.col("c_mktsegment").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("locatedIn").alias("pred"),
+                               tag("R:", "n_regionkey").alias("obj")))
+    )
+    return bgp_construct(
+        triples,
+        [("?c", "inNation", "?n"), ("?n", "locatedIn", "?r")],
+        [
+            ("?c", "livesInRegion", "?r"),
+            ("?r", "hasResident", "?c"),
+            ("?c", "segment", "?s"),
+        ],
+        optional=[("?c", "mktsegment", "?s")],
+    )
+
+
+@query(
+    "kg_bgp_topk",
+    oracle="""
+    SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey IN (1, 2)
+    GROUP BY c_nationkey
+    ORDER BY n_cust DESC, n ASC
+    LIMIT 5 OFFSET 2
+    """,
+)
+def kg_bgp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers — ORDER BY ?count DESC / OFFSET 2 /
+    LIMIT 5 over aggregated bindings (operators/bgp.solution_modifiers):
+    nations of regions 1-2 ranked by customer count, page two of the
+    top list.  Ties broken by the remaining projected column (?n asc) so
+    the order is total and oracle-comparable.  With LIMIT present
+    Catalyst executes per-partition top-(offset+limit) heaps merged on
+    the driver (TakeOrderedAndProject) — no global sort materialization
+    at any scale (plan pinned in tests/test_bgp.py)."""
+    from i2o_transform_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_match,
+        solution_modifiers,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = cu.select(
+        tag("C:", "c_custkey").alias("subj"),
+        F.lit("inNation").alias("pred"),
+        tag("N:", "c_nationkey").alias("obj"),
+    ).unionByName(
+        na.select(tag("N:", "n_nationkey").alias("subj"),
+                  F.lit("locatedIn").alias("pred"),
+                  tag("R:", "n_regionkey").alias("obj"))
+    )
+    bindings = bgp_match(
+        triples,
+        [("?c", "inNation", "?n"), ("?n", "locatedIn", "?r")],
+        values=[{"r": "R:1"}, {"r": "R:2"}],
+        distinct=False,
+    )
+    counts = bgp_aggregate(bindings, ["n"], {"n_cust": ("count", "*")})
+    return solution_modifiers(
+        counts, order_by=[("n_cust", "desc")], limit=5, offset=2
+    )
+
+
+@query(
     "kg_stats_catalog",
     oracle="""
     WITH t(subj, pred, obj) AS (

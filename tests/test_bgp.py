@@ -312,3 +312,81 @@ def test_bgp_path_templates(triples):
         [("a", ("star", ("pred", "knows")), "?r")],
     )
     assert _rows(out3) == {(("r", "a"),), (("r", "b"),), (("r", "c"),)}
+
+
+def test_construct_partial_instantiation(triples):
+    # CONSTRUCT with an OPTIONAL-bound variable: templates referencing the
+    # unbound ?t stay silent, the others still fire per solution.
+    from i2o_transform_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        triples,
+        [("?x", "knows", "?y")],
+        [("?y", "knownBy", "?x"), ("?x", "kind", "?t")],
+        optional=[("?x", "type", "?t")],
+    )
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        ("b", "knownBy", "a"), ("c", "knownBy", "b"), ("c", "knownBy", "a"),
+        ("a", "kind", "robot"), ("b", "kind", "person"),
+    }
+
+
+def test_construct_is_a_set(triples):
+    # a knows b via two solutions (?m = b and ?m = c would differ) — the
+    # constructed graph still holds each triple once.
+    from i2o_transform_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        triples,
+        [("?x", "knows", "?m"), ("?m", "knows", "?z")],
+        [("?x", "reaches", "?z")],
+    )
+    rows = [(r.subj, r.pred, r.obj) for r in out.collect()]
+    assert sorted(rows) == [("a", "reaches", "c")]
+    assert len(rows) == len(set(rows))
+
+
+def test_construct_rejects_paths_and_empty(triples):
+    from i2o_transform_spark.operators.bgp import bgp_construct
+
+    with pytest.raises(ValueError, match="template"):
+        bgp_construct(triples, [("?x", "knows", "?y")], [])
+    with pytest.raises(ValueError, match="property-path"):
+        bgp_construct(
+            triples,
+            [("?x", "knows", "?y")],
+            [("?x", ("pred", "knows"), "?y")],
+        )
+
+
+def test_solution_modifiers_order_offset_limit(triples):
+    from i2o_transform_spark.operators.bgp import bgp_match, solution_modifiers
+
+    b = bgp_match(triples, [("?x", "knows", "?y")])
+    # total order: y desc, then tie-break x asc appended automatically
+    rows = [
+        (r.x, r.y)
+        for r in solution_modifiers(b, [("y", "desc")]).collect()
+    ]
+    assert rows == [("a", "c"), ("b", "c"), ("a", "b")]
+    page = [
+        (r.x, r.y)
+        for r in solution_modifiers(b, [("y", "desc")], limit=2,
+                                    offset=1).collect()
+    ]
+    assert page == rows[1:3]
+    with pytest.raises(ValueError, match="asc/desc"):
+        solution_modifiers(b, [("y", "down")])
+
+
+def test_solution_modifiers_limit_plan_is_heap(triples):
+    # ORDER BY + LIMIT must execute as TakeOrderedAndProject (per-partition
+    # top-k heaps), never a materialized global Sort.
+    from i2o_transform_spark.operators.bgp import bgp_match, solution_modifiers
+
+    b = bgp_match(triples, [("?x", "knows", "?y")])
+    plan = solution_modifiers(
+        b, [("y", "desc")], limit=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -11,23 +11,23 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
 queries().  The union of green rows across CORRECTNESS_r01..r03 is exactly
-100 distinct ids (of 201 now registered — the r03 verdict was right that
+100 distinct ids (of 206 now registered — the r03 verdict was right that
 the earlier "large majority" claim here overstated it).  The r04
 DRIVER_WINDOW therefore holds 50 ids with NO green row in any prior round
 artifact: the type-fixed kg_shape_mining (red in r03 on oracle float
 promotion, engine values were correct), this round's new families (SPARQL
 VALUES/BIND/FILTER + aggregates, property paths inside BGP patterns,
 banded-alignment recall gate, real RVID video-frame decode, SPARQL
-CONSTRUCT), the eight SURVEY §2 ids never sampled (P5 J7 J10 A3
+CONSTRUCT/UNION/ASK/DESCRIBE/UPDATE and named-graph quads), the eight SURVEY §2 ids never sampled (P5 J7 J10 A3
 O1 F8 U2 U5), and one-to-three representatives per never-artifacted
 family: streaming windowed suite, embedding entity-link pair, prefix/
 semantic/span/URL/embedding dedup, CDC SCD-2 + temporal intervals + as-of
 snapshot, N-Triples serialize/permissive-parse, reification + property
 graph, seven graph algorithms, the QA sketch gates, BPE roundtrip, rekey
 report, multimodal metadata/pixels, PII scrub, and Hearst
-hypernyms.  A green r04 artifact lifts the union to 150/201 (75%).
+hypernyms.  A green r04 artifact lifts the union to 150/206 (73%).
 Everything else follows in original registration order and is verified by
-tests/run_oracle_check.py (full-registry sweep, 201 queries, all green at
+tests/run_oracle_check.py (full-registry sweep, 206 queries, all green at
 HEAD) instead.
 """
 
@@ -74,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "dd_semantic_recall_check",
     "dd_span_dedup",
     "dd_url_dedup",
-    "dd_embedding_cosine",
     # CDC / temporal / as-of family
     "cdc_scd2_history",
     "kg_temporal_intervals",
@@ -83,15 +82,11 @@ DRIVER_WINDOW: list[str] = [
     "nt_serialize",
     "nt_parse_permissive",
     "kg_reify_statements",
-    "kg_dereify_roundtrip",
     "pg_roundtrip",
     # graph algorithms never artifacted
     "kg_shortest_path",
     "kg_ppr_check",
     "kg_kcore",
-    "kg_harmonic_closeness",
-    "kg_local_clustering",
-    "kg_graph_digest",
     # SPARQL CONSTRUCT (new r04 family; kg_subgraph_sample yielded its
     # slot — the graph family keeps 6 representatives)
     "kg_bgp_construct",
@@ -104,6 +99,15 @@ DRIVER_WINDOW: list[str] = [
     "rk_rekey_report",
     # property paths inside BGP triple patterns (new r04 family)
     "kg_bgp_path",
+    # SPARQL close-out families (new r04): UNION / ASK / DESCRIBE / named
+    # graphs (quads) / UPDATE — swapped in for family-redundant rows
+    # (harmonic-closeness/local-clustering/graph-digest kept 3 graph reps,
+    # dereify kept reify, embedding-cosine kept 3 dd reps)
+    "kg_bgp_union",
+    "kg_bgp_ask",
+    "kg_describe",
+    "kg_quads_graph",
+    "kg_update_where",
     # multimodal metadata / pixel stats
     "mm_mixed_metadata",
     "mm_pixel_stats",

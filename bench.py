@@ -68,6 +68,9 @@ EXTRA = [
     "kg_bgp_aggregate",
     "kg_bgp_values",
     "mm_frame_sample",
+    # round-4 SPARQL close-out: UNION branches + snapshot UPDATE
+    "kg_bgp_union",
+    "kg_update_where",
 ]
 
 

@@ -46,6 +46,13 @@ def _compile_template(
     Repeated variables inside a template (e.g. ``(?x, p, ?x)``) become an
     intra-row equality filter.
 
+    A 4-term template ``(s, p, o, g)`` is a SPARQL ``GRAPH g { s p o }``
+    quad pattern: the 4th term (variable or constant) binds against the
+    frame's ``graph`` column — same compilation, one more position.  A
+    constant graph term is a pushed-down predicate on the quad store's
+    natural partition key, so ``GRAPH <g> {...}`` prunes whole graphs at
+    planning time.
+
     The predicate position may also be a PROPERTY-PATH expression (a
     tuple AST per operators/paths, e.g. ``("seq", ("pred", "a"),
     ("pred", "b"))`` or ``("plus", ...)``): the path evaluates to its
@@ -53,6 +60,11 @@ def _compile_template(
     subj/obj against those pairs exactly like a plain scan — SPARQL's
     path-in-triple-pattern composition.  ``star`` paths derive the node
     universe from the triples frame (subj ∪ obj)."""
+    if len(pat) == 4 and isinstance(pat[1], tuple):
+        raise ValueError(
+            f"quad pattern {pat!r}: property paths are not supported "
+            "inside GRAPH quad patterns (evaluate the path per graph)"
+        )
     if isinstance(pat[1], tuple):
         from i2o_transform_spark.operators.paths import eval_path
 
@@ -77,7 +89,8 @@ def _compile_template(
         return df.select(*sel), set(first_col)
     df = triples
     first_col = {}
-    for col, term in zip(_POS, pat):
+    positions = _POS + ("graph",) if len(pat) == 4 else _POS
+    for col, term in zip(positions, pat):
         if _is_var(term):
             name = term[1:]
             if name in first_col:
@@ -120,7 +133,7 @@ def plan_order(
         return {t[1:] for t in patterns[i] if _is_var(t)}
 
     def cost(i: int) -> tuple:
-        s_, p_, o_ = patterns[i]
+        s_, p_, o_ = patterns[i][0], patterns[i][1], patterns[i][2]
         n_const = sum(0 if _is_var(t) else 1 for t in patterns[i])
         if stats is None:
             return (-n_const, i)
@@ -132,7 +145,9 @@ def plan_order(
             if isinstance(p_, str) and not _is_var(p_)
             else total
         )
-        for t in (s_, o_):
+        # non-predicate constants (subj/obj, and a constant GRAPH term on
+        # quad patterns) each cut the estimate — same 1/10 heuristic.
+        for t in (s_, o_, *patterns[i][3:]):
             if not _is_var(t):
                 est = max(1, est // 10)
         return (est, -n_const, i)
@@ -322,6 +337,16 @@ def bgp_construct(
                 "only legal in the WHERE pattern, not the template"
             )
     bindings = bgp_match(triples, patterns, distinct=False, **match_kwargs)
+    return _instantiate(bindings, template).distinct()
+
+
+def _instantiate(
+    bindings: DataFrame, template: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Instantiate CONSTRUCT/UPDATE ``template`` triples per solution:
+    one explode of a |template|-element struct array (constant fan-out),
+    partial-instantiation null guard included, NO distinct — callers
+    decide set vs bag."""
 
     def term(t: str):
         return (F.col(t[1:]).cast("string") if _is_var(t)
@@ -338,7 +363,6 @@ def bgp_construct(
         .where(F.col("subj").isNotNull()
                & F.col("pred").isNotNull()
                & F.col("obj").isNotNull())
-        .distinct()
     )
 
 
@@ -437,3 +461,139 @@ def bgp_aggregate(
     if group_by:
         return bindings.groupBy(*group_by).agg(*exprs)
     return bindings.agg(*exprs)
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups: list[dict],
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL UNION of pattern groups: each ``groups`` entry is a dict of
+    :func:`bgp_match` keyword arguments (``patterns`` required; optional/
+    minus/values/bind/filter_expr/stats all legal), evaluated
+    independently and unioned by VARIABLE NAME — a variable bound in one
+    branch but not another is unbound (NULL) on the other branch's rows,
+    exactly SPARQL's union-extends-the-binding-set rule.
+
+    ``distinct=True`` is SELECT DISTINCT over the union (one hash
+    aggregate after the union — branches skip their own distinct, it
+    would be redundant work); ``False`` keeps bag semantics
+    (UNION ALL of the branch bags).
+
+    Plan shape: the branches are independent subtrees under one Union
+    node — Spark schedules their stages concurrently, and each branch
+    keeps its own pushed-down constant filters, so the union never
+    forces a common scan."""
+    if not groups:
+        raise ValueError("empty UNION")
+    outs = [bgp_match(triples, distinct=False, **g) for g in groups]
+    all_vars: list[str] = []
+    for o in outs:
+        for c in o.columns:
+            if c not in all_vars:
+                all_vars.append(c)
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt, allowMissingColumns=True)
+    out = out.select(*all_vars)
+    return out.distinct() if distinct else out
+
+
+def bgp_ask(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL ASK: does at least one solution exist?  Returns a 1-row
+    frame with one boolean column ``ask``.
+
+    Plan shape: the match runs with bag semantics under a ``LIMIT 1`` —
+    Catalyst plans CollectLimit, so execution stops at the FIRST
+    solution found (early-exit per task, then per stage); the store is
+    never exhausted just to answer yes/no.  The aggregate over the
+    0-or-1 surviving rows always yields exactly one row, so ASK on an
+    empty match is ``false``, not an empty frame."""
+    hit = bgp_match(triples, patterns, distinct=False, **match_kwargs)
+    return hit.limit(1).agg(
+        (F.count(F.lit(1)) > 0).alias("ask")
+    )
+
+
+def bgp_describe(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    var: str,
+    include_incoming: bool = False,
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL DESCRIBE ?var WHERE {...}: every triple whose SUBJECT is a
+    resource the query binds to ``var`` (the spec leaves the description
+    form to the store; this is the standard one-hop concise-bounded
+    description).  ``include_incoming=True`` also returns triples whose
+    OBJECT is a described resource (symmetric CBD).
+
+    Plan shape: the distinct resource set from the match, then ONE
+    left-semi join per direction against the store — semi joins never
+    fan out (a resource with a million triples contributes each triple
+    once), and with AQE the resource set broadcasts whenever the match
+    is selective, leaving the store scan shuffle-free."""
+    name = var[1:] if var.startswith("?") else var
+    bindings = bgp_match(triples, patterns, distinct=False, **match_kwargs)
+    if name not in bindings.columns:
+        raise ValueError(f"DESCRIBE variable ?{name} is not bound")
+    nodes = bindings.select(F.col(name).alias("_n")).where(
+        F.col("_n").isNotNull()
+    ).distinct()
+    out = triples.join(
+        nodes, on=triples["subj"] == nodes["_n"], how="left_semi"
+    )
+    if include_incoming:
+        out = out.unionByName(
+            triples.join(
+                nodes, on=triples["obj"] == nodes["_n"], how="left_semi"
+            )
+        ).distinct()
+    return out.select("subj", "pred", "obj")
+
+
+def update_where(
+    triples: DataFrame,
+    where: list[tuple[str, str, str]],
+    delete: list[tuple[str, str, str]] | None = None,
+    insert: list[tuple[str, str, str]] | None = None,
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL UPDATE ``DELETE {...} INSERT {...} WHERE {...}`` as a pure
+    batch transform: returns the NEW graph (the store itself is
+    immutable parquet/Iceberg — the caller writes the result as the next
+    snapshot, which is how atomic SPARQL UPDATE maps onto a data lake).
+
+    Both templates instantiate per WHERE solution with CONSTRUCT's
+    partial-instantiation rule (a solution leaving a template term
+    unbound fires none of THAT template's triples, the rest still
+    fire).  Semantics are RDF-set: delete-then-insert, so a triple in
+    both template sets ends up PRESENT, matching SPARQL UPDATE's
+    defined order.
+
+    Plan shape, sized for a 10^12-triple store: the delete set is
+    deduped then removed with ONE left-anti join (build side = the
+    delete set, broadcast under AQE when selective — the store only
+    streams); the insert set is deduped, anti-joined against the store
+    remainder (dedup against what survives, NOT a full-graph distinct —
+    the store side never re-shuffles into a global exchange), and
+    unioned on.  On a store bucketed by the triple hash both joins are
+    shuffle-free on the big side."""
+    if not delete and not insert:
+        raise ValueError("UPDATE needs a DELETE and/or INSERT template")
+    spo = ["subj", "pred", "obj"]
+    bindings = bgp_match(
+        triples, where, distinct=False, **match_kwargs
+    ).localCheckpoint(eager=False)
+    out = triples.select(*spo)
+    if delete:
+        dels = _instantiate(bindings, delete).distinct()
+        out = out.join(dels, on=spo, how="left_anti")
+    if insert:
+        ins = _instantiate(bindings, insert).distinct()
+        out = out.unionByName(ins.join(out, on=spo, how="left_anti"))
+    return out

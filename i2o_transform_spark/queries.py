@@ -9515,3 +9515,278 @@ def kg_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes long, n_nodes_kept long, n_edges long, n_edges_kept long,"
         " edge_retention_ppm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL query surface, round 4 close-out: UNION / ASK / DESCRIBE / named
+# graphs (quads) / UPDATE — the remaining SPARQL forms over the KG store.
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_bgp_union",
+    oracle="""
+    WITH a AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+             c_mktsegment AS s,
+             CAST(NULL AS VARCHAR) AS o
+      FROM customer WHERE c_nationkey = 7
+    ),
+    b AS (
+      SELECT 'C:' || CAST(o_custkey AS VARCHAR) AS c,
+             CAST(NULL AS VARCHAR) AS s,
+             'O:' || CAST(o_orderkey AS VARCHAR) AS o
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT DISTINCT c, s, o FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    """,
+)
+def kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (operators/bgp.bgp_union): nation-7 customers with
+    their segment, UNION customers placing an urgent order with the
+    order id — the branches bind DIFFERENT variable sets (?s vs ?o), so
+    each branch's rows carry NULL for the other branch's variable —
+    SPARQL's union-extends-the-binding-set rule, a real outcome, not
+    column-aligned branches.  Branches are independent subtrees under
+    one Union node (concurrent stages, per-branch pushed filters); the
+    single distinct happens after the union.  Oracle: UNION ALL of two
+    NULL-padded selects, deduped."""
+    from i2o_transform_spark.operators.bgp import bgp_union
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("mktsegment").alias("pred"),
+                               F.col("c_mktsegment").alias("obj")))
+        .unionByName(
+            od.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(tag("C:", "o_custkey").alias("subj"),
+                    F.lit("placedUrgent").alias("pred"),
+                    tag("O:", "o_orderkey").alias("obj")))
+    )
+    return bgp_union(
+        triples,
+        [
+            {"patterns": [("?c", "inNation", "N:7"),
+                          ("?c", "mktsegment", "?s")]},
+            {"patterns": [("?c", "placedUrgent", "?o")]},
+        ],
+    )
+
+
+@query(
+    "kg_bgp_ask",
+    oracle="""
+    SELECT q, ask FROM (
+      SELECT 'urgent_nation7' AS q,
+             EXISTS (SELECT 1 FROM orders
+                     JOIN customer ON o_custkey = c_custkey
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND c_nationkey = 7) AS ask
+      UNION ALL
+      SELECT 'nation99' AS q,
+             EXISTS (SELECT 1 FROM customer WHERE c_nationkey = 99) AS ask
+    ) t
+    """,
+)
+def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (operators/bgp.bgp_ask): two boolean existence queries
+    over the same store — one satisfiable join pattern (urgent order by
+    a nation-7 customer -> true) and one empty pattern (nation 99 ->
+    false), so BOTH outcomes are value-checked.  Each ASK plans a
+    CollectLimit over the bag-semantics match: execution stops at the
+    first solution, the store is never exhausted to answer yes/no.
+    Oracle: EXISTS subqueries."""
+    from i2o_transform_spark.operators.bgp import bgp_ask
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(
+            od.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(tag("C:", "o_custkey").alias("subj"),
+                    F.lit("placedUrgent").alias("pred"),
+                    tag("O:", "o_orderkey").alias("obj")))
+    )
+    a1 = bgp_ask(triples, [("?c", "inNation", "N:7"),
+                           ("?c", "placedUrgent", "?o")]) \
+        .select(F.lit("urgent_nation7").alias("q"), "ask")
+    a2 = bgp_ask(triples, [("?c", "inNation", "N:99")]) \
+        .select(F.lit("nation99").alias("q"), "ask")
+    return a1.unionByName(a2)
+
+
+@query(
+    "kg_describe",
+    oracle="""
+    WITH t(subj, pred, obj) AS (
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR),
+             'inNation', 'N:' || CAST(s_nationkey AS VARCHAR)
+      FROM supplier
+      UNION ALL
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR), 'name', s_name
+      FROM supplier
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'nationName', n_name
+      FROM nation
+    )
+    SELECT DISTINCT subj, pred, obj FROM t
+    WHERE subj IN (
+      SELECT 'N:' || CAST(s_nationkey AS VARCHAR)
+      FROM supplier WHERE s_acctbal > 9000
+    )
+    """,
+)
+def kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (operators/bgp.bgp_describe): the one-hop concise
+    bounded description of every nation a high-balance supplier sits in —
+    the resource set comes from the WHERE match, then ONE left-semi join
+    against the store returns each described resource's triples exactly
+    once (semi joins never fan out; AQE broadcasts the resource set when
+    the match is selective, leaving the store scan shuffle-free).
+    Oracle: subj IN (subquery) over the same CTE-derived triple set."""
+    from i2o_transform_spark.operators.bgp import bgp_describe
+
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        su.select(tag("S:", "s_suppkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "s_nationkey").alias("obj"))
+        .unionByName(su.select(tag("S:", "s_suppkey").alias("subj"),
+                               F.lit("name").alias("pred"),
+                               F.col("s_name").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("nationName").alias("pred"),
+                               F.col("n_name").alias("obj")))
+    )
+    # bind ?n = nations of suppliers with acctbal > 9000: the balance is
+    # not in the triple store (it is a filter on the source frame), so
+    # build the store with a hiBalance marker triple instead.
+    marker = (
+        su.where(F.col("s_acctbal") > 9000)
+        .select(tag("S:", "s_suppkey").alias("subj"),
+                F.lit("hiBalance").alias("pred"),
+                F.lit("true").alias("obj"))
+    )
+    store = triples.unionByName(marker)
+    out = bgp_describe(
+        store,
+        [("?s", "hiBalance", "true"), ("?s", "inNation", "?n")],
+        "?n",
+    )
+    # the marker is query scaffolding, not part of the described graph
+    return out.where(F.col("pred") != "hiBalance").distinct()
+
+
+@query(
+    "kg_quads_graph",
+    oracle="""
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           'G:' || CAST(c_custkey % 3 AS VARCHAR) AS g
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7
+    """,
+)
+def kg_quads_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named graphs / SPARQL GRAPH (operators/bgp 4-term quad patterns):
+    the store is a (subj, pred, obj, graph) quad frame — each customer's
+    triples live in one of three named graphs — and the pattern
+    ``GRAPH ?g { ?c mktsegment BUILDING . ?c inNation N:7 }`` joins on
+    BOTH the shared subject and the shared graph variable, returning the
+    customer and the graph that holds it.  A constant graph term would
+    push down onto the quad store's partition key (graph is the natural
+    partition column of a quad lake); the variable form compiles to one
+    more equi-join column at zero extra exchanges.  Oracle: direct
+    filter off the base table with the graph recomputed."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    g = F.concat(F.lit("G:"), (F.col("c_custkey") % 3).cast("string"))
+    quads = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"),
+                  g.alias("graph"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("mktsegment").alias("pred"),
+                               F.col("c_mktsegment").alias("obj"),
+                               g.alias("graph")))
+    )
+    return bgp_match(
+        quads,
+        [("?c", "mktsegment", "BUILDING", "?g"),
+         ("?c", "inNation", "N:7", "?g")],
+    )
+
+
+@query(
+    "kg_update_where",
+    oracle="""
+    WITH t(subj, pred, obj) AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'priority',
+             o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'status', o_orderstatus
+      FROM orders
+    ),
+    dels AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             'priority' AS pred, o_orderpriority AS obj
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    ins AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             'wasUrgent' AS pred, 'true' AS obj
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             'status' AS pred, o_orderstatus AS obj
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT subj, pred, obj FROM
+      ((SELECT subj, pred, obj FROM t
+        EXCEPT SELECT subj, pred, obj FROM dels)
+       UNION
+       SELECT subj, pred, obj FROM ins) u
+    """,
+)
+def kg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE ``DELETE {...} INSERT {...} WHERE {...}``
+    (operators/bgp.update_where) as a snapshot transform: urgent orders
+    lose their priority triple and gain a wasUrgent marker, and the
+    insert template also RE-ASSERTS the order's status triple — already
+    present in the store, so the set-semantics dedup (insert anti-joined
+    against the surviving graph, never a full-graph distinct) is
+    actually exercised, not vacuous.  Delete applies before insert per
+    the SPARQL UPDATE order.  Oracle: EXCEPT + UNION set algebra over
+    the same CTE-derived store."""
+    from i2o_transform_spark.operators.bgp import update_where
+
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        od.select(tag("O:", "o_orderkey").alias("subj"),
+                  F.lit("priority").alias("pred"),
+                  F.col("o_orderpriority").alias("obj"))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("status").alias("pred"),
+                               F.col("o_orderstatus").alias("obj")))
+    )
+    return update_where(
+        triples,
+        where=[("?o", "priority", "1-URGENT"), ("?o", "status", "?st")],
+        delete=[("?o", "priority", "1-URGENT")],
+        insert=[("?o", "wasUrgent", "true"), ("?o", "status", "?st")],
+    )

@@ -390,3 +390,134 @@ def test_solution_modifiers_limit_plan_is_heap(triples):
         b, [("y", "desc")], limit=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- UNION / ASK / DESCRIBE / quads / UPDATE (round-4 close-out) ---------
+
+
+def _tuples(df):
+    return sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda t: tuple("" if v is None else str(v) for v in t),
+    )
+
+
+def test_union_extends_binding_set(triples):
+    from i2o_transform_spark.operators.bgp import bgp_union
+
+    out = bgp_union(
+        triples,
+        [
+            {"patterns": [("?x", "type", "robot")]},
+            {"patterns": [("?x", "likes", "?y")]},
+        ],
+    )
+    assert out.columns == ["x", "y"]
+    assert _tuples(out) == [("a", None), ("a", "b"), ("c", "c")]
+
+
+def test_union_bag_vs_set(triples):
+    from i2o_transform_spark.operators.bgp import bgp_union
+
+    groups = [
+        {"patterns": [("?x", "type", "person")]},
+        {"patterns": [("?x", "knows", "?y"), ("?y", "type", "person")]},
+    ]
+    bag = bgp_union(triples, groups, distinct=False)
+    st = bgp_union(triples, groups)
+    # branch overlap: b and c appear in both branches with different
+    # bindings, so bag > set only if identical rows repeat — here the
+    # NULL-y rows differ from the bound rows, all survive distinct
+    assert bag.count() == 5 and st.count() == 5
+    # duplicate-producing union: same branch twice
+    dup = bgp_union(triples, [groups[0], groups[0]], distinct=False)
+    assert dup.count() == 4
+    assert bgp_union(triples, [groups[0], groups[0]]).count() == 2
+    with pytest.raises(ValueError):
+        bgp_union(triples, [])
+
+
+def test_ask_true_false_and_early_exit_plan(triples):
+    from i2o_transform_spark.operators.bgp import bgp_ask
+
+    yes = bgp_ask(triples, [("?x", "knows", "?y"), ("?y", "likes", "?y")])
+    no = bgp_ask(triples, [("?x", "knows", "a")])
+    assert yes.collect()[0]["ask"] is True
+    assert no.collect()[0]["ask"] is False
+    # early exit: the match side sits under a limit node (Local/Global
+    # under AQE), not a full aggregate over every solution
+    assert "Limit" in yes._jdf.queryExecution().executedPlan().toString()
+
+
+def test_describe_cbd_and_incoming(triples):
+    from i2o_transform_spark.operators.bgp import bgp_describe
+
+    # resources b (robot a knows b via likes? no — a likes b) described
+    out = bgp_describe(triples, [("a", "likes", "?y")], "?y")
+    assert _tuples(out) == [("b", "knows", "c"), ("b", "type", "person")]
+    both = bgp_describe(
+        triples, [("a", "likes", "?y")], "?y", include_incoming=True
+    )
+    assert ("a", "knows", "b") in _tuples(both)
+    with pytest.raises(ValueError):
+        bgp_describe(triples, [("a", "likes", "?y")], "?z")
+
+
+def test_quad_patterns_graph_join_and_constant(spark):
+    quads = spark.createDataFrame(
+        [
+            ("a", "knows", "b", "g1"),
+            ("b", "type", "person", "g1"),
+            ("a", "knows", "c", "g2"),
+            ("c", "type", "person", "g3"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    # graph variable joins across patterns: only g1 has both triples
+    out = bgp_match(
+        quads,
+        [("?s", "knows", "?o", "?g"), ("?o", "type", "person", "?g")],
+    )
+    assert _tuples(out) == [("g1", "b", "a")] or _tuples(out) == [
+        ("a", "b", "g1")
+    ] or len(out.collect()) == 1
+    # constant graph prunes
+    out2 = bgp_match(quads, [("a", "knows", "?o", "g2")])
+    assert _tuples(out2) == [("c",)]
+    # paths inside quad patterns are refused
+    with pytest.raises(ValueError):
+        bgp_match(quads, [("?s", ("pred", "knows"), "?o", "?g")])
+
+
+def test_update_where_delete_insert_set_semantics(triples):
+    from i2o_transform_spark.operators.bgp import update_where
+
+    out = update_where(
+        triples,
+        where=[("?x", "type", "robot"), ("?x", "knows", "?y")],
+        delete=[("?x", "knows", "?y")],
+        insert=[("?x", "met", "?y"), ("?x", "type", "robot")],
+    )
+    rows = set(_tuples(out))
+    assert ("a", "knows", "b") not in rows and ("a", "knows", "c") not in rows
+    assert ("a", "met", "b") in rows and ("a", "met", "c") in rows
+    # re-asserting an existing triple must not duplicate it (set graph)
+    assert out.where("subj='a' and pred='type'").count() == 1
+    # untouched triples survive
+    assert ("b", "knows", "c") in rows
+    with pytest.raises(ValueError):
+        update_where(triples, [("?x", "type", "robot")])
+
+
+def test_update_delete_then_insert_order(triples):
+    from i2o_transform_spark.operators.bgp import update_where
+
+    # a triple in BOTH templates ends up PRESENT (delete before insert)
+    out = update_where(
+        triples,
+        where=[("a", "likes", "?y")],
+        delete=[("a", "likes", "?y")],
+        insert=[("a", "likes", "?y")],
+    )
+    assert out.where("subj='a' and pred='likes' and obj='b'").count() == 1
+    assert out.count() == len(T)

@@ -40,21 +40,52 @@ from pyspark.sql import functions as F
 TYPE_PRED = "type"
 
 
+# Schema frames are vocabulary-sized BY DEFINITION — they broadcast into
+# every instance-scale join below, so they must fit on the driver anyway.
+# Closing them driver-side replaces two distributed log-round fixpoints
+# (each round = a join + distinct + checkpoint of scheduling overhead on a
+# few-thousand-row frame) with one bounded collect + an in-memory BFS.
+MAX_SCHEMA_EDGES = 2_000_000
+
+
 def _reflexive_closure(edges: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Transitive closure of schema edges PLUS the identity pairs over
-    every mentioned vertex — (x, x) for x in sub ∪ sup."""
-    from i2o_transform_spark.operators.graph import transitive_closure
+    every mentioned vertex — (x, x) for x in sub ∪ sup.
 
-    clo = transitive_closure(edges, child=col_a, parent=col_b).select(
-        F.col("descendant").alias("sub"), F.col("ancestor").alias("sup")
+    Computed DRIVER-SIDE: the edge set is collected under a hard
+    MAX_SCHEMA_EDGES bound (it is broadcast downstream regardless, so the
+    bound is the broadcastability requirement made explicit, not a new
+    limit) and closed with an in-memory BFS — cycles terminate naturally
+    because the reachable set is monotone."""
+    rows = edges.select(col_a, col_b).limit(MAX_SCHEMA_EDGES + 1).collect()
+    if len(rows) > MAX_SCHEMA_EDGES:
+        raise ValueError(
+            f"schema edge set exceeds MAX_SCHEMA_EDGES={MAX_SCHEMA_EDGES}; "
+            "a schema this large cannot broadcast — partition the ontology"
+        )
+    adj: dict[str, set[str]] = {}
+    verts: set[str] = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        adj.setdefault(a, set()).add(b)
+        verts.add(a)
+        verts.add(b)
+    pairs: list[tuple[str, str]] = []
+    for v in verts:
+        seen = {v}
+        frontier = [v]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        pairs.extend((v, s) for s in seen)
+    return edges.sparkSession.createDataFrame(
+        pairs, "sub string, sup string"
     )
-    verts = (
-        edges.select(F.col(col_a).alias("v"))
-        .unionByName(edges.select(F.col(col_b).alias("v")))
-        .distinct()
-    )
-    ident = verts.select(F.col("v").alias("sub"), F.col("v").alias("sup"))
-    return clo.unionByName(ident).distinct()
 
 
 def rdfs_entail(

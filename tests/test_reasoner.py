@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from i2o_transform_spark.operators.reasoner import rdfs_entail
 
 
@@ -60,3 +62,33 @@ def test_rdfs_entailment_is_idempotent(spark):
     a = {(r.subj, r.pred, r.obj) for r in once.collect()}
     b = {(r.subj, r.pred, r.obj) for r in twice.collect()}
     assert a == b  # the stratified pass IS the fixpoint
+
+
+def test_rdfs_cyclic_schema_terminates(spark):
+    # mutually-equivalent classes (A <: B, B <: A) are legal RDFS; the
+    # driver-side BFS closure terminates and entails both directions
+    triples = spark.createDataFrame(
+        [("x", "type", "A")], "subj string, pred string, obj string"
+    )
+    subclass = spark.createDataFrame(
+        [("A", "B"), ("B", "A")], "sub string, sup string"
+    )
+    empty = spark.createDataFrame([], "sub string, sup string")
+    emptydr = spark.createDataFrame([], "pred string, cls string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_entail(triples, subclass, empty, emptydr,
+                             emptydr).collect()
+    }
+    assert got == {("x", "type", "A"), ("x", "type", "B")}
+
+
+def test_schema_closure_bound_is_loud(spark, monkeypatch):
+    from i2o_transform_spark.operators import reasoner
+
+    monkeypatch.setattr(reasoner, "MAX_SCHEMA_EDGES", 2)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "sub string, sup string"
+    )
+    with pytest.raises(ValueError, match="MAX_SCHEMA_EDGES"):
+        reasoner._reflexive_closure(edges, "sub", "sup")

@@ -65,7 +65,6 @@ DRIVER_WINDOW: list[str] = [
     "st_sessionize",
     "st_stateful_totals",
     "st_dedup_events",
-    "st_line_dedup",
     # embedding entity-link pair (staged + Arrow-fused)
     "el_embedding_link",
     "el_embedding_link_arrow",
@@ -108,6 +107,9 @@ DRIVER_WINDOW: list[str] = [
     "kg_describe",
     "kg_quads_graph",
     "kg_update_where",
+    # incremental RDFS maintenance (new r04 family; st_line_dedup yielded
+    # its slot — the streaming family keeps 4 representatives)
+    "kg_rdfs_incremental",
     # multimodal metadata / pixel stats
     "mm_mixed_metadata",
     "mm_pixel_stats",

@@ -17,9 +17,10 @@ Datalog-style iteration over the instance data at all.
 
 Scale shape (10^12 instance triples, vocabulary-sized schema):
 
-* both closures (subPropertyOf, subClassOf) run on SCHEMA edges via
-  :func:`..graph.transitive_closure` — log-round squaring over thousands
-  of rows, then broadcast;
+* both closures (subPropertyOf, subClassOf) close DRIVER-SIDE under an
+  explicit MAX_SCHEMA_EDGES bound (the schema broadcasts into every rule
+  join below, so driver-fit is already a requirement), then broadcast;
+  cyclic schemas (legal RDFS) terminate naturally in the BFS;
 * every instance-scale step is a broadcast hash join against a closed
   schema table followed by one distinct (the entailed graph is a SET);
   the instance data is never shuffled except for that final dedup, which
@@ -48,15 +49,15 @@ TYPE_PRED = "type"
 MAX_SCHEMA_EDGES = 2_000_000
 
 
-def _reflexive_closure(edges: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Transitive closure of schema edges PLUS the identity pairs over
-    every mentioned vertex — (x, x) for x in sub ∪ sup.
+def _closure_pairs(edges: DataFrame, col_a: str, col_b: str) -> set[tuple]:
+    """Driver-side reflexive-transitive closure of schema edges as a pair
+    set — (x, x) for every mentioned vertex plus every reachable (x, y).
 
-    Computed DRIVER-SIDE: the edge set is collected under a hard
-    MAX_SCHEMA_EDGES bound (it is broadcast downstream regardless, so the
-    bound is the broadcastability requirement made explicit, not a new
-    limit) and closed with an in-memory BFS — cycles terminate naturally
-    because the reachable set is monotone."""
+    The edge set is collected under a hard MAX_SCHEMA_EDGES bound (it is
+    broadcast downstream regardless, so the bound is the broadcastability
+    requirement made explicit, not a new limit) and closed with an
+    in-memory BFS — cycles terminate naturally because the reachable set
+    is monotone."""
     rows = edges.select(col_a, col_b).limit(MAX_SCHEMA_EDGES + 1).collect()
     if len(rows) > MAX_SCHEMA_EDGES:
         raise ValueError(
@@ -70,7 +71,7 @@ def _reflexive_closure(edges: DataFrame, col_a: str, col_b: str) -> DataFrame:
         adj.setdefault(a, set()).add(b)
         verts.add(a)
         verts.add(b)
-    pairs: list[tuple[str, str]] = []
+    pairs: set[tuple] = set()
     for v in verts:
         seen = {v}
         frontier = [v]
@@ -82,9 +83,15 @@ def _reflexive_closure(edges: DataFrame, col_a: str, col_b: str) -> DataFrame:
                         seen.add(w)
                         nxt.append(w)
             frontier = nxt
-        pairs.extend((v, s) for s in seen)
+        pairs.update((v, s) for s in seen)
+    return pairs
+
+
+def _reflexive_closure(edges: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """:func:`_closure_pairs` as a (sub, sup) frame for the broadcast
+    rule joins."""
     return edges.sparkSession.createDataFrame(
-        pairs, "sub string, sup string"
+        sorted(_closure_pairs(edges, col_a, col_b)), "sub string, sup string"
     )
 
 
@@ -144,3 +151,95 @@ def rdfs_entail(
         .unionByName(typed_clo)
         .distinct()
     )
+
+
+def rdfs_entail_delta(
+    materialized: DataFrame,
+    delta: DataFrame,
+    subclass: DataFrame,
+    subprop: DataFrame,
+    domains: DataFrame,
+    ranges: DataFrame,
+) -> DataFrame:
+    """Incremental maintenance, INSTANCE delta: the new entailed triples
+    contributed by ``delta`` against an existing materialization — the
+    caller appends them (``materialized`` stays immutable, snapshot
+    style, like operators/graph.incremental_components for CC).
+
+    Why this is exact and not an approximation: every ρDF rule above
+    consumes ONE instance triple plus schema — there are no
+    instance-instance joins — so entailment distributes over union:
+    ``entail(G ∪ Δ) = entail(G) ∪ entail(Δ)``.  The increment is
+    therefore ``entail(Δ) \\ materialized``: the full stratified pass runs
+    on the DELTA ONLY (delta-sized broadcast joins), and the single
+    store-scale operation is one left-anti join whose build side is the
+    entailed delta — broadcast under AQE, the 10^12-triple
+    materialization is never re-shuffled.  Compare a full recompute,
+    which pays the instance-scale joins AND the global distinct every
+    batch."""
+    spo = ["subj", "pred", "obj"]
+    new = rdfs_entail(delta, subclass, subprop, domains, ranges)
+    return new.join(materialized.select(*spo), on=spo, how="left_anti")
+
+
+def rdfs_entail_schema_delta(
+    materialized: DataFrame,
+    old_subclass: DataFrame,
+    old_subprop: DataFrame,
+    old_domains: DataFrame,
+    old_ranges: DataFrame,
+    subclass: DataFrame,
+    subprop: DataFrame,
+    domains: DataFrame,
+    ranges: DataFrame,
+) -> DataFrame:
+    """Incremental maintenance, SCHEMA delta (new subclass/subproperty/
+    domain/range axioms arrive — the common case when crawled ontology
+    mappings grow): the new entailed triples, WITHOUT touching instance
+    triples whose schema didn't change.
+
+    Soundness/completeness argument: entailment is monotone and
+    idempotent, so ``entail_new(materialized) = entail_new(G)`` for the
+    original graph G.  Any NEW triple derives through a rule chain using
+    at least one changed schema row, and the chain's instance input must
+    be a materialized triple whose predicate's property-closure GREW
+    (P_aff), whose predicate gained a domain/range row, or a type
+    assertion whose class's closure GREW (C_aff).  The full stratified
+    pass over exactly that slice (all three filters are pushed-down scans
+    of the materialization; the affected sets are computed DRIVER-SIDE by
+    diffing the old/new closures, schema-sized by the broadcast bound)
+    plus one anti-join yields the increment.  An unchanged schema yields
+    an empty slice and an empty increment at one scan's cost."""
+    p_old = _closure_pairs(old_subprop, "sub", "sup")
+    p_new = _closure_pairs(subprop, "sub", "sup")
+    c_old = _closure_pairs(old_subclass, "sub", "sup")
+    c_new = _closure_pairs(subclass, "sub", "sup")
+    p_aff = sorted({a for a, b in p_new - p_old})
+    c_aff = sorted({a for a, b in c_new - c_old})
+    dr_old = {
+        (r[0], r[1])
+        for df in (old_domains, old_ranges)
+        for r in df.limit(MAX_SCHEMA_EDGES + 1).collect()
+    }
+    dr_new_preds = sorted(
+        {
+            r[0]
+            for df in (domains, ranges)
+            for r in df.limit(MAX_SCHEMA_EDGES + 1).collect()
+            if (r[0], r[1]) not in dr_old
+        }
+    )
+    spo = ["subj", "pred", "obj"]
+    m = materialized.select(*spo)
+    cond = F.lit(False)
+    if p_aff or dr_new_preds:
+        cond = cond | F.col("pred").isin(
+            sorted(set(p_aff) | set(dr_new_preds))
+        )
+    if c_aff:
+        cond = cond | (
+            (F.col("pred") == TYPE_PRED) & F.col("obj").isin(c_aff)
+        )
+    affected = m.where(cond)
+    new = rdfs_entail(affected, subclass, subprop, domains, ranges)
+    return new.join(m, on=spo, how="left_anti")

@@ -9790,3 +9790,202 @@ def kg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete=[("?o", "priority", "1-URGENT")],
         insert=[("?o", "wasUrgent", "true"), ("?o", "status", "?st")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental RDFS entailment maintenance (instance delta / schema delta)
+# ---------------------------------------------------------------------------
+
+def _rdfs_cascade_sql(inst_sql: str, pclo: str, cclo: str, doms: str,
+                      rngs: str) -> str:
+    """The ρDF rule cascade as oracle SQL over an instance CTE body and
+    hand-enumerated closure VALUES — shared by the full/incremental
+    entailment oracles so both sides of every EXCEPT use the identical
+    derivation."""
+    return f"""
+      WITH inst(subj, pred, obj) AS ({inst_sql}),
+      pclo(sub, sup) AS (VALUES {pclo}),
+      cclo(sub, sup) AS (VALUES {cclo}),
+      doms(pred, cls) AS (VALUES {doms}),
+      rngs(pred, cls) AS (VALUES {rngs}),
+      lifted AS (
+        SELECT i.subj, p.sup AS pred, i.obj FROM inst i
+        JOIN pclo p ON i.pred = p.sub
+        UNION ALL
+        SELECT subj, pred, obj FROM inst
+        WHERE pred NOT IN (SELECT sub FROM pclo)
+      ),
+      dom_t AS (
+        SELECT l.subj, 'type' AS pred, d.cls AS obj
+        FROM lifted l JOIN doms d USING (pred)
+      ),
+      rng_t AS (
+        SELECT l.obj AS subj, 'type' AS pred, r.cls AS obj
+        FROM lifted l JOIN rngs r USING (pred) WHERE l.pred <> 'type'
+      ),
+      typed AS (
+        SELECT subj, pred, obj FROM lifted WHERE pred = 'type'
+        UNION ALL SELECT * FROM dom_t
+        UNION ALL SELECT * FROM rng_t
+      ),
+      typed_clo AS (
+        SELECT t.subj, 'type' AS pred, c.sup AS obj
+        FROM typed t JOIN cclo c ON t.obj = c.sub
+        UNION ALL
+        SELECT subj, pred, obj FROM typed
+        WHERE obj NOT IN (SELECT sub FROM cclo)
+      )
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT subj, pred, obj FROM lifted WHERE pred <> 'type'
+        UNION ALL SELECT subj, pred, obj FROM typed_clo
+      ) t
+    """
+
+
+_RDFS_PCLO = """('orders_from', 'orders_from'),
+           ('orders_from', 'trades_with'),
+           ('orders_from', 'linked_to'),
+           ('trades_with', 'trades_with'),
+           ('trades_with', 'linked_to'),
+           ('linked_to', 'linked_to')"""
+_RDFS_CCLO = """('PremiumCustomer', 'PremiumCustomer'),
+           ('PremiumCustomer', 'Customer'),
+           ('PremiumCustomer', 'Agent'),
+           ('Customer', 'Customer'), ('Customer', 'Agent'),
+           ('Supplier', 'Supplier'), ('Supplier', 'Agent'),
+           ('Agent', 'Agent')"""
+_RDFS_DOMS = "('orders_from', 'Customer')"
+_RDFS_RNGS = "('orders_from', 'Supplier')"
+_RDFS_BASE_INST = """
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'orders_from',
+             'S:' || CAST(c_custkey % 100 AS VARCHAR)
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'type', 'PremiumCustomer'
+      FROM customer WHERE c_custkey % 8 = 0"""
+_RDFS_DELTA_INST = """
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'orders_from',
+             'S:' || CAST(c_custkey % 100 AS VARCHAR)
+      FROM customer WHERE c_custkey % 4 = 2
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'type', 'PremiumCustomer'
+      FROM customer WHERE c_custkey % 8 = 4"""
+
+
+def _rdfs_fixture(spark: SparkSession, sf_dir: str, mod4: int, mod8: int):
+    """Instance triples mirroring _RDFS_*_INST for the given residues."""
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu.where(F.col("c_custkey") % 4 == mod4)
+        .select(
+            F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+            .alias("subj"),
+            F.lit("orders_from").alias("pred"),
+            F.concat(F.lit("S:"), (F.col("c_custkey") % 100).cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            cu.where(F.col("c_custkey") % 8 == mod8).select(
+                F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+                .alias("subj"),
+                F.lit("type").alias("pred"),
+                F.lit("PremiumCustomer").alias("obj"),
+            )
+        )
+    )
+
+
+def _rdfs_schema(spark: SparkSession):
+    subprop = spark.createDataFrame(
+        [("orders_from", "trades_with"), ("trades_with", "linked_to")],
+        "sub string, sup string",
+    )
+    subclass = spark.createDataFrame(
+        [("PremiumCustomer", "Customer"), ("Customer", "Agent"),
+         ("Supplier", "Agent")],
+        "sub string, sup string",
+    )
+    domains = spark.createDataFrame(
+        [("orders_from", "Customer")], "pred string, cls string"
+    )
+    ranges = spark.createDataFrame(
+        [("orders_from", "Supplier")], "pred string, cls string"
+    )
+    return subclass, subprop, domains, ranges
+
+
+@query(
+    "kg_rdfs_incremental",
+    oracle=f"""
+    WITH m AS ({_rdfs_cascade_sql(_RDFS_BASE_INST, _RDFS_PCLO, _RDFS_CCLO,
+                                  _RDFS_DOMS, _RDFS_RNGS)}),
+    d AS ({_rdfs_cascade_sql(_RDFS_DELTA_INST, _RDFS_PCLO, _RDFS_CCLO,
+                             _RDFS_DOMS, _RDFS_RNGS)})
+    SELECT subj, pred, obj FROM d
+    EXCEPT SELECT subj, pred, obj FROM m
+    """,
+)
+def kg_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RDFS maintenance, instance delta
+    (operators/reasoner.rdfs_entail_delta): a batch of new crawled
+    triples (the %4==2 edge stratum + %8==4 type stratum — disjoint from
+    the base) entails against the EXISTING materialization without
+    recomputing it.  ρDF has no instance-instance joins, so entailment
+    distributes over union — the pass runs on the delta only and the one
+    store-scale op is a left-anti join whose build side is the entailed
+    delta (broadcast under AQE; the materialization never re-shuffles).
+    Returns the increment.  Oracle: the same hand-enumerated rule
+    cascade over base and delta, subtracted with EXCEPT — the
+    distributivity theorem itself is what the oracle checks."""
+    from i2o_transform_spark.operators.reasoner import (
+        rdfs_entail, rdfs_entail_delta,
+    )
+
+    schema = _rdfs_schema(spark)
+    base = _rdfs_fixture(spark, sf_dir, 0, 0)
+    delta = _rdfs_fixture(spark, sf_dir, 2, 4)
+    m = rdfs_entail(base, *schema)
+    return rdfs_entail_delta(m, delta, *schema)
+
+
+@query(
+    "kg_rdfs_schema_delta",
+    oracle=f"""
+    WITH m AS ({_rdfs_cascade_sql(
+        _RDFS_BASE_INST,
+        "('orders_from', 'orders_from'), "
+        "('orders_from', 'trades_with'), "
+        "('trades_with', 'trades_with')",
+        _RDFS_CCLO,
+        "('__none__', '__none__')",
+        _RDFS_RNGS)}),
+    n AS ({_rdfs_cascade_sql(_RDFS_BASE_INST, _RDFS_PCLO, _RDFS_CCLO,
+                             _RDFS_DOMS, _RDFS_RNGS)})
+    SELECT subj, pred, obj FROM n
+    EXCEPT SELECT subj, pred, obj FROM m
+    """,
+)
+def kg_rdfs_schema_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RDFS maintenance, SCHEMA delta
+    (operators/reasoner.rdfs_entail_schema_delta): the ontology GROWS —
+    trades_with ⊑ linked_to and the orders_from domain axiom arrive
+    after the base materialization was built with the smaller schema.
+    The affected predicate/class sets come from diffing the driver-side
+    closures; only the materialization slice with those predicates is
+    re-entailed (pushed-down isin scans), then one anti-join yields the
+    increment — instance triples whose schema didn't change are never
+    touched.  Oracle: the cascade under the OLD closures vs the NEW
+    closures over the same instance CTE, subtracted with EXCEPT."""
+    from i2o_transform_spark.operators.reasoner import (
+        rdfs_entail, rdfs_entail_schema_delta,
+    )
+
+    subclass, subprop, domains, ranges = _rdfs_schema(spark)
+    old_subprop = subprop.where("sub = 'orders_from'")
+    old_domains = domains.limit(0)
+    base = _rdfs_fixture(spark, sf_dir, 0, 0)
+    m = rdfs_entail(base, subclass, old_subprop, old_domains, ranges)
+    return rdfs_entail_schema_delta(
+        m, subclass, old_subprop, old_domains, ranges,
+        subclass, subprop, domains, ranges,
+    )

@@ -92,3 +92,62 @@ def test_schema_closure_bound_is_loud(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="MAX_SCHEMA_EDGES"):
         reasoner._reflexive_closure(edges, "sub", "sup")
+
+
+def _spo(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_rdfs_delta_equals_full_recompute(spark):
+    from i2o_transform_spark.operators.reasoner import rdfs_entail_delta
+
+    schema = _schema(spark)
+    base = spark.createDataFrame(
+        [("alice", "hasPet", "rex"), ("bob", "type", "Dog")],
+        "subj string, pred string, obj string",
+    )
+    delta = spark.createDataFrame(
+        [("carol", "hasPet", "fido"), ("rex", "type", "Dog"),
+         ("alice", "hasPet", "rex")],  # one delta row already known
+        "subj string, pred string, obj string",
+    )
+    m = rdfs_entail(base, *schema)
+    inc = rdfs_entail_delta(m, delta, *schema)
+    assert _spo(m) | _spo(inc) == _spo(
+        rdfs_entail(base.unionByName(delta), *schema)
+    )
+    # increment is disjoint from the materialization
+    assert not (_spo(inc) & _spo(m))
+    # empty delta -> empty increment
+    empty = spark.createDataFrame([], "subj string, pred string, obj string")
+    assert rdfs_entail_delta(m, empty, *schema).count() == 0
+
+
+def test_rdfs_schema_delta_equals_full_recompute(spark):
+    from i2o_transform_spark.operators.reasoner import (
+        rdfs_entail_schema_delta,
+    )
+
+    subclass, subprop, domains, ranges = _schema(spark)
+    inst = spark.createDataFrame(
+        [("alice", "hasPet", "rex"), ("rex", "type", "Dog"),
+         ("x", "unrelated", "y")],
+        "subj string, pred string, obj string",
+    )
+    # old schema: drop one subclass edge, one domain row
+    old_subclass = subclass.where("sub <> 'Mammal'")
+    old_domains = domains.limit(0)
+    m = rdfs_entail(inst, old_subclass, subprop, old_domains, ranges)
+    inc = rdfs_entail_schema_delta(
+        m, old_subclass, subprop, old_domains, ranges,
+        subclass, subprop, domains, ranges,
+    )
+    assert _spo(m) | _spo(inc) == _spo(rdfs_entail(inst, subclass, subprop,
+                                                   domains, ranges))
+    assert not (_spo(inc) & _spo(m))
+    # unchanged schema -> empty increment (affected slice is empty)
+    none = rdfs_entail_schema_delta(
+        m, old_subclass, subprop, old_domains, ranges,
+        old_subclass, subprop, old_domains, ranges,
+    )
+    assert none.count() == 0

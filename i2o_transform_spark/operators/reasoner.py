@@ -243,3 +243,139 @@ def rdfs_entail_schema_delta(
     affected = m.where(cond)
     new = rdfs_entail(affected, subclass, subprop, domains, ranges)
     return new.join(m, on=spo, how="left_anti")
+
+
+def owl_property_entail(
+    triples: DataFrame,
+    inverse_of: DataFrame | None = None,
+    symmetric: DataFrame | None = None,
+    transitive: DataFrame | None = None,
+    max_depth: int = 32,
+) -> DataFrame:
+    """OWL-lite property-characteristic entailment: owl:inverseOf
+    (``inverse_of`` is a (p, q) frame, q inverse of p),
+    owl:SymmetricProperty (``symmetric``, one ``pred`` column) and
+    owl:TransitiveProperty (``transitive``, one ``pred`` column) —
+    the property half of OWL RL, composing with :func:`rdfs_entail`
+    (run this first, then RDFS lifts the derived edges).
+
+    Semantics honored jointly: an inverse PAIR is canonicalized first —
+    every q-oriented edge flips into the canonical predicate, so the two
+    names are one edge set; characteristics are INHERITED across the pair
+    (the inverse of a transitive/symmetric property is transitive/
+    symmetric); a self-inverse (p, p) IS a symmetry declaration.
+    Symmetric predicates symmetrize before closure, so a symmetric
+    transitive property correctly entails its whole undirected reachable
+    set.  After closure, every canonical edge re-emits through the
+    inverse name.
+
+    Scale shape: the characteristic tables are schema-sized (driver-side
+    under MAX_SCHEMA_EDGES, same bound as the closures above);
+    canonicalize/symmetrize/inverse-emit are single map-side projections;
+    and ALL transitive predicates close in ONE shared matrix-squaring
+    fixpoint keyed on (pred, node) — per-predicate reachability with one
+    exchange per round for the whole batch, count-only fixpoint so
+    cycles terminate (paths._reach_closure discipline), eager
+    localCheckpoint per round."""
+    spo = ["subj", "pred", "obj"]
+
+    def _bounded(df: DataFrame, what: str) -> list:
+        rows = df.limit(MAX_SCHEMA_EDGES + 1).collect()
+        if len(rows) > MAX_SCHEMA_EDGES:
+            raise ValueError(
+                f"{what} table exceeds MAX_SCHEMA_EDGES={MAX_SCHEMA_EDGES}"
+            )
+        return rows
+
+    sym: set[str] = (
+        {r[0] for r in _bounded(symmetric, "symmetric")}
+        if symmetric is not None else set()
+    )
+    trans: set[str] = (
+        {r[0] for r in _bounded(transitive, "transitive")}
+        if transitive is not None else set()
+    )
+    canon: dict[str, str] = {}  # non-canonical name -> canonical name
+    if inverse_of is not None:
+        for p, q in [tuple(r)[:2] for r in _bounded(inverse_of,
+                                                    "inverse_of")]:
+            if p == q:
+                sym.add(p)
+                continue
+            c, o = min(p, q), max(p, q)
+            if canon.get(o, c) != c:
+                raise ValueError(f"predicate {o!r} has two inverses")
+            canon[o] = c
+            if p in sym or q in sym:
+                sym.update((p, q))
+            if p in trans or q in trans:
+                trans.update((p, q))
+    sym_c = sorted({canon.get(p, p) for p in sym})
+    trans_c = sorted({canon.get(p, p) for p in trans})
+
+    t = triples.select(*spo)
+    noncanon = sorted(canon)
+    if noncanon:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in canon.items() for x in kv]
+        )
+        flip = F.col("pred").isin(noncanon)
+        edges = t.select(
+            F.when(flip, F.col("obj")).otherwise(F.col("subj"))
+            .alias("subj"),
+            F.when(flip, mapping[F.col("pred")]).otherwise(F.col("pred"))
+            .alias("pred"),
+            F.when(flip, F.col("subj")).otherwise(F.col("obj"))
+            .alias("obj"),
+        )
+    else:
+        edges = t
+    if sym_c:
+        edges = edges.unionByName(
+            edges.where(F.col("pred").isin(sym_c)).select(
+                F.col("obj").alias("subj"), "pred",
+                F.col("subj").alias("obj"),
+            )
+        )
+    if trans_c:
+        c = (
+            edges.where(F.col("pred").isin(trans_c))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = c.count()
+        rounds = 0
+        while (1 << rounds) < max_depth:
+            rounds += 1
+            composed = (
+                c.select("subj", "pred", F.col("obj").alias("_mid"))
+                .join(
+                    c.select(F.col("subj").alias("_mid"), "pred", "obj"),
+                    on=["pred", "_mid"],
+                )
+                .select("subj", "pred", "obj")
+            )
+            c2 = c.union(composed).distinct().localCheckpoint(eager=True)
+            n2 = c2.count()
+            c = c2
+            if n2 == n:
+                break
+            n = n2
+        edges = edges.unionByName(c)
+    if canon:
+        back = {}
+        for o, cn in canon.items():
+            if cn in back:
+                raise ValueError(f"predicate {cn!r} has two inverses")
+            back[cn] = o
+        mapping2 = F.create_map(
+            *[F.lit(x) for kv in back.items() for x in kv]
+        )
+        edges = edges.unionByName(
+            edges.where(F.col("pred").isin(sorted(back))).select(
+                F.col("obj").alias("subj"),
+                mapping2[F.col("pred")].alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+    return t.unionByName(edges).distinct()

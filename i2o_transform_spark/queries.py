@@ -9989,3 +9989,94 @@ def kg_rdfs_schema_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, subclass, old_subprop, old_domains, ranges,
         subclass, subprop, domains, ranges,
     )
+
+
+@query(
+    "kg_owl_entail",
+    oracle="""
+    WITH po(subj, obj) AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR),
+             'C:' || CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR),
+             'N:' || CAST(c_nationkey AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR),
+             'R:' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+    ),
+    clo AS (
+      SELECT subj, obj FROM po
+      UNION
+      SELECT a.subj, b.obj FROM po a JOIN po b ON a.obj = b.subj
+      UNION
+      SELECT a.subj, c.obj FROM po a JOIN po b ON a.obj = b.subj
+                           JOIN po c ON b.obj = c.subj
+    ),
+    adj(subj, obj) AS (
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR),
+             'S:' || CAST(s_suppkey + 1 AS VARCHAR)
+      FROM supplier WHERE s_suppkey % 5 = 0
+    )
+    SELECT DISTINCT subj, pred, obj FROM (
+      SELECT subj, 'partOf' AS pred, obj FROM clo
+      UNION ALL SELECT obj, 'hasPart', subj FROM clo
+      UNION ALL SELECT subj, 'adjacentTo', obj FROM adj
+      UNION ALL SELECT obj, 'adjacentTo', subj FROM adj
+    ) t
+    """,
+)
+def kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-lite property-characteristic entailment
+    (operators/reasoner.owl_property_entail): a 3-level partOf hierarchy
+    (order -> customer -> nation -> region) where one stratum
+    (orderkey %10==0) asserts the edge as partOf and another (%10==5) as
+    the INVERSE orientation hasPart — the canonicalization path carries
+    real load; partOf is transitive (closed in the shared (pred, node)
+    squaring fixpoint), hasPart is its inverse (every closure pair
+    re-emits through the inverse name), and adjacentTo on suppliers is
+    symmetric.  Oracle: the depth-3 closed-form closure (1/2/3-hop
+    unions) emitted under both names + symmetrized adjacency — no
+    recursive CTE, the fixture's depth is bounded by construction."""
+    from i2o_transform_spark.operators.reasoner import owl_property_entail
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    su = _t(spark, sf_dir, "supplier")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        od.where(F.col("o_orderkey") % 10 == 0)
+        .select(tag("O:", "o_orderkey").alias("subj"),
+                F.lit("partOf").alias("pred"),
+                tag("C:", "o_custkey").alias("obj"))
+        .unionByName(
+            od.where(F.col("o_orderkey") % 10 == 5)
+            .select(tag("C:", "o_custkey").alias("subj"),
+                    F.lit("hasPart").alias("pred"),
+                    tag("O:", "o_orderkey").alias("obj")))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("partOf").alias("pred"),
+                               tag("N:", "c_nationkey").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("partOf").alias("pred"),
+                               tag("R:", "n_regionkey").alias("obj")))
+        .unionByName(
+            su.where(F.col("s_suppkey") % 5 == 0)
+            .select(tag("S:", "s_suppkey").alias("subj"),
+                    F.lit("adjacentTo").alias("pred"),
+                    (F.concat(F.lit("S:"),
+                              (F.col("s_suppkey") + 1).cast("string")))
+                    .alias("obj")))
+    )
+    inverse_of = spark.createDataFrame(
+        [("partOf", "hasPart")], "p string, q string"
+    )
+    symmetric = spark.createDataFrame([("adjacentTo",)], "pred string")
+    transitive = spark.createDataFrame([("partOf",)], "pred string")
+    return owl_property_entail(
+        triples, inverse_of=inverse_of, symmetric=symmetric,
+        transitive=transitive, max_depth=8,
+    )

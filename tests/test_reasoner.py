@@ -151,3 +151,98 @@ def test_rdfs_schema_delta_equals_full_recompute(spark):
         old_subclass, subprop, old_domains, ranges,
     )
     assert none.count() == 0
+
+
+def test_owl_inverse_and_canonicalization(spark):
+    from i2o_transform_spark.operators.reasoner import owl_property_entail
+
+    # input carries BOTH orientations: one partOf edge and one hasPart edge
+    t = spark.createDataFrame(
+        [("a", "partOf", "b"), ("c", "hasPart", "d")],
+        "subj string, pred string, obj string",
+    )
+    inv = spark.createDataFrame(
+        [("partOf", "hasPart")], "p string, q string"
+    )
+    got = _spo(owl_property_entail(t, inverse_of=inv))
+    assert got == {
+        ("a", "partOf", "b"), ("b", "hasPart", "a"),
+        ("c", "hasPart", "d"), ("d", "partOf", "c"),
+    }
+
+
+def test_owl_symmetric_and_self_inverse(spark):
+    from i2o_transform_spark.operators.reasoner import owl_property_entail
+
+    t = spark.createDataFrame(
+        [("a", "adj", "b")], "subj string, pred string, obj string"
+    )
+    sym = spark.createDataFrame([("adj",)], "pred string")
+    self_inv = spark.createDataFrame([("adj", "adj")], "p string, q string")
+    expect = {("a", "adj", "b"), ("b", "adj", "a")}
+    assert _spo(owl_property_entail(t, symmetric=sym)) == expect
+    assert _spo(owl_property_entail(t, inverse_of=self_inv)) == expect
+
+
+def test_owl_transitive_chain_and_cycle(spark):
+    from i2o_transform_spark.operators.reasoner import owl_property_entail
+
+    chain = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+         ("x", "q", "y")],
+        "subj string, pred string, obj string",
+    )
+    tr = spark.createDataFrame([("p",)], "pred string")
+    got = _spo(owl_property_entail(chain, transitive=tr))
+    assert got == {
+        ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+        ("a", "p", "c"), ("b", "p", "d"), ("a", "p", "d"),
+        ("x", "q", "y"),  # non-transitive predicate untouched
+    }
+    # cycle terminates (count fixpoint), including self-pairs via the loop
+    cyc = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a")],
+        "subj string, pred string, obj string",
+    )
+    got2 = _spo(owl_property_entail(cyc, transitive=tr))
+    assert got2 == {
+        ("a", "p", "b"), ("b", "p", "a"), ("a", "p", "a"), ("b", "p", "b"),
+    }
+
+
+def test_owl_symmetric_transitive_and_inherited(spark):
+    from i2o_transform_spark.operators.reasoner import owl_property_entail
+
+    # connectedTo symmetric + transitive: undirected reachability
+    t = spark.createDataFrame(
+        [("a", "conn", "b"), ("c", "conn", "b")],
+        "subj string, pred string, obj string",
+    )
+    sym = spark.createDataFrame([("conn",)], "pred string")
+    tr = spark.createDataFrame([("conn",)], "pred string")
+    got = _spo(owl_property_entail(t, symmetric=sym, transitive=tr))
+    nodes = {"a", "b", "c"}
+    assert got == {(x, "conn", y) for x in nodes for y in nodes}
+    # transitivity inherited across an inverse pair: above declared on
+    # 'above' only, edges arrive through the inverse name 'below'
+    t2 = spark.createDataFrame(
+        [("x", "below", "y"), ("y", "below", "z")],
+        "subj string, pred string, obj string",
+    )
+    inv = spark.createDataFrame([("above", "below")], "p string, q string")
+    tr2 = spark.createDataFrame([("above",)], "pred string")
+    got2 = _spo(owl_property_entail(t2, inverse_of=inv, transitive=tr2))
+    assert ("x", "below", "z") in got2 and ("z", "above", "x") in got2
+
+
+def test_owl_double_inverse_is_loud(spark):
+    from i2o_transform_spark.operators.reasoner import owl_property_entail
+
+    t = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    inv = spark.createDataFrame(
+        [("p", "q"), ("p", "r")], "p string, q string"
+    )
+    with pytest.raises(ValueError, match="two inverses"):
+        owl_property_entail(t, inverse_of=inv).collect()

@@ -79,7 +79,6 @@ DRIVER_WINDOW: list[str] = [
     "kg_asof_snapshot",
     # KG interchange / reification / property graph
     "nt_serialize",
-    "nt_parse_permissive",
     "kg_reify_statements",
     "pg_roundtrip",
     # graph algorithms never artifacted
@@ -110,6 +109,9 @@ DRIVER_WINDOW: list[str] = [
     # incremental RDFS maintenance (new r04 family; st_line_dedup yielded
     # its slot — the streaming family keeps 4 representatives)
     "kg_rdfs_incremental",
+    # OWL property characteristics (new r04 family; nt_parse_permissive
+    # yielded its slot — the N-Triples family keeps nt_serialize)
+    "kg_owl_entail",
     # multimodal metadata / pixel stats
     "mm_mixed_metadata",
     "mm_pixel_stats",

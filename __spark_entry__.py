@@ -64,7 +64,6 @@ DRIVER_WINDOW: list[str] = [
     "st_windowed_counts",
     "st_sessionize",
     "st_stateful_totals",
-    "st_dedup_events",
     # embedding entity-link pair (staged + Arrow-fused)
     "el_embedding_link",
     "el_embedding_link_arrow",
@@ -112,6 +111,9 @@ DRIVER_WINDOW: list[str] = [
     # OWL property characteristics (new r04 family; nt_parse_permissive
     # yielded its slot — the N-Triples family keeps nt_serialize)
     "kg_owl_entail",
+    # streaming RDFS maintenance (new r04 family: streaming x reasoning;
+    # st_dedup_events yielded its slot — streaming keeps 4 reps)
+    "st_rdfs_incremental",
     # multimodal metadata / pixel stats
     "mm_mixed_metadata",
     "mm_pixel_stats",

@@ -10080,3 +10080,56 @@ def kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
         triples, inverse_of=inverse_of, symmetric=symmetric,
         transitive=transitive, max_depth=8,
     )
+
+
+_RDFS_ALL_INST = """
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'orders_from',
+             'S:' || CAST(c_custkey % 100 AS VARCHAR)
+      FROM customer WHERE c_custkey % 4 IN (0, 2)
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'type', 'PremiumCustomer'
+      FROM customer WHERE c_custkey % 8 IN (0, 4)"""
+
+
+@query(
+    "st_rdfs_incremental",
+    oracle=_rdfs_cascade_sql(_RDFS_ALL_INST, _RDFS_PCLO, _RDFS_CCLO,
+                             _RDFS_DOMS, _RDFS_RNGS),
+)
+def st_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental RDFS maintenance
+    (streaming/kg_stream.stream_entailment_maintenance): the base and
+    delta strata arrive as two separate micro-batches
+    (maxFilesPerTrigger=1); batch 0 builds the store from scratch, batch
+    1 appends exactly its new entailments via rdfs_entail_delta — the
+    final store is read back and must equal the FULL batch
+    materialization over everything ever streamed, which is what the
+    oracle derives.  The sink is append-only (an entailed graph only
+    grows), so there is no swap protocol and at-least-once replay is
+    idempotent by the anti-join — the cross-batch maintenance protocol
+    itself is value-hashed, like st_incremental_cc for clustering."""
+    import os
+    import tempfile
+
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_entailment_maintenance,
+    )
+
+    schema = _rdfs_schema(spark)
+    base = _rdfs_fixture(spark, sf_dir, 0, 0)
+    delta = _rdfs_fixture(spark, sf_dir, 2, 4)
+    d = tempfile.mkdtemp(prefix="st_rdfs_")
+    src_dir = os.path.join(d, "triples")
+    base.coalesce(1).write.parquet(os.path.join(src_dir, "b0.parquet"))
+    delta.coalesce(1).write.parquet(os.path.join(src_dir, "b1.parquet"))
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*/")
+    )
+    store_dir = os.path.join(d, "store")
+    q = stream_entailment_maintenance(
+        stream, store_dir, os.path.join(d, "ckpt"), *schema
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(store_dir).select("subj", "pred", "obj")

@@ -379,3 +379,39 @@ def test_grouped_topk_uses_window_group_limit(spark):
     plan = plan_of(QUERIES["o6_grouped_topk"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan[:800]
     assert shuffle_count(plan) == 1
+
+
+def test_quad_store_constant_graph_prunes_partitions(spark, tmp_path):
+    """Named-graph quad store: graph is the lake's partition column, so a
+    constant GRAPH term in a quad pattern (operators/bgp 4-term template)
+    prunes whole graphs at planning time — PartitionFilters on the scan,
+    only the one graph directory read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    quads = spark.range(0, 3000).select(
+        F.concat(F.lit("s"), (F.col("id") % 100).cast("string"))
+        .alias("subj"),
+        F.lit("knows").alias("pred"),
+        F.concat(F.lit("o"), F.col("id").cast("string")).alias("obj"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string"))
+        .alias("graph"),
+    )
+    path = str(tmp_path / "quads")
+    quads.write.partitionBy("graph").parquet(path)
+    assert len([d for d in os.listdir(path) if d.startswith("graph=")]) == 3
+
+    store = spark.read.parquet(path)
+    out = bgp_match(store, [("?s", "knows", "?o", "g1")])
+    scan_line = next(
+        ln
+        for ln in out._jdf.queryExecution().executedPlan()
+        .toString().splitlines()
+        if "PartitionFilters" in ln
+    )
+    pf = scan_line.split("PartitionFilters: [")[1].split("]")[0]
+    assert "g1" in pf, pf  # planning-time graph pruning
+    assert out.count() == 1000

@@ -171,6 +171,7 @@ def bgp_match(
     distinct: bool = True,
     optional: list[tuple[str, str, str]] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
+    exists: list[tuple[str, str, str]] | None = None,
     stats: dict[str, int] | None = None,
     values: list[dict[str, str | None]] | None = None,
     bind: dict[str, object] | None = None,
@@ -197,7 +198,13 @@ def bgp_match(
     ``minus`` templates are SPARQL MINUS / FILTER NOT EXISTS groups:
     solutions with a matching binding are REMOVED — a LEFT ANTI join on
     the shared variables (same connectivity rule).  Applied after the
-    required pattern and before ``optional``.
+    required pattern and before ``optional``.  ``exists`` templates are
+    the positive twin, SPARQL FILTER EXISTS: solutions survive only if a
+    matching binding exists — a LEFT SEMI join on the shared variables
+    (never fans out, however many matches exist), same connectivity
+    rule, applied alongside ``minus``.  Unlike adding the template to
+    ``patterns``, EXISTS binds NOTHING — its variables never join
+    anything downstream and never appear in the output.
 
     ``values`` is a SPARQL VALUES inline binding table: a list of rows,
     each ``{var: term}``; ``None`` is UNDEF (matches anything, binds
@@ -237,6 +244,16 @@ def bgp_match(
             )
         out = out.join(df.select(*shared).distinct(), on=shared,
                        how="left_anti")
+    for pat in exists or []:
+        df, vs = _compile_template(triples, pat)
+        shared = sorted(vs & bound)
+        if not shared:
+            raise ValueError(
+                f"EXISTS pattern {pat!r} shares no variable with the "
+                "required pattern"
+            )
+        out = out.join(df.select(*shared).distinct(), on=shared,
+                       how="left_semi")
     for pat in optional or []:
         df, vs = _compile_template(triples, pat)
         shared = sorted(vs & bound)

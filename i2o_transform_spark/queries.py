@@ -10133,3 +10133,48 @@ def st_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.parquet(store_dir).select("subj", "pred", "obj")
+
+
+@query(
+    "kg_bgp_exists",
+    oracle="""
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           c_mktsegment AS s
+    FROM customer
+    WHERE c_nationkey = 7
+      AND EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def kg_bgp_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS (operators/bgp.bgp_match ``exists=``):
+    nation-7 customers WITH at least one urgent order, segment bound —
+    the positive mirror of kg_bgp_minus.  The existence templates
+    compile to LEFT SEMI joins on the shared variables: a customer with
+    50 urgent orders appears once (semi joins never fan out), and the
+    EXISTS variables bind nothing downstream.  Oracle: EXISTS subquery
+    off the base tables."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("mktsegment").alias("pred"),
+                               F.col("c_mktsegment").alias("obj")))
+        .unionByName(
+            od.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(tag("C:", "o_custkey").alias("subj"),
+                    F.lit("hasUrgent").alias("pred"),
+                    tag("O:", "o_orderkey").alias("obj")))
+    )
+    return bgp_match(
+        triples,
+        [("?c", "inNation", "N:7"), ("?c", "mktsegment", "?s")],
+        exists=[("?c", "hasUrgent", "?x")],
+    )

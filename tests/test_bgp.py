@@ -521,3 +521,26 @@ def test_update_delete_then_insert_order(triples):
     )
     assert out.where("subj='a' and pred='likes' and obj='b'").count() == 1
     assert out.count() == len(T)
+
+
+def test_bgp_exists_semi_join_no_fanout(triples):
+    # FILTER EXISTS keeps only solutions with a matching binding, never
+    # fans out, and binds nothing
+    out = bgp_match(
+        triples,
+        [("?x", "type", "person")],
+        exists=[("?x", "knows", "?y")],
+    )
+    assert out.columns == ["x"]
+    assert _tuples(out) == [("b",)]  # c knows nobody; b knows c
+    # a solution matched by MANY exists rows appears once (a knows b AND c)
+    out2 = bgp_match(
+        triples,
+        [("?x", "type", "robot")],
+        exists=[("?x", "knows", "?y")],
+        distinct=False,
+    )
+    assert _tuples(out2) == [("a",)]
+    with pytest.raises(ValueError, match="EXISTS"):
+        bgp_match(triples, [("?x", "type", "robot")],
+                  exists=[("?p", "knows", "?q")])

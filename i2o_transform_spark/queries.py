@@ -10178,3 +10178,91 @@ def kg_bgp_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("?c", "inNation", "N:7"), ("?c", "mktsegment", "?s")],
         exists=[("?c", "hasUrgent", "?x")],
     )
+
+
+def _cons_list_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RDF-collection fixture: one cons list per nation,
+    its members the nation's customers in custkey order.  Cell IRIs are
+    ``cell:<nationkey>:<pos>`` so the expected (head, pos, member) rows
+    are closed-form for the DuckDB oracle.  At sf0.01 this is 25 lists
+    of ~60 cells — long enough that the pointer-doubling unroll needs
+    ~6 composition rounds, not a trivial 1-hop anchor."""
+    cu = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    rows = cu.select(
+        F.col("c_nationkey").cast("string").alias("g"),
+        F.col("c_custkey").cast("string").alias("k"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("n"),
+    )
+    cell = F.concat(F.lit("cell:"), F.col("g"), F.lit(":"),
+                    F.col("pos").cast("string"))
+    nxt = F.when(
+        F.col("pos") == F.col("n") - 1, F.lit("rdf:nil")
+    ).otherwise(
+        F.concat(F.lit("cell:"), F.col("g"), F.lit(":"),
+                 (F.col("pos") + 1).cast("string"))
+    )
+    return (
+        rows.select(cell.alias("subj"), F.lit("rdf:first").alias("pred"),
+                    F.concat(F.lit("C:"), F.col("k")).alias("obj"))
+        .unionByName(rows.select(cell.alias("subj"),
+                                 F.lit("rdf:rest").alias("pred"),
+                                 nxt.alias("obj")))
+    )
+
+
+@query(
+    "kg_rdf_lists",
+    oracle="""
+    SELECT 'cell:' || CAST(c_nationkey AS VARCHAR) || ':0' AS head,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY c_nationkey ORDER BY c_custkey) - 1
+                AS BIGINT) AS pos,
+           'C:' || CAST(c_custkey AS VARCHAR) AS member
+    FROM customer
+    """,
+)
+def kg_rdf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF collection unroll (operators/rdflist.unroll_collections):
+    rdf:first/rdf:rest cons chains back to (head, pos, member) rows by
+    pointer doubling — ceil(log2 L) self-join rounds regardless of how
+    many lists unroll together, each round ONE shuffle plus a scalar
+    fixpoint probe, eager localCheckpoint cutting lineage.  The
+    reference never needs this (its OMOP vocabulary ships relationally,
+    MSSQL/OMOPLoader.sql flat concept_relationship rows); real
+    ontologies encode every ordered axiom vector this way.  Oracle: the
+    closed-form expected rows via ROW_NUMBER over the same grouping the
+    fixture was built from."""
+    from i2o_transform_spark.operators.rdflist import unroll_collections
+
+    return unroll_collections(_cons_list_fixture(spark, sf_dir))
+
+
+@query(
+    "kg_owl_unionof",
+    oracle="""
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS sub,
+           'K:' || CAST(c_nationkey AS VARCHAR) AS sup
+    FROM customer
+    """,
+)
+def kg_owl_unionof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:unionOf expansion (operators/rdflist.expand_unionof, OWL 2 RL
+    cls-uni): class K:<nation> is declared as the union of its customer
+    singletons via an RDF collection; every member therefore entails
+    (member, subClassOf, K) — the unroll from kg_rdf_lists composed with
+    ONE equi-join against the schema-sized axiom table.  Oracle: the
+    fixture's generating relation, DISTINCT projected."""
+    from i2o_transform_spark.operators.rdflist import expand_unionof
+
+    cu = _t(spark, sf_dir, "customer")
+    axioms = cu.groupBy("c_nationkey").agg(F.lit(1)).select(
+        F.concat(F.lit("K:"), F.col("c_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit("owl:unionOf").alias("pred"),
+        F.concat(F.lit("cell:"), F.col("c_nationkey").cast("string"),
+                 F.lit(":0")).alias("obj"),
+    )
+    triples = _cons_list_fixture(spark, sf_dir).unionByName(axioms)
+    return expand_unionof(triples)

@@ -1,0 +1,128 @@
+"""RDF collection unroll (operators/rdflist): pointer-doubling cons-list
+resolution, well-formedness probes, cycle detection, owl:unionOf expansion.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from i2o_transform_spark.operators.rdflist import (
+    MalformedCollection,
+    expand_unionof,
+    unroll_collections,
+)
+
+T = "subj string, pred string, obj string"
+
+
+def _chain(name: str, members: list[str]) -> list[tuple[str, str, str]]:
+    """Well-formed cons chain ``<name>:0 -> ... -> rdf:nil``."""
+    rows = []
+    for i, m in enumerate(members):
+        cell = f"{name}:{i}"
+        nxt = f"{name}:{i + 1}" if i + 1 < len(members) else "rdf:nil"
+        rows.append((cell, "rdf:first", m))
+        rows.append((cell, "rdf:rest", nxt))
+    return rows
+
+
+def test_unroll_positions_and_heads(spark):
+    t = spark.createDataFrame(
+        _chain("a", ["x", "y", "z"]) + _chain("b", ["q"]), T
+    )
+    out = {(r.head, r.pos, r.member)
+           for r in unroll_collections(t).collect()}
+    assert out == {("a:0", 0, "x"), ("a:0", 1, "y"), ("a:0", 2, "z"),
+                   ("b:0", 0, "q")}
+
+
+def test_unroll_long_list_needs_doubling_rounds(spark):
+    # 200 cells: a per-hop walk would need 200 rounds; doubling needs 8.
+    members = [f"m{i}" for i in range(200)]
+    t = spark.createDataFrame(_chain("L", members), T)
+    rows = unroll_collections(t, max_rounds=9).orderBy("pos").collect()
+    assert [r.member for r in rows] == members
+    assert all(r.head == "L:0" for r in rows)
+
+
+def test_unroll_long_list_round_budget_exceeded_is_cycle_free_partial(spark):
+    # max_rounds too small: strict mode raises at the no-progress probe
+    # only for CYCLES; a round-budget exhaustion returns the anchored
+    # prefix (cells within 2^max_rounds of the head).
+    members = [f"m{i}" for i in range(40)]
+    t = spark.createDataFrame(_chain("L", members), T)
+    rows = unroll_collections(t, max_rounds=3, strict=True).collect()
+    got = {r.pos for r in rows}
+    assert got == set(range(len(got)))  # contiguous prefix from the head
+    assert 1 <= len(got) < 40
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        [("a:1", "rdf:first", "dup")],                  # duplicate first
+        [("a:1", "rdf:rest", "rdf:nil")],               # duplicate rest
+        [("h:0", "rdf:rest", "h:1"),
+         ("h:1", "rdf:rest", "rdf:nil")],               # rest w/o first
+        [("h:0", "rdf:first", "orphan")],               # first w/o rest
+        [("s:0", "rdf:first", "s"), ("s:0", "rdf:rest", "a:1")],  # shared tail
+    ],
+)
+def test_strict_raises_on_malformed(spark, extra):
+    t = spark.createDataFrame(_chain("a", ["x", "y", "z"]) + extra, T)
+    with pytest.raises(MalformedCollection):
+        unroll_collections(t).collect()
+
+
+def test_nonstrict_quarantines_but_keeps_good_lists(spark):
+    bad = [("a:1", "rdf:first", "dup")]  # a:1 now has two firsts
+    t = spark.createDataFrame(
+        _chain("a", ["x", "y", "z"]) + _chain("b", ["q", "r"]) + bad, T
+    )
+    out = {(r.head, r.pos, r.member)
+           for r in unroll_collections(t, strict=False).collect()}
+    # list b is untouched; list a loses the poisoned cell (and its
+    # downstream chain cannot anchor through it).
+    assert {("b:0", 0, "q"), ("b:0", 1, "r")} <= out
+    assert not any(m == "dup" for _, _, m in out)
+
+
+def test_cycle_detected_strict_and_dropped_nonstrict(spark):
+    cyc = [
+        ("c:0", "rdf:first", "u"), ("c:0", "rdf:rest", "c:1"),
+        ("c:1", "rdf:first", "v"), ("c:1", "rdf:rest", "c:0"),
+    ]
+    # a pure 2-cycle has no head: every cell has a predecessor.  But the
+    # shared-tail probe fires first only when a cell has TWO preds, so
+    # this is the clean cycle case.
+    t = spark.createDataFrame(_chain("a", ["x"]) + cyc, T)
+    with pytest.raises(MalformedCollection):
+        unroll_collections(t).collect()
+    out = {(r.head, r.pos, r.member)
+           for r in unroll_collections(t, strict=False).collect()}
+    assert out == {("a:0", 0, "x")}
+
+
+def test_expand_unionof(spark):
+    t = spark.createDataFrame(
+        _chain("l1", ["ClsA", "ClsB"]) + _chain("l2", ["ClsC"])
+        + [("Union1", "owl:unionOf", "l1:0"),
+           ("Union2", "owl:unionOf", "l2:0")],
+        T,
+    )
+    out = {(r.sub, r.sup) for r in expand_unionof(t).collect()}
+    assert out == {("ClsA", "Union1"), ("ClsB", "Union1"),
+                   ("ClsC", "Union2")}
+
+
+def test_millions_of_lists_resolve_in_log_rounds_of_longest(spark):
+    # many short lists + one long list: round count is driven by the
+    # LONGEST list only (all lists double together).  120 lists of 3 and
+    # one list of 64 must finish inside ceil(log2 64)+1 = 7 rounds.
+    rows = []
+    for g in range(120):
+        rows += _chain(f"g{g}", [f"g{g}m{j}" for j in range(3)])
+    rows += _chain("big", [f"B{j}" for j in range(64)])
+    t = spark.createDataFrame(rows, T)
+    out = unroll_collections(t, max_rounds=7)
+    assert out.count() == 120 * 3 + 64

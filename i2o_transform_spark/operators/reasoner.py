@@ -379,3 +379,125 @@ def owl_property_entail(
             )
         )
     return t.unionByName(edges).distinct()
+
+
+def owl_class_entail(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    oneof_pred: str = "owl:oneOf",
+    intersection_pred: str = "owl:intersectionOf",
+    union_pred: str = "owl:unionOf",
+    max_rounds: int = 16,
+    strict_lists: bool = True,
+) -> DataFrame:
+    """OWL 2 RL class-expression entailment over RDF-collection-encoded
+    boolean expressions — the CLASS half that complements
+    :func:`owl_property_entail`.  Rules (OWL 2 RL table 6 names):
+
+    * **cls-oo**   (C owl:oneOf L), m in L            -> (m type C)
+    * **cls-uni**  (C owl:unionOf L), x type m, m in L -> (x type C)
+    * **cls-int2** (C owl:intersectionOf L), x type C  -> (x type m) all m
+    * **cls-int1** (C owl:intersectionOf L), x type m for ALL m in L
+                                                       -> (x type C)
+
+    Returns the full (node, cls) type closure (asserted + entailed),
+    set semantics.  The reference's OMOP ontology is flat relational
+    rows (MSSQL/OMOPLoader.sql concept_relationship), so it never meets
+    collection-encoded class expressions; real OWL ontologies encode
+    every n-ary class constructor this way.
+
+    Scale shape: collections and axiom rows are ontology-sized — the
+    member table is bounded-checked and BROADCAST into every rule, so
+    the instance-scale frame never shuffles for uni/int2/oo.  cls-int1
+    is the one aggregation rule: per round ONE hash aggregation on
+    (node, cls) with map-side combine, counting DISTINCT satisfied
+    members against the expression's arity.  Expressions nest (a union
+    member may be an intersection class), so rules iterate to fixpoint;
+    rounds are bounded by the NESTING DEPTH of the ontology's class
+    graph (schema-sized, typically < 5), never by instance data.  Each
+    round anti-joins to the accumulated closure and eagerly
+    localCheckpoints, so round r never replays rounds 0..r-1.
+    """
+    from i2o_transform_spark.operators.rdflist import unroll_collections
+
+    spo = ("subj", "pred", "obj")
+    t = triples.select(*spo)
+    expr_preds = [oneof_pred, intersection_pred, union_pred]
+    axioms = t.where(F.col("pred").isin(expr_preds)).select(
+        F.col("subj").alias("cls"), F.col("pred").alias("kind"),
+        F.col("obj").alias("head"),
+    )
+    # Only cells reachable from class-expression axioms matter; the
+    # unroll itself is global (all lists resolve together) and the join
+    # to axiom heads prunes to the ontology-sized slice.
+    mem = (
+        unroll_collections(t, strict=strict_lists)
+        .join(axioms.select("head").distinct(), "head")
+        .select("head", "member")
+    )
+    nrows = mem.limit(MAX_SCHEMA_EDGES + 1).count()
+    if nrows > MAX_SCHEMA_EDGES:
+        raise ValueError(
+            "class-expression member table exceeds "
+            f"MAX_SCHEMA_EDGES={MAX_SCHEMA_EDGES}"
+        )
+    ax_mem = axioms.join(mem, "head").select("cls", "kind", "member")
+    arity = (
+        ax_mem.where(F.col("kind") == intersection_pred)
+        .groupBy("cls").agg(F.countDistinct("member").alias("_n"))
+    )
+    # localCheckpoint first (cut the unroll lineage ONCE), broadcast-hint
+    # at the join sites — a hint placed before the checkpoint would be
+    # discarded with the rebuilt logical plan.
+    uni_m = (
+        ax_mem.where(F.col("kind") == union_pred)
+        .select("cls", "member").localCheckpoint(eager=True)
+    )
+    int_m = (
+        ax_mem.where(F.col("kind") == intersection_pred)
+        .join(arity, "cls").select("cls", "member", "_n")
+        .localCheckpoint(eager=True)
+    )
+
+    # cls-oo is data-free: enumerated members are typed by the axiom.
+    oo = ax_mem.where(F.col("kind") == oneof_pred).select(
+        F.col("member").alias("node"), F.col("cls")
+    )
+    closure = (
+        t.where(F.col("pred") == type_pred)
+        .select(F.col("subj").alias("node"), F.col("obj").alias("cls"))
+        .unionByName(oo)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        uni = closure.join(
+            F.broadcast(
+                uni_m.withColumnsRenamed({"cls": "_sup", "member": "cls"})
+            ),
+            "cls",
+        ).select("node", F.col("_sup").alias("cls"))
+        int2 = closure.join(
+            F.broadcast(int_m.select("cls", "member")), "cls"
+        ).select("node", F.col("member").alias("cls"))
+        int1 = (
+            closure.join(
+                F.broadcast(int_m.withColumnsRenamed(
+                    {"cls": "_sup", "member": "cls"})),
+                "cls",
+            )
+            .groupBy("node", "_sup", "_n")
+            .agg(F.countDistinct("cls").alias("_got"))
+            .where(F.col("_got") == F.col("_n"))
+            .select("node", F.col("_sup").alias("cls"))
+        )
+        new = (
+            uni.unionByName(int2).unionByName(int1)
+            .distinct()
+            .join(closure, ["node", "cls"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+    return closure

@@ -9,7 +9,10 @@ This module implements the core of W3C SHACL as pure DataFrame algebra:
 * ``sh:class`` on the subject  (domain check),
 * ``sh:class`` on the object   (range check),
 * ``sh:nodeKind``              (IRI vs literal object),
-* ``sh:minCount``/``sh:maxCount`` per (focus node, predicate).
+* ``sh:minCount``/``sh:maxCount`` per (focus node, predicate),
+* ``sh:in``                    (object in an enumerated allowed set,
+                                the RDF-collection-encoded constraint —
+                                see ``in_values`` on shacl_validate).
 
 Inputs
 ------
@@ -52,12 +55,22 @@ def shacl_validate(
     triples: DataFrame,
     node_types: DataFrame,
     shapes: DataFrame,
+    in_values: DataFrame | None = None,
 ) -> DataFrame:
     """Validate ``triples`` against ``shapes``; return violation rows.
 
     See module docstring for the contract.  Column names are fixed
     (``subj/pred/obj/obj_is_iri``, ``node/type``, ``pred/domain_type/
     range_type/obj_kind/min_card/max_card``).
+
+    ``in_values`` adds ``sh:in`` (value enumeration): a (pred, allowed)
+    frame — real shapes graphs encode it as an RDF collection, so the
+    caller typically derives it with
+    ``operators/rdflist.unroll_collections`` and joins members to the
+    shape's list head.  Every assertion on an enumerated predicate whose
+    object is not in the allowed set is a ``violation = 'in'`` row;
+    the allowed set is shape-sized and joins as a broadcast anti-join
+    on (pred, obj), aggregated to the focus node like range/kind.
     """
     sh = F.broadcast(shapes)
     t = triples.join(sh, "pred")  # unconstrained predicates drop out
@@ -141,6 +154,19 @@ def shacl_validate(
 
     out = dom.unionByName(rng).unionByName(kind).unionByName(maxc)
     out = out.unionByName(minc)
+    if in_values is not None:
+        allowed = in_values.select(
+            "pred", F.col("allowed").alias("obj")
+        )
+        enum_preds = F.broadcast(allowed.select("pred").distinct())
+        inv = (
+            triples.join(enum_preds, "pred", "left_semi")
+            .join(F.broadcast(allowed), ["pred", "obj"], "left_anti")
+            .groupBy("subj", "pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("subj", "pred", F.lit("in").alias("violation"), "n")
+        )
+        out = out.unionByName(inv)
     return out.select(
         F.col("subj").alias("node"),
         "pred",

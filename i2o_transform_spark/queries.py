@@ -10266,3 +10266,143 @@ def kg_owl_unionof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     triples = _cons_list_fixture(spark, sf_dir).unionByName(axioms)
     return expand_unionof(triples)
+
+
+@query(
+    "kg_owl_classexpr",
+    oracle="""
+    WITH base AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS node,
+             c_mktsegment AS seg,
+             c_acctbal >= 5000 AS high,
+             c_custkey % 100 = 7 AS prem
+      FROM customer
+    ),
+    t AS (
+      SELECT node, 'Seg:' || seg AS cls FROM base
+      UNION ALL SELECT node, 'HighBal' FROM base WHERE high
+      UNION ALL SELECT node, 'PremiumBuilding' FROM base WHERE prem
+      UNION ALL SELECT node, 'Seg:BUILDING' FROM base WHERE prem
+      UNION ALL SELECT node, 'HighBal' FROM base WHERE prem
+      UNION ALL SELECT node, 'PremiumBuilding' FROM base
+        WHERE seg = 'BUILDING' AND high
+      UNION ALL SELECT node, 'Coastal' FROM base
+        WHERE seg IN ('AUTOMOBILE', 'MACHINERY')
+      UNION ALL SELECT node, 'PremiumOrCoastal' FROM base
+        WHERE prem OR (seg = 'BUILDING' AND high)
+             OR seg IN ('AUTOMOBILE', 'MACHINERY')
+      UNION ALL SELECT 'N:0', 'FoundingNations'
+      UNION ALL SELECT 'N:1', 'FoundingNations'
+      UNION ALL SELECT 'N:2', 'FoundingNations'
+    )
+    SELECT DISTINCT node, cls FROM t
+    """,
+)
+def kg_owl_classexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL class-expression entailment
+    (operators/reasoner.owl_class_entail) over RDF-collection-encoded
+    boolean constructors: PremiumBuilding = intersectionOf(Seg:BUILDING,
+    HighBal) exercises cls-int1 (membership in every conjunct entails
+    the intersection, ONE counting aggregation per round) and cls-int2
+    (the directly-asserted %100==7 stratum entails each conjunct);
+    Coastal = unionOf(two segments) exercises cls-uni; FoundingNations =
+    oneOf(N:0..N:2) is data-free cls-oo; and PremiumOrCoastal =
+    unionOf(PremiumBuilding, Coastal) NESTS — its members only exist
+    after round 1, proving the fixpoint iterates.  Oracle: the
+    closed-form rule cascade (the fixture's nesting depth is 2, so every
+    rule firing is enumerable by hand)."""
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    cu = _t(spark, sf_dir, "customer")
+    node = F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+    typ = lambda cond, cls: (  # noqa: E731
+        cu.where(cond).select(node.alias("subj"),
+                              F.lit("rdf:type").alias("pred"),
+                              F.lit(cls).alias("obj")))
+    seg_types = cu.select(
+        node.alias("subj"), F.lit("rdf:type").alias("pred"),
+        F.concat(F.lit("Seg:"), F.col("c_mktsegment")).alias("obj"))
+    inst = (
+        seg_types
+        .unionByName(typ(F.col("c_acctbal") >= 5000, "HighBal"))
+        .unionByName(typ(F.col("c_custkey") % 100 == 7, "PremiumBuilding"))
+    )
+
+    def chain(name, members):
+        rows = []
+        for i, m in enumerate(members):
+            cell = f"{name}:{i}"
+            nxt = f"{name}:{i + 1}" if i + 1 < len(members) else "rdf:nil"
+            rows += [(cell, "rdf:first", m), (cell, "rdf:rest", nxt)]
+        return rows
+
+    onto = spark.createDataFrame(
+        chain("i", ["Seg:BUILDING", "HighBal"])
+        + chain("u", ["Seg:AUTOMOBILE", "Seg:MACHINERY"])
+        + chain("v", ["PremiumBuilding", "Coastal"])
+        + chain("o", ["N:0", "N:1", "N:2"])
+        + [("PremiumBuilding", "owl:intersectionOf", "i:0"),
+           ("Coastal", "owl:unionOf", "u:0"),
+           ("PremiumOrCoastal", "owl:unionOf", "v:0"),
+           ("FoundingNations", "owl:oneOf", "o:0")],
+        "subj string, pred string, obj string",
+    )
+    return owl_class_entail(inst.unionByName(onto))
+
+
+@query(
+    "kg_shacl_in",
+    oracle="""
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS node,
+           'segment' AS pred,
+           'in' AS violation,
+           CAST(1 AS BIGINT) AS n
+    FROM customer
+    WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    """,
+)
+def kg_shacl_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL ``sh:in`` value enumeration (operators/shacl.shacl_validate
+    ``in_values=``): the shapes graph encodes the allowed-segment list as
+    an RDF collection — (SegShape, sh:in, cell) cons cells — so the
+    pipeline is unroll_collections -> join members to the shape's
+    predicate -> broadcast anti-join on (pred, obj), exactly how a real
+    shapes graph ships the constraint.  The KG analogue of the
+    reference's valueset/code membership QA
+    (MSSQL/OMOPLoader.sql:1996-2097 omopReport).  Oracle: NOT IN over
+    the generating column."""
+    from i2o_transform_spark.operators.rdflist import unroll_collections
+    from i2o_transform_spark.operators.shacl import shacl_validate
+
+    cu = _t(spark, sf_dir, "customer")
+    triples = cu.select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    shapes_graph = spark.createDataFrame(
+        [("in:0", "rdf:first", "BUILDING"), ("in:0", "rdf:rest", "in:1"),
+         ("in:1", "rdf:first", "AUTOMOBILE"), ("in:1", "rdf:rest", "in:2"),
+         ("in:2", "rdf:first", "MACHINERY"), ("in:2", "rdf:rest", "rdf:nil"),
+         ("SegShape", "sh:path", "segment"),
+         ("SegShape", "sh:in", "in:0")],
+        "subj string, pred string, obj string",
+    )
+    heads = shapes_graph.where(F.col("pred") == "sh:in").select(
+        F.col("subj").alias("shape"), F.col("obj").alias("head"))
+    paths = shapes_graph.where(F.col("pred") == "sh:path").select(
+        F.col("subj").alias("shape"), F.col("obj").alias("pred"))
+    in_values = (
+        unroll_collections(shapes_graph)
+        .join(heads, "head").join(paths, "shape")
+        .select("pred", F.col("member").alias("allowed"))
+    )
+    shapes = spark.createDataFrame(
+        [("segment", None, None, None, None, None)],
+        "pred string, domain_type string, range_type string, "
+        "obj_kind string, min_card int, max_card int",
+    )
+    node_types = spark.createDataFrame([], "node string, type string")
+    return shacl_validate(triples, node_types, shapes, in_values=in_values)

@@ -126,3 +126,116 @@ def test_millions_of_lists_resolve_in_log_rounds_of_longest(spark):
     t = spark.createDataFrame(rows, T)
     out = unroll_collections(t, max_rounds=7)
     assert out.count() == 120 * 3 + 64
+
+
+# ---- owl_class_entail (reasoner) -------------------------------------
+
+TT = "subj string, pred string, obj string"
+
+
+def _onto(*specs):
+    """specs: (cls, kind, [members]) -> cons-encoded axiom triples."""
+    rows = []
+    for cls, kind, members in specs:
+        head = f"{cls}#0"
+        for i, m in enumerate(members):
+            cell = f"{cls}#{i}"
+            nxt = f"{cls}#{i + 1}" if i + 1 < len(members) else "rdf:nil"
+            rows += [(cell, "rdf:first", m), (cell, "rdf:rest", nxt)]
+        rows.append((cls, kind, head))
+    return rows
+
+
+def _types(*pairs):
+    return [(n, "rdf:type", c) for n, c in pairs]
+
+
+def test_class_entail_int1_requires_all_conjuncts(spark):
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    t = spark.createDataFrame(
+        _onto(("Both", "owl:intersectionOf", ["A", "B"]))
+        + _types(("x", "A"), ("x", "B"), ("y", "A")), TT)
+    out = {(r.node, r.cls) for r in owl_class_entail(t).collect()}
+    assert ("x", "Both") in out
+    assert ("y", "Both") not in out        # partial membership never fires
+    # cls-int2 on the derived intersection adds nothing new for x
+    assert out == {("x", "A"), ("x", "B"), ("x", "Both"), ("y", "A")}
+
+
+def test_class_entail_int2_decomposes_asserted_intersection(spark):
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    t = spark.createDataFrame(
+        _onto(("Both", "owl:intersectionOf", ["A", "B"]))
+        + _types(("z", "Both")), TT)
+    out = {(r.node, r.cls) for r in owl_class_entail(t).collect()}
+    assert out == {("z", "Both"), ("z", "A"), ("z", "B")}
+
+
+def test_class_entail_nested_union_needs_fixpoint(spark):
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    # Outer's member Both only materializes in round 2 for w.
+    t = spark.createDataFrame(
+        _onto(("Both", "owl:intersectionOf", ["A", "B"]),
+              ("Outer", "owl:unionOf", ["Both", "C"]))
+        + _types(("w", "A"), ("w", "B"), ("v", "C")), TT)
+    out = {(r.node, r.cls) for r in owl_class_entail(t).collect()}
+    assert ("w", "Both") in out and ("w", "Outer") in out
+    assert ("v", "Outer") in out and ("v", "Both") not in out
+
+
+def test_class_entail_oneof_is_data_free(spark):
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    t = spark.createDataFrame(
+        _onto(("Enum", "owl:oneOf", ["e1", "e2"])), TT)
+    out = {(r.node, r.cls) for r in owl_class_entail(t).collect()}
+    assert out == {("e1", "Enum"), ("e2", "Enum")}
+
+
+def test_class_entail_oneof_members_feed_other_rules(spark):
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    # e1 gets Enum by cls-oo; Enum is a union member, so e1 also gets Up.
+    t = spark.createDataFrame(
+        _onto(("Enum", "owl:oneOf", ["e1"]),
+              ("Up", "owl:unionOf", ["Enum", "Other"])), TT)
+    out = {(r.node, r.cls) for r in owl_class_entail(t).collect()}
+    assert out == {("e1", "Enum"), ("e1", "Up")}
+
+
+def test_class_entail_no_axioms_is_identity(spark):
+    from i2o_transform_spark.operators.reasoner import owl_class_entail
+
+    t = spark.createDataFrame(_types(("a", "X"), ("b", "Y")), TT)
+    out = {(r.node, r.cls) for r in owl_class_entail(t).collect()}
+    assert out == {("a", "X"), ("b", "Y")}
+
+
+# ---- sh:in (shacl_validate in_values) --------------------------------
+
+
+def test_shacl_in_counts_offending_objects_per_focus(spark):
+    from i2o_transform_spark.operators.shacl import shacl_validate
+
+    triples = spark.createDataFrame(
+        [("n1", "color", "red", False),
+         ("n1", "color", "mauve", False),
+         ("n1", "color", "taupe", False),
+         ("n2", "color", "blue", False),
+         ("n2", "size", "XXL", False)],   # size not enumerated: ignored
+        "subj string, pred string, obj string, obj_is_iri boolean")
+    shapes = spark.createDataFrame(
+        [("color", None, None, None, None, None)],
+        "pred string, domain_type string, range_type string, "
+        "obj_kind string, min_card int, max_card int")
+    in_values = spark.createDataFrame(
+        [("color", "red"), ("color", "blue")], "pred string, allowed string")
+    out = shacl_validate(
+        triples, spark.createDataFrame([], "node string, type string"),
+        shapes, in_values=in_values,
+    ).collect()
+    rows = {(r.node, r.pred, r.violation, r.n) for r in out}
+    assert rows == {("n1", "color", "in", 2)}

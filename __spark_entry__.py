@@ -11,7 +11,7 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
 queries().  The union of green rows across CORRECTNESS_r01..r03 is exactly
-100 distinct ids (of 215 now registered — the r03 verdict was right that
+100 distinct ids (of 218 now registered — the r03 verdict was right that
 the earlier "large majority" claim here overstated it).  The r04
 DRIVER_WINDOW therefore holds 50 ids with NO green row in any prior round
 artifact: the type-fixed kg_shape_mining (red in r03 on oracle float
@@ -25,9 +25,9 @@ semantic/span/URL/embedding dedup, CDC SCD-2 + temporal intervals + as-of
 snapshot, N-Triples serialize/permissive-parse, reification + property
 graph, seven graph algorithms, the QA sketch gates, BPE roundtrip, rekey
 report, multimodal metadata/pixels, PII scrub, and Hearst
-hypernyms.  A green r04 artifact lifts the union to 150/215 (70%).
+hypernyms.  A green r04 artifact lifts the union to 150/218 (69%).
 Everything else follows in original registration order and is verified by
-tests/run_oracle_check.py (full-registry sweep, 215 queries, all green at
+tests/run_oracle_check.py (full-registry sweep, 218 queries, all green at
 HEAD) instead.
 """
 
@@ -90,7 +90,9 @@ DRIVER_WINDOW: list[str] = [
     # QA sketch gates
     "qa_quantile_sketch_check",
     "qa_heavy_hitters_check",
-    "qa_bloom_membership_check",
+    # qa_bloom yielded its slot to OWL class-expression entailment over
+    # RDF collections (new family; QA keeps quantile + heavy-hitters)
+    "kg_owl_classexpr",
     # BPE roundtrip gate + global re-keying report
     "ta_bpe_roundtrip_check",
     "rk_rekey_report",
@@ -101,7 +103,9 @@ DRIVER_WINDOW: list[str] = [
     # (harmonic-closeness/local-clustering/graph-digest kept 3 graph reps,
     # dereify kept reify, embedding-cosine kept 3 dd reps)
     "kg_bgp_union",
-    "kg_bgp_ask",
+    # kg_bgp_ask yielded its slot to the SPARQL TEXT front-end (new
+    # this round): parser -> bgp_match/aggregate/modifiers, one call
+    "kg_sparql_text",
     "kg_describe",
     "kg_quads_graph",
     "kg_update_where",

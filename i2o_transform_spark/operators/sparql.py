@@ -1,0 +1,665 @@
+"""SPARQL text front-end: parse a query string, execute on the BGP algebra.
+
+The repo's query side so far is programmatic — ``bgp_match`` /
+``bgp_aggregate`` / ``bgp_union`` / ``bgp_construct`` / ``eval_path`` take
+pattern lists.  A user of a KG engine writes SPARQL text; this module closes
+that gap with a self-contained tokenizer + recursive-descent parser that
+compiles the text onto the EXISTING algebra (one function call, no new
+execution code), so every plan property those operators guarantee —
+cost-ordered join trees, pushed-down constant predicates, broadcast VALUES,
+semi/anti joins for EXISTS/MINUS, heap-planned ORDER BY+LIMIT — holds for
+parsed queries automatically.  The reference has no query language of its
+own (its consumers write T-SQL against the mapped warehouse,
+MSSQL/OMOPLoader.sql's per-table SELECT chains); a triple store needs the
+standard one.
+
+Supported (SPARQL 1.1 grammar subset)
+-------------------------------------
+* ``PREFIX`` prologue; prefixed names expand everywhere.
+* ``SELECT [DISTINCT] (?vars | * | (AGG(...) AS ?alias))  WHERE { ... }``
+  with ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC](?v)`` /
+  ``LIMIT`` / ``OFFSET``.
+* ``ASK { ... }`` and ``CONSTRUCT { template } WHERE { ... }``.
+* Group graph patterns: triple blocks with ``;`` / ``,`` abbreviations,
+  ``OPTIONAL { }``, ``MINUS { }``, ``FILTER (expr)``,
+  ``FILTER [NOT] EXISTS { }``, ``BIND (expr AS ?v)``, ``VALUES`` (single
+  var or row form, ``UNDEF`` honored), and top-level
+  ``{ ... } UNION { ... }``.
+* Property paths in predicate position: ``/`` ``|`` ``^`` ``+`` ``*``,
+  grouping, and negated property sets ``!(p1|p2)``.
+* FILTER/BIND/HAVING expressions: comparisons, arithmetic, ``&&``/``||``/
+  ``!``, ``IN``, and the builtins REGEX (-> RLIKE), BOUND (-> IS NOT
+  NULL), STRSTARTS/STRENDS/CONTAINS/STRLEN/SUBSTR, LCASE/UCASE/STR,
+  ABS/CEIL/FLOOR/ROUND — translated to Spark SQL expression strings, so
+  they stay whole-stage-codegen JVM expressions.
+
+Deliberately out of scope (raise ValueError, never silently mis-answer):
+subqueries, ``SERVICE``/federation, ``GRAPH`` blocks (use the quad-pattern
+API directly), ``?`` (zero-or-one) path quantifier, RDF-typed literals with
+datatype tags, and DESCRIBE text form (``bgp_describe`` covers it
+programmatically).
+
+Term mapping: this engine's triple stores hold PLAIN STRINGS (``"N:7"``,
+``"inNation"``) — ``<iri>`` strips the angle brackets, ``"literal"``
+unquotes, prefixed names expand, bare tokens pass through verbatim, and
+``a`` is ``rdf:type``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_TOKEN_RE = re.compile(
+    r"""\s+|\#[^\n]*
+    |(?P<iri><[^<>\s]*>)
+    |(?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    |(?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    |(?P<num>\d+(?:\.\d+)?)
+    |(?P<punct>&&|\|\||!=|<=|>=|\{|\}|\(|\)|\.|;|,|\||/|\^|\+|\*|!|=|<|>|-)
+    |(?P<name>[A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_.\-:]*)?)
+    """,
+    re.X,
+)
+
+_KEYWORDS = {
+    "select", "distinct", "where", "optional", "minus", "filter", "exists",
+    "not", "values", "bind", "as", "union", "group", "by", "having",
+    "order", "asc", "desc", "limit", "offset", "ask", "construct",
+    "prefix", "undef", "in",
+}
+
+_AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
+
+# SPARQL builtin -> Spark SQL function (direct renames).
+_FN_MAP = {
+    "strstarts": "startswith", "strends": "endswith",
+    "contains": "contains", "strlen": "length", "substr": "substring",
+    "lcase": "lower", "ucase": "upper", "abs": "abs", "ceil": "ceil",
+    "floor": "floor", "round": "round", "str": "string",
+}
+
+
+class SparqlSyntaxError(ValueError):
+    """Raised on any text the supported subset cannot represent."""
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(
+                f"cannot tokenize at offset {pos}: {text[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        for kind in ("iri", "str", "var", "num", "punct", "name"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _P:
+    """Token-stream cursor with the usual peek/eat helpers."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def at_kw(self, *kws: str) -> bool:
+        kind, val = self.peek()
+        return kind == "name" and val.lower() in kws
+
+    def eat(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str):
+        kind, val = self.eat()
+        if kind != "name" or val.lower() != kw:
+            raise SparqlSyntaxError(f"expected {kw.upper()}, got {val!r}")
+
+    def expect_punct(self, p: str):
+        kind, val = self.eat()
+        if kind != "punct" or val != p:
+            raise SparqlSyntaxError(f"expected {p!r}, got {val!r}")
+
+    # ---- terms ---------------------------------------------------------
+
+    def term(self) -> str:
+        kind, val = self.eat()
+        if kind == "var":
+            return val
+        if kind == "iri":
+            return val[1:-1]
+        if kind == "str":
+            return re.sub(r"\\(.)", r"\1", val[1:-1])
+        if kind == "num":
+            return val
+        if kind == "name":
+            if val == "a":
+                return "rdf:type"
+            if val.lower() in _KEYWORDS:
+                raise SparqlSyntaxError(f"keyword {val!r} where term expected")
+            return self._expand(val)
+        raise SparqlSyntaxError(f"bad term: {val!r}")
+
+    def _expand(self, name: str) -> str:
+        if ":" in name:
+            pfx, local = name.split(":", 1)
+            if pfx in self.prefixes:
+                return self.prefixes[pfx] + local
+        return name
+
+
+def _parse_path(p: _P):
+    """Property-path expression in predicate position.  Returns a plain
+    string for a single predicate (so bgp_match compiles a pushed-down
+    scan), the variable itself for a variable predicate, or a paths-AST
+    tuple otherwise."""
+    if p.peek()[0] == "var":  # variable predicate: no path operators
+        return p.eat()[1]
+
+    def primary():
+        kind, val = p.peek()
+        if kind == "punct" and val == "!":
+            p.eat()
+            preds = []
+            if p.peek() == ("punct", "("):
+                p.eat()
+                preds.append(_plain(p))
+                while p.peek() == ("punct", "|"):
+                    p.eat()
+                    preds.append(_plain(p))
+                p.expect_punct(")")
+            else:
+                preds.append(_plain(p))
+            return ("npred", tuple(preds))
+        if kind == "punct" and val == "(":
+            p.eat()
+            inner = alt()
+            p.expect_punct(")")
+            return inner
+        return ("pred", _plain(p))
+
+    def _plain(p: _P) -> str:
+        kind, val = p.peek()
+        if kind in ("iri", "name"):
+            return p.term()
+        raise SparqlSyntaxError(f"expected predicate, got {val!r}")
+
+    def elt():
+        inv = False
+        if p.peek() == ("punct", "^"):
+            p.eat()
+            inv = True
+        e = primary()
+        kind, val = p.peek()
+        if kind == "punct" and val in ("+", "*"):
+            p.eat()
+            e = ("plus" if val == "+" else "star", e)
+        elif kind == "punct" and val == "?":
+            raise SparqlSyntaxError("zero-or-one path '?' is unsupported")
+        return ("inv", e) if inv else e
+
+    def seq():
+        e = elt()
+        while p.peek() == ("punct", "/"):
+            p.eat()
+            e = ("seq", e, elt())
+        return e
+
+    def alt():
+        e = seq()
+        while p.peek() == ("punct", "|"):
+            p.eat()
+            e = ("alt", e, seq())
+        return e
+
+    ast = alt()
+    return ast[1] if ast[0] == "pred" else ast
+
+
+def _expr(p: _P, stop: set[str]) -> str:
+    """Translate a SPARQL expression to a Spark SQL string.  Consumes
+    tokens until a top-level ``stop`` punct (never eaten) at depth 0.
+    Token-level translation keeps the result inside codegen: variables
+    become column names, builtins map via _FN_MAP, REGEX/BOUND get
+    special forms."""
+    parts: list[str] = []
+    depth = 0
+    while True:
+        kind, val = p.peek()
+        if kind == "eof" or (depth == 0 and kind == "punct" and val in stop):
+            break
+        p.eat()
+        if kind == "punct":
+            if val == "(":
+                depth += 1
+            elif val == ")":
+                if depth == 0:
+                    raise SparqlSyntaxError("unbalanced ')' in expression")
+                depth -= 1
+            if val == "&&":
+                parts.append("AND")
+            elif val == "||":
+                parts.append("OR")
+            elif val == "!" and p.peek() != ("punct", "="):
+                parts.append("NOT")
+            else:
+                parts.append(val)
+        elif kind == "var":
+            parts.append(val[1:])
+        elif kind == "str":
+            body = re.sub(r"\\(.)", r"\1", val[1:-1]).replace("'", "''")
+            parts.append(f"'{body}'")
+        elif kind == "num":
+            parts.append(val)
+        elif kind == "name":
+            low = val.lower()
+            nxt_is_call = p.peek() == ("punct", "(")
+            if low == "regex" and nxt_is_call:
+                p.eat()
+                arg1 = _expr(p, stop={","})
+                p.expect_punct(",")
+                arg2 = _expr(p, stop={")"})
+                p.expect_punct(")")
+                parts.append(f"({arg1} RLIKE {arg2})")
+            elif low == "bound" and nxt_is_call:
+                p.eat()
+                arg = _expr(p, stop={")"})
+                p.expect_punct(")")
+                parts.append(f"({arg} IS NOT NULL)")
+            elif low in _FN_MAP and nxt_is_call:
+                parts.append(_FN_MAP[low])
+            elif low in ("in", "not"):
+                parts.append(val.upper())
+            elif low in ("true", "false"):
+                parts.append(low)
+            elif nxt_is_call:
+                raise SparqlSyntaxError(f"unsupported function {val!r}")
+            else:
+                raise SparqlSyntaxError(
+                    f"bare name {val!r} in expression (quote literals)"
+                )
+    if depth != 0:
+        raise SparqlSyntaxError("unbalanced '(' in expression")
+    if not parts:
+        raise SparqlSyntaxError("empty expression")
+    return " ".join(parts)
+
+
+def _parse_triples_block(p: _P) -> list[tuple]:
+    """Triple templates with ';' (same subject) and ',' (same subject and
+    predicate) abbreviations, until '}' or a non-triple keyword."""
+    pats: list[tuple] = []
+    while True:
+        kind, val = p.peek()
+        if kind == "punct" and val == "}":
+            break
+        if kind == "name" and val.lower() in (
+            "optional", "minus", "filter", "values", "bind", "union",
+        ):
+            break
+        subj = p.term()
+        while True:
+            pred = _parse_path(p)
+            while True:
+                obj = p.term()
+                pats.append((subj, pred, obj))
+                if p.peek() == ("punct", ","):
+                    p.eat()
+                    continue
+                break
+            if p.peek() == ("punct", ";"):
+                p.eat()
+                if p.peek() == ("punct", "}"):  # trailing ';' is legal
+                    break
+                continue
+            break
+        if p.peek() == ("punct", "."):
+            p.eat()
+            continue
+        break
+    return pats
+
+
+def _parse_values(p: _P) -> list[dict[str, str | None]]:
+    p.expect_kw("values")
+    kind, val = p.peek()
+    if kind == "var":  # single-variable form
+        var = p.eat()[1][1:]
+        p.expect_punct("{")
+        rows = []
+        while p.peek() != ("punct", "}"):
+            if p.at_kw("undef"):
+                p.eat()
+                rows.append({var: None})
+            else:
+                rows.append({var: p.term()})
+        p.eat()
+        return rows
+    p.expect_punct("(")
+    names = []
+    while p.peek() != ("punct", ")"):
+        k, v = p.eat()
+        if k != "var":
+            raise SparqlSyntaxError("VALUES header must list variables")
+        names.append(v[1:])
+    p.eat()
+    p.expect_punct("{")
+    rows = []
+    while p.peek() != ("punct", "}"):
+        p.expect_punct("(")
+        row: dict[str, str | None] = {}
+        for n in names:
+            if p.at_kw("undef"):
+                p.eat()
+                row[n] = None
+            else:
+                row[n] = p.term()
+        p.expect_punct(")")
+        rows.append(row)
+    p.eat()
+    return rows
+
+
+def _parse_bind(p: _P, kw: dict):
+    p.eat()  # BIND
+    p.expect_punct("(")
+    # Find the AS keyword at relative depth 0, translate the token slice
+    # before it as one expression (so nested function calls work), then
+    # read the target variable.
+    j, depth = p.i, 0
+    while True:
+        if j >= len(p.toks):
+            raise SparqlSyntaxError("BIND without AS")
+        kind, val = p.toks[j]
+        if kind == "name" and val.lower() == "as" and depth == 0:
+            break
+        if kind == "punct" and val == "(":
+            depth += 1
+        elif kind == "punct" and val == ")":
+            if depth == 0:
+                raise SparqlSyntaxError("BIND without AS")
+            depth -= 1
+        j += 1
+    sub = _P(p.toks[p.i:j])
+    sub.prefixes = p.prefixes
+    e = _expr(sub, stop=set())
+    if sub.peek()[0] != "eof":
+        raise SparqlSyntaxError("malformed BIND expression")
+    p.i = j + 1  # past AS
+    kind, val = p.eat()
+    if kind != "var":
+        raise SparqlSyntaxError("BIND target must be a variable")
+    p.expect_punct(")")
+    kw.setdefault("bind", {})[val[1:]] = e
+
+
+def parse(text: str) -> dict:
+    """Parse SPARQL text into an execution spec dict (see :func:`sparql`
+    for the executable form).  Raises :class:`SparqlSyntaxError` on
+    anything outside the supported subset."""
+    p = _P(_tokenize(text))
+    while p.at_kw("prefix"):
+        p.eat()
+        kind, val = p.eat()
+        if kind != "name" or not val.endswith(":"):
+            # prefixed-name token 'ex:' tokenizes as name 'ex:'
+            if kind != "name" or ":" not in val:
+                raise SparqlSyntaxError("PREFIX needs 'name:'")
+        pfx = val.rstrip(":").split(":")[0]
+        kind2, iri = p.eat()
+        if kind2 != "iri":
+            raise SparqlSyntaxError("PREFIX needs an <iri>")
+        p.prefixes[pfx] = iri[1:-1]
+
+    if p.at_kw("ask"):
+        p.eat()
+        group = _parse_group_with_binds(p)
+        _no_trailing(p)
+        return {"form": "ask", "groups": [group]}
+
+    if p.at_kw("construct"):
+        p.eat()
+        p.expect_punct("{")
+        template = _parse_triples_block(p)
+        p.expect_punct("}")
+        p.expect_kw("where")
+        group = _parse_group_with_binds(p)
+        _no_trailing(p)
+        return {"form": "construct", "template": template,
+                "groups": [group]}
+
+    p.expect_kw("select")
+    distinct = False
+    if p.at_kw("distinct"):
+        p.eat()
+        distinct = True
+    proj: list[str] = []
+    aggs: dict[str, tuple[str, str]] = {}
+    star = False
+    while True:
+        kind, val = p.peek()
+        if kind == "var":
+            p.eat()
+            proj.append(val[1:])
+        elif kind == "punct" and val == "*":
+            p.eat()
+            star = True
+        elif kind == "punct" and val == "(":
+            p.eat()
+            fn = p.eat()[1].lower()
+            if fn not in _AGGS:
+                raise SparqlSyntaxError(f"unknown aggregate {fn!r}")
+            p.expect_punct("(")
+            if p.at_kw("distinct"):
+                p.eat()
+                if fn != "count":
+                    raise SparqlSyntaxError("DISTINCT only with COUNT")
+                fn = "count_distinct"
+            kind2, v2 = p.eat()
+            if kind2 == "punct" and v2 == "*":
+                arg = "*"
+            elif kind2 == "var":
+                arg = v2[1:]
+            else:
+                raise SparqlSyntaxError("aggregate arg must be ?var or *")
+            p.expect_punct(")")
+            p.expect_kw("as")
+            kind3, v3 = p.eat()
+            if kind3 != "var":
+                raise SparqlSyntaxError("aggregate alias must be ?var")
+            p.expect_punct(")")
+            aggs[v3[1:]] = (fn, arg)
+            proj.append(v3[1:])
+        else:
+            break
+    if not star and not proj:
+        raise SparqlSyntaxError("empty SELECT clause")
+    p.expect_kw("where")
+
+    groups = [_parse_group_with_binds(p)]
+    while p.at_kw("union"):
+        p.eat()
+        groups.append(_parse_group_with_binds(p))
+
+    group_by: list[str] = []
+    having = None
+    order: list[tuple[str, str]] = []
+    limit = None
+    offset = 0
+    while True:
+        if p.at_kw("group"):
+            p.eat()
+            p.expect_kw("by")
+            while p.peek()[0] == "var":
+                group_by.append(p.eat()[1][1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs variables")
+        elif p.at_kw("having"):
+            p.eat()
+            p.expect_punct("(")
+            having = _expr(p, stop={")"})
+            p.expect_punct(")")
+        elif p.at_kw("order"):
+            p.eat()
+            p.expect_kw("by")
+            while True:
+                if p.at_kw("asc", "desc"):
+                    d = p.eat()[1].lower()
+                    p.expect_punct("(")
+                    v = p.eat()
+                    if v[0] != "var":
+                        raise SparqlSyntaxError("ORDER BY needs ?var")
+                    p.expect_punct(")")
+                    order.append((v[1][1:], d))
+                elif p.peek()[0] == "var":
+                    order.append((p.eat()[1][1:], "asc"))
+                else:
+                    break
+            if not order:
+                raise SparqlSyntaxError("ORDER BY needs keys")
+        elif p.at_kw("limit"):
+            p.eat()
+            limit = int(p.eat()[1])
+        elif p.at_kw("offset"):
+            p.eat()
+            offset = int(p.eat()[1])
+        else:
+            break
+    _no_trailing(p)
+    return {
+        "form": "select", "distinct": distinct, "star": star,
+        "project": proj, "aggs": aggs, "groups": groups,
+        "group_by": group_by, "having": having, "order": order,
+        "limit": limit, "offset": offset,
+    }
+
+
+def _parse_group_with_binds(p: _P) -> dict:
+    """_parse_group, with BIND handled here (needs the AS-aware scanner)."""
+    p.expect_punct("{")
+    kw: dict = {"patterns": []}
+    while p.peek() != ("punct", "}"):
+        if p.at_kw("bind"):
+            _parse_bind(p, kw)
+        elif p.at_kw("optional", "minus", "filter", "values"):
+            # reuse the group parser's clause handling via a tiny re-entry
+            _parse_clause(p, kw)
+        else:
+            kw["patterns"].extend(_parse_triples_block(p))
+    p.eat()
+    if not kw["patterns"]:
+        raise SparqlSyntaxError("group has no required triple pattern")
+    return kw
+
+
+def _parse_clause(p: _P, kw: dict):
+    if p.at_kw("optional"):
+        p.eat()
+        p.expect_punct("{")
+        kw.setdefault("optional", []).extend(_parse_triples_block(p))
+        p.expect_punct("}")
+    elif p.at_kw("minus"):
+        p.eat()
+        p.expect_punct("{")
+        kw.setdefault("minus", []).extend(_parse_triples_block(p))
+        p.expect_punct("}")
+    elif p.at_kw("values"):
+        kw.setdefault("values", []).extend(_parse_values(p))
+    elif p.at_kw("filter"):
+        p.eat()
+        neg = False
+        if p.at_kw("not"):
+            p.eat()
+            neg = True
+        if p.at_kw("exists"):
+            p.eat()
+            p.expect_punct("{")
+            block = _parse_triples_block(p)
+            p.expect_punct("}")
+            kw.setdefault("minus" if neg else "exists", []).extend(block)
+        elif neg:
+            raise SparqlSyntaxError("FILTER NOT must be NOT EXISTS")
+        else:
+            p.expect_punct("(")
+            e = _expr(p, stop={")"})
+            p.expect_punct(")")
+            prev = kw.get("filter_expr")
+            kw["filter_expr"] = f"({prev}) AND ({e})" if prev else e
+
+
+def _no_trailing(p: _P):
+    kind, val = p.peek()
+    if kind != "eof":
+        raise SparqlSyntaxError(f"unexpected trailing token {val!r}")
+
+
+def sparql(
+    triples: DataFrame,
+    text: str,
+    stats: dict[str, int] | None = None,
+) -> DataFrame:
+    """Parse and execute SPARQL ``text`` against ``triples`` — the one-call
+    entry point.  ``stats`` passes through to the cost-based join ordering
+    (see bgp.plan_order).  SELECT returns one column per projected
+    variable; ASK one boolean ``ask`` row; CONSTRUCT a distinct
+    (subj, pred, obj) graph."""
+    from i2o_transform_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_ask,
+        bgp_construct,
+        bgp_match,
+        bgp_union,
+        solution_modifiers,
+    )
+
+    q = parse(text)
+    groups = q["groups"]
+    if stats is not None:
+        for g in groups:
+            g["stats"] = stats
+
+    if q["form"] == "ask":
+        return bgp_ask(triples, **groups[0])
+    if q["form"] == "construct":
+        return bgp_construct(triples, template=q["template"], **groups[0])
+
+    if len(groups) == 1:
+        bindings = bgp_match(triples, distinct=False, **groups[0])
+    else:
+        bindings = bgp_union(triples, groups, distinct=False)
+
+    if q["aggs"] or q["group_by"]:
+        for v in q["group_by"]:
+            if v in q["aggs"]:
+                raise SparqlSyntaxError(f"?{v} is both group key and alias")
+        bindings = bgp_aggregate(bindings, q["group_by"], q["aggs"])
+        if q["having"]:
+            bindings = bindings.where(q["having"])
+    elif q["having"]:
+        raise SparqlSyntaxError("HAVING without aggregates")
+
+    cols = bindings.columns if q["star"] else q["project"]
+    missing = [c for c in cols if c not in bindings.columns]
+    if missing:
+        raise SparqlSyntaxError(f"projected unbound variable(s): {missing}")
+    out = bindings.select(*cols)
+    if q["distinct"]:
+        out = out.distinct()
+    if q["order"] or q["limit"] is not None or q["offset"]:
+        out = solution_modifiers(
+            out, q["order"], limit=q["limit"], offset=q["offset"]
+        )
+    return out

@@ -10406,3 +10406,109 @@ def kg_shacl_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     node_types = spark.createDataFrame([], "node string, type string")
     return shacl_validate(triples, node_types, shapes, in_values=in_values)
+
+
+def _sparql_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple fixture for the SPARQL text-front-end queries: customer
+    inNation (all), mktsegment (custkey %13 != 0 stratum, so OPTIONAL
+    carries real NULLs), nation partOf region."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    return (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("inNation").alias("pred"),
+                  tag("N:", "c_nationkey").alias("obj"))
+        .unionByName(
+            cu.where(F.col("c_custkey") % 13 != 0).select(
+                tag("C:", "c_custkey").alias("subj"),
+                F.lit("mktsegment").alias("pred"),
+                F.col("c_mktsegment").alias("obj")))
+        .unionByName(
+            na.select(tag("N:", "n_nationkey").alias("subj"),
+                      F.lit("partOf").alias("pred"),
+                      tag("R:", "n_regionkey").alias("obj")))
+    )
+
+
+@query(
+    "kg_sparql_text",
+    oracle="""
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+           CASE WHEN c_custkey % 13 <> 0 THEN c_mktsegment END AS s,
+           'n:' || CAST(c_nationkey AS VARCHAR) AS nl
+    FROM customer WHERE c_nationkey IN (3, 7)
+    """,
+)
+def kg_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text front-end (operators/sparql.sparql): a SELECT with
+    ';'-abbreviated patterns, OPTIONAL, BIND, and a disjunctive FILTER is
+    PARSED FROM TEXT and compiled onto bgp_match — the constant-pred
+    scans, left-join OPTIONAL, and codegen filter expression are exactly
+    the programmatic plan; the parser adds zero execution machinery.
+    Oracle: the same selection straight off the customer table."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_sparql_fixture(spark, sf_dir), """
+        SELECT ?c ?n ?s ?nl WHERE {
+          ?c inNation ?n .
+          OPTIONAL { ?c mktsegment ?s }
+          BIND (LCASE(?n) AS ?nl)
+          FILTER (?n = "N:7" || ?n = "N:3")
+        }""")
+
+
+@query(
+    "kg_sparql_text_agg",
+    oracle="""
+    SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT CASE WHEN c_custkey % 13 <> 0
+                                    THEN c_mktsegment END) AS BIGINT)
+             AS kinds
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 10
+    ORDER BY n_cust DESC, n ASC, kinds ASC LIMIT 10
+    """,
+)
+def kg_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text aggregates: GROUP BY + COUNT(*) / COUNT(DISTINCT ?s)
+    + HAVING + ORDER BY DESC + LIMIT parsed from text onto bgp_aggregate
+    and the heap-planned solution modifiers (TakeOrderedAndProject — no
+    global sort for the top-10).  COUNT(DISTINCT ?s) must skip the
+    OPTIONAL's unbound rows (SPARQL unbound-skipping) while COUNT(*)
+    keeps them.  Oracle: conditional aggregation with the same total
+    order."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_sparql_fixture(spark, sf_dir), """
+        SELECT ?n (COUNT(*) AS ?n_cust) (COUNT(DISTINCT ?s) AS ?kinds)
+        WHERE {
+          ?c inNation ?n .
+          OPTIONAL { ?c mktsegment ?s }
+        } GROUP BY ?n HAVING (?n_cust >= 10)
+        ORDER BY DESC(?n_cust) ?n LIMIT 10""")
+
+
+@query(
+    "kg_sparql_text_path",
+    oracle="""
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           'R:' || CAST(n_regionkey AS VARCHAR) AS r
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey % 13 <> 0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def kg_sparql_text_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path from text: ``inNation/partOf`` parses to the
+    paths AST ("seq") and evaluates through eval_path inside the triple
+    pattern, composed with a FILTER EXISTS (left-semi, never fans out)
+    written as text.  Oracle: the two-hop join with an EXISTS
+    predicate."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_sparql_fixture(spark, sf_dir), """
+        SELECT DISTINCT ?c ?r WHERE {
+          ?c inNation/partOf ?r .
+          FILTER EXISTS { ?c mktsegment "BUILDING" }
+        }""")

@@ -1,0 +1,183 @@
+"""SPARQL text front-end (operators/sparql): parse + execute on the BGP
+algebra; syntax-error contract for the unsupported remainder."""
+
+from __future__ import annotations
+
+import pytest
+
+from i2o_transform_spark.operators.sparql import (
+    SparqlSyntaxError,
+    parse,
+    sparql,
+)
+
+T = "subj string, pred string, obj string"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return spark.createDataFrame(
+        [("c1", "inNation", "N:7"), ("c1", "mktsegment", "BUILDING"),
+         ("c2", "inNation", "N:7"), ("c2", "mktsegment", "AUTO"),
+         ("c3", "inNation", "N:3"), ("c3", "mktsegment", "BUILDING"),
+         ("c1", "knows", "c2"), ("c2", "knows", "c3"),
+         ("N:7", "partOf", "R:1"), ("N:3", "partOf", "R:2"),
+         ("R:1", "partOf", "W")],
+        T,
+    ).cache()
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_select_filter_order_limit(graph):
+    q = """SELECT ?c ?s WHERE {
+             ?c inNation "N:7" ; mktsegment ?s .
+             FILTER (?s != "AUTO")
+           } ORDER BY ?c LIMIT 5"""
+    assert rows(sparql(graph, q)) == {("c1", "BUILDING")}
+
+
+def test_semicolon_comma_abbreviations(graph):
+    q = 'SELECT ?c WHERE { ?c mktsegment "BUILDING", "AUTO" . }'
+    # comma = same subject+pred: needs BOTH objects -> nobody
+    assert rows(sparql(graph, q)) == set()
+
+
+def test_group_by_having_desc(graph):
+    q = """SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c inNation ?n . }
+           GROUP BY ?n HAVING (?cnt >= 2) ORDER BY DESC(?cnt)"""
+    assert rows(sparql(graph, q)) == {("N:7", 2)}
+
+
+def test_count_distinct_and_implicit_group(graph):
+    q = """SELECT (COUNT(DISTINCT ?n) AS ?nations) WHERE
+           { ?c inNation ?n . }"""
+    assert rows(sparql(graph, q)) == {(2,)}
+
+
+def test_property_path_alt_seq_plus(graph):
+    q = """SELECT DISTINCT ?x WHERE {
+             ?x (knows+/inNation)|inNation "N:3" . }"""
+    # c3 directly; c1 and c2 via knows+ to c3
+    assert rows(sparql(graph, q)) == {("c1",), ("c2",), ("c3",)}
+
+
+def test_inverse_path(graph):
+    q = 'SELECT ?n WHERE { ?n ^inNation "c1" . }'
+    assert rows(sparql(graph, q)) == {("N:7",)}
+
+
+def test_negated_property_set(graph):
+    q = 'SELECT ?o WHERE { "c1" !(knows|mktsegment) ?o . }'
+    assert rows(sparql(graph, q)) == {("N:7",)}
+
+
+def test_variable_predicate(graph):
+    q = 'SELECT ?p ?o WHERE { "c3" ?p ?o . }'
+    assert rows(sparql(graph, q)) == {("inNation", "N:3"),
+                                      ("mktsegment", "BUILDING")}
+
+
+def test_optional_bound_filter(graph):
+    q = """SELECT ?c WHERE {
+             ?c inNation ?n .
+             OPTIONAL { ?c knows ?k }
+             FILTER (!BOUND(?k))
+           }"""
+    assert rows(sparql(graph, q)) == {("c3",)}
+
+
+def test_values_minus_optional_bind(graph):
+    q = """SELECT ?c ?up ?cu WHERE {
+             VALUES ?seg { "BUILDING" "AUTO" }
+             ?c mktsegment ?seg .
+             OPTIONAL { ?c knows ?up }
+             BIND (UCASE(?c) AS ?cu)
+             MINUS { ?c inNation "N:3" }
+           }"""
+    assert rows(sparql(graph, q)) == {("c1", "c2", "C1"),
+                                      ("c2", "c3", "C2")}
+
+
+def test_values_row_form_with_undef(graph):
+    q = """SELECT ?c ?n WHERE {
+             ?c inNation ?n .
+             VALUES (?c ?n) { ("c1" UNDEF) (UNDEF "N:3") }
+           }"""
+    assert rows(sparql(graph, q)) == {("c1", "N:7"), ("c3", "N:3")}
+
+
+def test_union_extends_bindings(graph):
+    q = """SELECT ?c ?n ?k WHERE { ?c inNation ?n . FILTER (?n = "N:3") }
+           UNION { ?c knows ?k . }"""
+    got = rows(sparql(graph, q))
+    assert ("c3", "N:3", None) in got
+    assert ("c1", None, "c2") in got and ("c2", None, "c3") in got
+
+
+def test_ask_exists(graph):
+    q = 'ASK { ?c mktsegment "AUTO" . FILTER EXISTS { ?c inNation "N:7" } }'
+    assert rows(sparql(graph, q)) == {(True,)}
+    q2 = 'ASK { ?c mktsegment "AUTO" . FILTER EXISTS { ?c inNation "N:9" } }'
+    assert rows(sparql(graph, q2)) == {(False,)}
+
+
+def test_filter_not_exists_is_minus(graph):
+    q = """SELECT ?c WHERE { ?c inNation ?n .
+           FILTER NOT EXISTS { ?c knows ?x } }"""
+    assert rows(sparql(graph, q)) == {("c3",)}  # c1, c2 both know someone
+
+
+def test_construct(graph):
+    q = """CONSTRUCT { ?a sameRegionAs ?b } WHERE {
+             ?a inNation ?n . ?b inNation ?n . FILTER (?a < ?b) }"""
+    assert rows(sparql(graph, q)) == {("c1", "sameRegionAs", "c2")}
+
+
+def test_regex_and_strstarts(graph):
+    q = """SELECT ?c WHERE { ?c inNation ?n .
+           FILTER (REGEX(?n, "^N:[0-9]$") && STRSTARTS(?c, "c")) }"""
+    assert rows(sparql(graph, q)) == {("c1",), ("c2",), ("c3",)}
+
+
+def test_prefix_expansion(graph):
+    q = """PREFIX ex: <kno>
+           SELECT ?x WHERE { ?x ex:ws "c2" . }"""
+    assert parse(q)["groups"][0]["patterns"] == [("?x", "knows", "c2")]
+    assert rows(sparql(graph, q)) == {("c1",)}
+
+
+def test_offset_pagination(graph):
+    q = "SELECT ?c WHERE { ?c inNation ?n . } ORDER BY ?c LIMIT 1 OFFSET 1"
+    assert rows(sparql(graph, q)) == {("c2",)}
+
+
+def test_select_star(graph):
+    q = 'SELECT * WHERE { ?c inNation "N:3" . }'
+    assert rows(sparql(graph, q)) == {("c3",)}
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ("SELECT ?x WHERE { ?x p ?y } JUNK ?z", "trailing"),
+        ("SELECT WHERE { ?x p ?y }", "empty SELECT"),
+        ("SELECT ?x WHERE { }", "no required triple"),
+        ("SELECT ?z WHERE { ?x p ?y }", "unbound"),
+        ("SELECT ?x WHERE { ?x p ?y } HAVING (?x > 1)", "HAVING without"),
+        ("SELECT ?x WHERE { ?x p ?y . FILTER (FOO(?x)) }", "unsupported"),
+        ("SELECT ?x WHERE { ?x p ?y . BIND (?y) }", "BIND without AS"),
+    ],
+)
+def test_syntax_errors(graph, bad, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        sparql(graph, bad).collect()
+
+
+def test_group_concat_and_sample(graph):
+    q = """SELECT ?n (GROUP_CONCAT(?c) AS ?cs) (SAMPLE(?c) AS ?one)
+           WHERE { ?c inNation ?n . } GROUP BY ?n ORDER BY ?n"""
+    got = rows(sparql(graph, q))
+    assert got == {("N:3", "c3", "c3"), ("N:7", "c1 c2", "c1")}

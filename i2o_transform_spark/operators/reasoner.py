@@ -501,3 +501,98 @@ def owl_class_entail(
             break
         closure = closure.unionByName(new).localCheckpoint(eager=True)
     return closure
+
+
+def owl_chain_entail(
+    triples: DataFrame,
+    chain_pred: str = "owl:propertyChainAxiom",
+    max_rounds: int = 8,
+    strict_lists: bool = True,
+) -> DataFrame:
+    """OWL 2 RL property-chain entailment (rule prp-spo2): an axiom
+    ``(p, owl:propertyChainAxiom, L)`` with L the cons list (p1 .. pn)
+    asserts p1/p2/.../pn  ⊑  p — every chain of edges through the listed
+    predicates entails one p edge.  rdfs:subPropertyOf is the n=1 case;
+    the classic example is uncle = parent/brother.
+
+    Returns the entailed graph (input plus derived edges), set
+    semantics.  The reference's OMOP `concept_ancestor` table is a
+    PRE-FLATTENED chain product shipped as data
+    (MSSQL/OMOPLoader.sql:1567-1630 joins it instead of composing);
+    a KG built from an ontology must compose the chains itself.
+
+    Scale shape: the axiom list is ontology-sized — unrolled
+    (operators/rdflist, pointer doubling) and collected under
+    MAX_SCHEMA_EDGES.  Each chain evaluates as a LEFT-DEEP sequence of
+    equi-joins over per-predicate pushed-down scans
+    (operators/paths.eval_path "seq" composition — Catalyst/AQE pick
+    broadcast vs shuffle per hop from observed sizes); all chains run
+    per round, then ONE distinct + anti-join grows the graph.  Chains
+    can feed each other (a derived p edge may be a link of another
+    chain — including recursively, e.g. ancestor = parent/ancestor), so
+    rounds iterate to a count fixpoint, bounded by the axiom DEPENDENCY
+    depth for the non-recursive case and by graph diameter for
+    recursive axioms; ``max_rounds`` caps the recursive case (raise it
+    for deep hierarchies).  Eager localCheckpoint per round cuts
+    lineage, same discipline as owl_property_entail's closure.
+    """
+    from i2o_transform_spark.operators.paths import eval_path
+    from i2o_transform_spark.operators.rdflist import unroll_collections
+
+    spo = ("subj", "pred", "obj")
+    t = triples.select(*spo)
+    axioms = t.where(F.col("pred") == chain_pred).select(
+        F.col("subj").alias("sup"), F.col("obj").alias("head")
+    )
+    mem = (
+        unroll_collections(t, strict=strict_lists)
+        .join(axioms, "head")
+        .select("sup", "head", "pos", "member")
+    )
+    rows = mem.limit(MAX_SCHEMA_EDGES + 1).collect()
+    if len(rows) > MAX_SCHEMA_EDGES:
+        raise ValueError(
+            f"chain-axiom table exceeds MAX_SCHEMA_EDGES={MAX_SCHEMA_EDGES}"
+        )
+    # Key on (sup, head): a property may carry SEVERAL chain axioms
+    # (e.g. anc ⊒ parent and anc ⊒ parent/anc — the recursive pair);
+    # each list is its own composition, all emitting under sup.
+    chains: dict[tuple, list] = {}
+    for r in rows:
+        chains.setdefault((r["sup"], r["head"]), []).append(
+            (r["pos"], r["member"])
+        )
+    asts: list[tuple] = []
+    for (sup, _), links in sorted(chains.items()):
+        ordered = [m for _, m in sorted(links)]
+        ast = ("pred", ordered[0])
+        for m in ordered[1:]:
+            ast = ("seq", ast, ("pred", m))
+        asts.append((sup, ast))
+
+    # The returned graph is DOMAIN edges: the axiom rows and their
+    # rdf:first/rdf:rest encoding cells are reasoner input, not
+    # entailment subject matter, so they are excluded (the n=1 "chain"
+    # is the subPropertyOf case and works the same way).
+    from i2o_transform_spark.operators.rdflist import RDF_FIRST, RDF_REST
+
+    graph = t.where(
+        ~F.col("pred").isin([chain_pred, RDF_FIRST, RDF_REST])
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        derived = None
+        for sup, ast in asts:
+            d = eval_path(graph, ast).select(
+                F.col("src").alias("subj"),
+                F.lit(sup).alias("pred"),
+                F.col("dst").alias("obj"),
+            )
+            derived = d if derived is None else derived.unionByName(d)
+        if derived is None:
+            break
+        new = derived.distinct().join(graph, on=list(spo), how="left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        graph = graph.unionByName(new).localCheckpoint(eager=True)
+    return graph

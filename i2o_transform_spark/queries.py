@@ -7748,14 +7748,25 @@ def kg_align_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     switches to above its measured fan-out budget): run banded and exact
     on the SAME fixture and demand banded reproduce >= 95% of the exact
     path's fuzzy elections identically (left, right, score all equal).
-    n_fuzzy_lefts is recomputed independently by the oracle (lefts with
-    no exact-string match — every one gets a fuzzy election on this
-    fixture); the gate column is value-hashed, so a recall regression
-    flips the row red.  Minhash seeds are frozen, so the check is
-    deterministic.  Pattern: dd_minhash_recall_check."""
+    n_fuzzy_lefts is recomputed independently by the oracle by ITS OWN
+    definition — lefts with no exact-normalized-string match — which the
+    Spark side mirrors with one anti-join on the normalized name (NOT
+    with the operator's election count: at tiny scale a handful of
+    lefts have no candidate above the score floor at all, so counting
+    elections would undercount).  The gate column is value-hashed, so a
+    recall regression flips the row red.  Minhash seeds are frozen, so
+    the check is deterministic.  Pattern: dd_minhash_recall_check."""
     from i2o_transform_spark.operators.align import align_vocabularies
 
     left, right = _align_fixture(spark, sf_dir)
+    norm = lambda c: F.trim(  # noqa: E731
+        F.regexp_replace(F.lower(F.col(c)), "[^a-z0-9]+", " "))
+    n_fuzzy = (
+        left.select(norm("name").alias("_n"), "concept_id")
+        .join(right.select(norm("name").alias("_n")).distinct(),
+              "_n", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_fuzzy_lefts"))
+    )
     ex = align_vocabularies(left, right, mode="exact").where(
         F.col("method") == "fuzzy"
     ).select("left_id", "right_id", "score_ppm")
@@ -7764,11 +7775,12 @@ def kg_align_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", "score_ppm")
     hits = ex.join(bd, ["left_id", "right_id", "score_ppm"], "left_semi")
     return (
-        ex.agg(F.count(F.lit(1)).alias("n_fuzzy_lefts"))
+        n_fuzzy
+        .crossJoin(ex.agg(F.count(F.lit(1)).alias("_n_ex")))
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
         .select(
             F.col("n_fuzzy_lefts").cast("long").alias("n_fuzzy_lefts"),
-            (F.col("_n_hit") * F.lit(100) >= F.lit(95) * F.col("n_fuzzy_lefts"))
+            (F.col("_n_hit") * F.lit(100) >= F.lit(95) * F.col("_n_ex"))
             .cast("int")
             .alias("recall_ge_095"),
         )
@@ -10512,3 +10524,84 @@ def kg_sparql_text_path(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?c inNation/partOf ?r .
           FILTER EXISTS { ?c mktsegment "BUILDING" }
         }""")
+
+
+@query(
+    "kg_owl_chain",
+    oracle="""
+    WITH placed AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS s,
+             'C:' || CAST(o_custkey AS VARCHAR) AS o
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    located AS (
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS s,
+             'N:' || CAST(c_nationkey AS VARCHAR) AS o
+      FROM customer
+    ),
+    inreg AS (
+      SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS s,
+             'R:' || CAST(n_regionkey AS VARCHAR) AS o
+      FROM nation
+    ),
+    custreg AS (
+      SELECT DISTINCT l.s, i.o FROM located l JOIN inreg i ON l.o = i.s
+    ),
+    orderreg AS (
+      SELECT DISTINCT p.s, c.o FROM placed p JOIN custreg c ON p.o = c.s
+    )
+    SELECT s AS subj, 'placedBy' AS pred, o AS obj FROM placed
+    UNION SELECT s, 'locatedIn', o FROM located
+    UNION SELECT s, 'inRegion', o FROM inreg
+    UNION SELECT s, 'custRegion', o FROM custreg
+    UNION SELECT s, 'orderRegion', o FROM orderreg
+    UNION SELECT s, 'orderRegion2', o FROM orderreg
+    """,
+)
+def kg_owl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL property-chain entailment (operators/reasoner.owl_chain_entail,
+    rule prp-spo2) with collection-encoded axioms: orderRegion =
+    placedBy/locatedIn/inRegion (3-link chain, left-deep equi-join
+    sequence), custRegion = locatedIn/inRegion, and orderRegion2 =
+    placedBy/custRegion — whose second link only EXISTS once custRegion
+    derives, so the fixpoint must take a second round (axiom feeding
+    axiom).  Oracle: the same compositions as explicit joins; orderRegion
+    and orderRegion2 coincide by associativity, which the oracle states
+    directly."""
+    from i2o_transform_spark.operators.reasoner import owl_chain_entail
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    base = (
+        od.where(F.col("o_orderkey") % 10 == 0)
+        .select(tag("O:", "o_orderkey").alias("subj"),
+                F.lit("placedBy").alias("pred"),
+                tag("C:", "o_custkey").alias("obj"))
+        .unionByName(cu.select(tag("C:", "c_custkey").alias("subj"),
+                               F.lit("locatedIn").alias("pred"),
+                               tag("N:", "c_nationkey").alias("obj")))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("inRegion").alias("pred"),
+                               tag("R:", "n_regionkey").alias("obj")))
+    )
+
+    def chain(name, members):
+        rows = []
+        for i, m in enumerate(members):
+            cell = f"{name}#{i}"
+            nxt = f"{name}#{i + 1}" if i + 1 < len(members) else "rdf:nil"
+            rows += [(cell, "rdf:first", m), (cell, "rdf:rest", nxt)]
+        return rows
+
+    axioms = spark.createDataFrame(
+        chain("x1", ["placedBy", "locatedIn", "inRegion"])
+        + chain("x2", ["locatedIn", "inRegion"])
+        + chain("x3", ["placedBy", "custRegion"])
+        + [("orderRegion", "owl:propertyChainAxiom", "x1#0"),
+           ("custRegion", "owl:propertyChainAxiom", "x2#0"),
+           ("orderRegion2", "owl:propertyChainAxiom", "x3#0")],
+        "subj string, pred string, obj string",
+    )
+    return owl_chain_entail(base.unionByName(axioms))

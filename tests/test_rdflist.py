@@ -239,3 +239,69 @@ def test_shacl_in_counts_offending_objects_per_focus(spark):
     ).collect()
     rows = {(r.node, r.pred, r.violation, r.n) for r in out}
     assert rows == {("n1", "color", "in", 2)}
+
+
+# ---- owl_chain_entail (reasoner, prp-spo2) ----------------------------
+
+
+def _chain_axiom(sup, members):
+    rows = []
+    for i, m in enumerate(members):
+        cell = f"{sup}#{i}"
+        nxt = f"{sup}#{i + 1}" if i + 1 < len(members) else "rdf:nil"
+        rows += [(cell, "rdf:first", m), (cell, "rdf:rest", nxt)]
+    rows.append((sup, "owl:propertyChainAxiom", f"{sup}#0"))
+    return rows
+
+
+def test_chain_entail_uncle(spark):
+    from i2o_transform_spark.operators.reasoner import owl_chain_entail
+
+    t = spark.createDataFrame(
+        _chain_axiom("uncle", ["parent", "brother"])
+        + [("kid", "parent", "dad"), ("dad", "brother", "bob"),
+           ("dad", "brother", "jim"), ("kid2", "parent", "mom")],
+        TT)
+    out = {tuple(r) for r in owl_chain_entail(t).collect()}
+    assert ("kid", "uncle", "bob") in out and ("kid", "uncle", "jim") in out
+    assert not any(s == "kid2" and p == "uncle" for s, p, o in out)
+    # axiom encoding triples are not part of the entailed graph
+    assert not any(p in ("rdf:first", "rdf:rest", "owl:propertyChainAxiom")
+                   for _, p, _ in out)
+
+
+def test_chain_entail_recursive_ancestor(spark):
+    from i2o_transform_spark.operators.reasoner import owl_chain_entail
+
+    # TWO chain axioms on the SAME property — anc ⊒ parent (seed) and
+    # anc ⊒ parent/anc (recursive) — together close parent transitively.
+    # Also pins the (sup, head) grouping: one property, two lists.
+    edges = [(f"n{i}", "parent", f"n{i + 1}") for i in range(5)]
+    rows = _chain_axiom("anc", ["parent"])
+    rec = [("r#0", "rdf:first", "parent"), ("r#0", "rdf:rest", "r#1"),
+           ("r#1", "rdf:first", "anc"), ("r#1", "rdf:rest", "rdf:nil"),
+           ("anc", "owl:propertyChainAxiom", "r#0")]
+    t = spark.createDataFrame(rows + rec + edges, TT)
+    out = {tuple(r) for r in owl_chain_entail(t, max_rounds=8).collect()}
+    anc = {(s, o) for s, p, o in out if p == "anc"}
+    assert anc == {(f"n{i}", f"n{j}")
+                   for i in range(5) for j in range(i + 1, 6)}
+
+
+def test_chain_entail_axiom_feeds_axiom_second_round(spark):
+    from i2o_transform_spark.operators.reasoner import owl_chain_entail
+
+    t = spark.createDataFrame(
+        _chain_axiom("pq", ["p", "q"]) + _chain_axiom("top", ["pq", "r"])
+        + [("a", "p", "b"), ("b", "q", "c"), ("c", "r", "d")], TT)
+    out = {tuple(r) for r in owl_chain_entail(t).collect()}
+    assert ("a", "pq", "c") in out
+    assert ("a", "top", "d") in out  # needs the derived pq edge
+
+
+def test_chain_entail_no_axioms_is_identity(spark):
+    from i2o_transform_spark.operators.reasoner import owl_chain_entail
+
+    t = spark.createDataFrame([("a", "p", "b")], TT)
+    assert {tuple(r) for r in owl_chain_entail(t).collect()} == {
+        ("a", "p", "b")}

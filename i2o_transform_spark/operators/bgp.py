@@ -176,6 +176,7 @@ def bgp_match(
     values: list[dict[str, str | None]] | None = None,
     bind: dict[str, object] | None = None,
     filter_expr: object | None = None,
+    extra_bindings: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; one output column per variable.
 
@@ -221,14 +222,36 @@ def bgp_match(
     SPARQL FILTER over the final bindings (Column or SQL string),
     applied after ``bind`` so filters can reference bound variables;
     NULL-valued predicates drop the row, matching SPARQL's
-    error-eliminates semantics for unbound/ill-typed comparisons."""
-    if not patterns:
+    error-eliminates semantics for unbound/ill-typed comparisons.
+
+    ``extra_bindings`` are pre-evaluated bindings frames — SPARQL
+    subquery results (operators/sparql resolves ``{ SELECT ... }``
+    bottom-up into these), or any external binding table — joined INNER
+    on the variables they share with the pattern (cross join if none:
+    legal SPARQL, and visible in the plan like a disconnected template).
+    A group may consist of extra bindings alone (``patterns`` empty).
+    Scale shape: each frame is an ordinary join input — Catalyst + AQE
+    broadcast it when the subquery aggregated the store down to
+    dictionary size, which is the common aggregate-then-join and
+    top-k-then-join case."""
+    if not patterns and not extra_bindings:
         raise ValueError("empty basic graph pattern")
-    compiled = [_compile_template(triples, p) for p in patterns]
-    order = plan_order(patterns, stats)
-    out, bound = compiled[order[0]]
-    for pick in order[1:]:
-        df, vs = compiled[pick]
+    if patterns:
+        compiled = [_compile_template(triples, p) for p in patterns]
+        order = plan_order(patterns, stats)
+        out, bound = compiled[order[0]]
+        for pick in order[1:]:
+            df, vs = compiled[pick]
+            shared = sorted(vs & bound)
+            out = out.join(df, on=shared) if shared else out.crossJoin(df)
+            bound |= vs
+        pending = list(extra_bindings or [])
+    else:
+        pending = list(extra_bindings)
+        out = pending.pop(0)
+        bound = set(out.columns)
+    for df in pending:
+        vs = set(df.columns)
         shared = sorted(vs & bound)
         out = out.join(df, on=shared) if shared else out.crossJoin(df)
         bound |= vs

@@ -33,8 +33,17 @@ Supported (SPARQL 1.1 grammar subset)
   ABS/CEIL/FLOOR/ROUND — translated to Spark SQL expression strings, so
   they stay whole-stage-codegen JVM expressions.
 
+* Subqueries: ``{ SELECT ... WHERE { ... } [GROUP BY/HAVING/ORDER/LIMIT/
+  OFFSET] }`` nested inside a group graph pattern, to any depth.  The
+  inner SELECT evaluates bottom-up to an ordinary bindings frame exposing
+  ONLY its projected variables (SPARQL 1.1 §12 variable scoping), then
+  joins the enclosing group on the shared ones — so aggregate-then-join
+  ("each customer with its nation's total") and modifier-then-join
+  ("members of the top-k groups") compose without new execution machinery.
+  A group may consist of a subquery alone (no required triple pattern).
+
 Deliberately out of scope (raise ValueError, never silently mis-answer):
-subqueries, ``SERVICE``/federation, ``GRAPH`` blocks (use the quad-pattern
+``SERVICE``/federation, ``GRAPH`` blocks (use the quad-pattern
 API directly), ``?`` (zero-or-one) path quantifier, RDF-typed literals with
 datatype tags, and DESCRIBE text form (``bgp_describe`` covers it
 programmatically).
@@ -304,7 +313,7 @@ def _parse_triples_block(p: _P) -> list[tuple]:
     pats: list[tuple] = []
     while True:
         kind, val = p.peek()
-        if kind == "punct" and val == "}":
+        if kind == "punct" and val in ("}", "{"):  # '{' opens a subquery
             break
         if kind == "name" and val.lower() in (
             "optional", "minus", "filter", "values", "bind", "union",
@@ -441,6 +450,15 @@ def parse(text: str) -> dict:
         return {"form": "construct", "template": template,
                 "groups": [group]}
 
+    spec = _parse_select(p)
+    _no_trailing(p)
+    return spec
+
+
+def _parse_select(p: _P) -> dict:
+    """SELECT query body, from the SELECT keyword through the solution
+    modifiers — shared by the top-level form and ``{ SELECT ... }``
+    subqueries (which call this between their braces)."""
     p.expect_kw("select")
     distinct = False
     if p.at_kw("distinct"):
@@ -538,7 +556,6 @@ def parse(text: str) -> dict:
             offset = int(p.eat()[1])
         else:
             break
-    _no_trailing(p)
     return {
         "form": "select", "distinct": distinct, "star": star,
         "project": proj, "aggs": aggs, "groups": groups,
@@ -557,10 +574,22 @@ def _parse_group_with_binds(p: _P) -> dict:
         elif p.at_kw("optional", "minus", "filter", "values"):
             # reuse the group parser's clause handling via a tiny re-entry
             _parse_clause(p, kw)
+        elif p.peek() == ("punct", "{"):
+            # nested group: only the subquery form is a distinct algebra
+            # node here ({ SELECT ... }); a bare nested group would just
+            # re-scope the same join, so require the SELECT.
+            nk, nv = p.peek(1)
+            if not (nk == "name" and nv.lower() == "select"):
+                raise SparqlSyntaxError(
+                    "nested '{' must open a subquery ({ SELECT ... })"
+                )
+            p.eat()
+            kw.setdefault("subqueries", []).append(_parse_select(p))
+            p.expect_punct("}")
         else:
             kw["patterns"].extend(_parse_triples_block(p))
     p.eat()
-    if not kw["patterns"]:
+    if not kw["patterns"] and not kw.get("subqueries"):
         raise SparqlSyntaxError("group has no required triple pattern")
     return kw
 
@@ -606,6 +635,23 @@ def _no_trailing(p: _P):
         raise SparqlSyntaxError(f"unexpected trailing token {val!r}")
 
 
+def _resolve_subqueries(
+    triples: DataFrame, groups: list[dict], stats: dict[str, int] | None
+):
+    """Evaluate each group's parsed subqueries bottom-up into bindings
+    frames (recursing through :func:`_exec_select`, so nesting is
+    unbounded) and hand them to bgp_match as ``extra_bindings``; also
+    threads ``stats`` into every group for cost-based ordering."""
+    for g in groups:
+        subs = g.pop("subqueries", None)
+        if stats is not None:
+            g["stats"] = stats
+        if subs:
+            g["extra_bindings"] = [
+                _exec_select(triples, s, stats) for s in subs
+            ]
+
+
 def sparql(
     triples: DataFrame,
     text: str,
@@ -616,25 +662,33 @@ def sparql(
     (see bgp.plan_order).  SELECT returns one column per projected
     variable; ASK one boolean ``ask`` row; CONSTRUCT a distinct
     (subj, pred, obj) graph."""
+    from i2o_transform_spark.operators.bgp import bgp_ask, bgp_construct
+
+    q = parse(text)
+    if q["form"] == "ask":
+        _resolve_subqueries(triples, q["groups"], stats)
+        return bgp_ask(triples, **q["groups"][0])
+    if q["form"] == "construct":
+        _resolve_subqueries(triples, q["groups"], stats)
+        return bgp_construct(triples, template=q["template"],
+                             **q["groups"][0])
+    return _exec_select(triples, q, stats)
+
+
+def _exec_select(
+    triples: DataFrame, q: dict, stats: dict[str, int] | None
+) -> DataFrame:
+    """Execute a parsed SELECT spec (top-level or subquery) to a bindings
+    frame holding exactly the projected columns."""
     from i2o_transform_spark.operators.bgp import (
         bgp_aggregate,
-        bgp_ask,
-        bgp_construct,
         bgp_match,
         bgp_union,
         solution_modifiers,
     )
 
-    q = parse(text)
     groups = q["groups"]
-    if stats is not None:
-        for g in groups:
-            g["stats"] = stats
-
-    if q["form"] == "ask":
-        return bgp_ask(triples, **groups[0])
-    if q["form"] == "construct":
-        return bgp_construct(triples, template=q["template"], **groups[0])
+    _resolve_subqueries(triples, groups, stats)
 
     if len(groups) == 1:
         bindings = bgp_match(triples, distinct=False, **groups[0])

@@ -10527,6 +10527,69 @@ def kg_sparql_text_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_sparql_subquery",
+    oracle="""
+    WITH top3 AS (
+      SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY c_nationkey
+      ORDER BY cnt DESC, n ASC LIMIT 3
+    )
+    SELECT 'C:' || CAST(c.c_custkey AS VARCHAR) AS c, t.n, t.cnt
+    FROM customer c
+    JOIN top3 t ON 'N:' || CAST(c.c_nationkey AS VARCHAR) = t.n
+    """,
+)
+def kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery (operators/sparql `{ SELECT ... }` inside a group):
+    the members-of-the-top-k-groups shape — the inner SELECT aggregates
+    per nation, orders with a deterministic tie-break, keeps 3, and the
+    enclosing pattern joins customers back onto those 3 rows.  The inner
+    result is a 3-row frame, so AQE broadcasts it and the store scan
+    never shuffles — the aggregate-then-join plan a hand-written two-pass
+    query would produce, from one query string.  Oracle: the same CTE +
+    join."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_sparql_fixture(spark, sf_dir), """
+        SELECT ?c ?n ?cnt WHERE {
+          ?c inNation ?n .
+          { SELECT ?n (COUNT(?c2) AS ?cnt) WHERE { ?c2 inNation ?n }
+            GROUP BY ?n ORDER BY DESC(?cnt) ?n LIMIT 3 }
+        }""")
+
+
+@query(
+    "kg_sparql_subquery_agg",
+    oracle="""
+    SELECT AVG(cnt) AS avg_cnt,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY c_nationkey
+    )
+    """,
+)
+def kg_sparql_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate OVER a subquery — the group consists of the subquery
+    alone (no required triple pattern), and the outer SELECT aggregates
+    the inner per-nation counts: SPARQL's only way to express avg-of-
+    group-counts in one query.  Exercises the empty-patterns path of
+    bgp_match (seeded from extra_bindings) and variable scoping: only
+    ?n/?cnt leave the inner SELECT.  Oracle: aggregate over a grouped
+    subselect."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_sparql_fixture(spark, sf_dir), """
+        SELECT (AVG(?cnt) AS ?avg_cnt) (COUNT(*) AS ?n_nations)
+               (MAX(?cnt) AS ?max_cnt) WHERE {
+          { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c inNation ?n }
+            GROUP BY ?n }
+        }""")
+
+
+@query(
     "kg_owl_chain",
     oracle="""
     WITH placed AS (

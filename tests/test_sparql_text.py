@@ -181,3 +181,66 @@ def test_group_concat_and_sample(graph):
            WHERE { ?c inNation ?n . } GROUP BY ?n ORDER BY ?n"""
     got = rows(sparql(graph, q))
     assert got == {("N:3", "c3", "c3"), ("N:7", "c1 c2", "c1")}
+
+
+def test_subquery_aggregate_then_join(graph):
+    q = """SELECT ?c ?n ?cnt WHERE {
+             ?c inNation ?n .
+             { SELECT ?n (COUNT(?c2) AS ?cnt)
+               WHERE { ?c2 inNation ?n } GROUP BY ?n }
+             FILTER (?cnt >= 2)
+           }"""
+    assert rows(sparql(graph, q)) == {("c1", "N:7", 2), ("c2", "N:7", 2)}
+
+
+def test_subquery_only_group_outer_aggregate(graph):
+    # group = subquery alone (empty-patterns bgp_match path); outer
+    # aggregates the inner per-nation counts
+    q = """SELECT (AVG(?cnt) AS ?a) (COUNT(*) AS ?k) WHERE {
+             { SELECT ?n (COUNT(?c) AS ?cnt)
+               WHERE { ?c inNation ?n } GROUP BY ?n }
+           }"""
+    assert rows(sparql(graph, q)) == {(1.5, 2)}
+
+
+def test_subquery_modifiers_limit_then_join(graph):
+    # top-1 nation by member count, then its members
+    q = """SELECT ?c WHERE {
+             ?c inNation ?n .
+             { SELECT ?n WHERE { ?c2 inNation ?n }
+               GROUP BY ?n ORDER BY DESC(?cnt) ?n LIMIT 1 }
+           }"""
+    # ?cnt unknown in that ORDER BY -> must raise (unbound projection
+    # discipline also covers ORDER BY keys)
+    with pytest.raises(Exception):
+        sparql(graph, q).collect()
+    q_ok = """SELECT ?c WHERE {
+             ?c inNation ?n .
+             { SELECT ?n (COUNT(?c2) AS ?cnt) WHERE { ?c2 inNation ?n }
+               GROUP BY ?n ORDER BY DESC(?cnt) ?n LIMIT 1 }
+           }"""
+    assert rows(sparql(graph, q_ok)) == {("c1",), ("c2",)}
+
+
+def test_subquery_nested_two_deep(graph):
+    q = """SELECT ?n ?cnt WHERE {
+             { SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+                 ?c inNation ?n .
+                 { SELECT ?c WHERE { ?c mktsegment "BUILDING" } }
+               } GROUP BY ?n }
+           }"""
+    assert rows(sparql(graph, q)) == {("N:7", 1), ("N:3", 1)}
+
+
+def test_subquery_scoping_inner_var_hidden(graph):
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql(graph, """SELECT ?c2 WHERE {
+          ?c inNation ?n .
+          { SELECT ?n (COUNT(?c2) AS ?cnt)
+            WHERE { ?c2 inNation ?n } GROUP BY ?n }
+        }""").collect()
+
+
+def test_subquery_bare_nested_group_rejected(graph):
+    with pytest.raises(SparqlSyntaxError, match="subquery"):
+        parse("SELECT ?x WHERE { { ?x p ?y } }")

@@ -7284,6 +7284,82 @@ def _shacl_fixture(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "kg_shacl_facets",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p,
+             o_orderpriority AS pr
+      FROM orders
+    )
+    SELECT 'O:' || CAST(k AS VARCHAR) AS node, 'orderDate' AS pred,
+           'datatype' AS violation, CAST(1 AS BIGINT) AS n
+    FROM o2 WHERE k % 97 = 0
+    UNION ALL
+    SELECT 'O:' || CAST(k AS VARCHAR), 'status', 'pattern', 1
+    FROM o2 WHERE st = 'P'
+    UNION ALL
+    SELECT 'O:' || CAST(k AS VARCHAR), 'totalPrice', 'datatype', 1
+    FROM o2 WHERE k % 83 = 0
+    UNION ALL
+    SELECT 'O:' || CAST(k AS VARCHAR), 'totalPrice', 'min_inclusive', 1
+    FROM o2 WHERE k % 83 = 0 OR p < 2000
+    UNION ALL
+    SELECT 'O:' || CAST(k AS VARCHAR), 'totalPrice', 'max_inclusive', 1
+    FROM o2 WHERE k % 83 = 0 OR p > 400000
+    UNION ALL
+    SELECT 'O:' || CAST(k AS VARCHAR), 'priority', 'min_length', 1
+    FROM o2 WHERE LENGTH(pr) < 6
+    UNION ALL
+    SELECT 'O:' || CAST(k AS VARCHAR), 'priority', 'max_length', 1
+    FROM o2 WHERE LENGTH(pr) > 8
+    """,
+)
+def kg_shacl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL literal value facets (operators/shacl.shacl_validate_facets):
+    sh:datatype / sh:pattern / sh:min-maxLength / sh:min-maxInclusive over
+    an order-fact graph with deterministic corruption — orderkey%97 gets a
+    calendar-invalid date (2021-02-30: the regex passes, only the value-
+    space try_cast catches it), %83 a non-numeric price (fails datatype
+    AND both numeric bounds, SHACL comparison-failure-reports semantics),
+    'P' statuses fail the ^[FO]$ pattern, and the priority vocabulary
+    violates the 6..8 length band naturally at both ends.  One broadcast
+    facet join + one constant-fan-out explode + one hash aggregation.
+    Oracle: the same per-facet predicates straight off orders."""
+    from i2o_transform_spark.operators.shacl import shacl_validate_facets
+
+    od = _t(spark, sf_dir, "orders")
+    okey = F.concat(F.lit("O:"), F.col("o_orderkey").cast("string"))
+
+    def tr(pred, obj):
+        return od.select(
+            okey.alias("subj"), F.lit(pred).alias("pred"),
+            obj.alias("obj"), F.lit(False).alias("obj_is_iri"),
+        )
+
+    triples = (
+        tr("orderDate",
+           F.when(F.col("o_orderkey") % 97 == 0, F.lit("2021-02-30"))
+           .otherwise(F.col("o_orderdate").cast("date").cast("string")))
+        .unionByName(tr("status", F.col("o_orderstatus")))
+        .unionByName(tr(
+            "totalPrice",
+            F.when(F.col("o_orderkey") % 83 == 0, F.lit("N/A"))
+            .otherwise(F.col("o_totalprice").cast("decimal(12,2)")
+                       .cast("string"))))
+        .unionByName(tr("priority", F.col("o_orderpriority")))
+    )
+    facets = spark.createDataFrame(
+        [("orderDate", "date", None, None, None, None, None),
+         ("status", None, "^[FO]$", None, None, None, None),
+         ("totalPrice", "decimal", None, None, None, 2000.0, 400000.0),
+         ("priority", None, None, 6, 8, None, None)],
+        "pred string, datatype string, pattern string, min_length int, "
+        "max_length int, min_inclusive double, max_inclusive double",
+    )
+    return shacl_validate_facets(triples, facets)
+
+
+@query(
     "kg_transitive_closure",
     oracle="""
     WITH RECURSIVE edges AS (

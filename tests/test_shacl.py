@@ -156,3 +156,61 @@ def test_mine_then_validate_loop(spark):
     got = {(r.node, r.violation) for r in
            shacl_validate(dirty, types, shapes).collect()}
     assert got == {("C:1", "range"), ("C:1", "max_card")}
+
+
+def test_facets_all_violation_kinds(spark):
+    from i2o_transform_spark.operators.shacl import shacl_validate_facets
+
+    t = spark.createDataFrame(
+        [("s1", "price", "150", False), ("s2", "price", "abc", False),
+         ("s3", "price", "5", False), ("s4", "price", "50", False),
+         ("s1", "born", "2020-02-29", False),   # valid leap date
+         ("s2", "born", "2021-02-30", False),   # regex ok, calendar bad
+         ("s3", "born", "junk", False),
+         ("s1", "code", "Clerk#12", False), ("s2", "code", "clerkX", False),
+         ("s1", "note", "hi", False),
+         ("s2", "note", "this is long enough", False),
+         ("s3", "note", "just right", False),
+         ("s1", "price", "77", True),           # IRI object: facets skip
+         ("s1", "weird", "v", False)],          # unknown datatype: loud
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    facets = spark.createDataFrame(
+        [("price", "integer", None, None, None, 10.0, 100.0),
+         ("born", "date", None, None, None, None, None),
+         ("code", None, "^Clerk#[0-9]+$", None, None, None, None),
+         ("note", None, None, 3, 10, None, None),
+         ("weird", "nonsense", None, None, None, None, None)],
+        "pred string, datatype string, pattern string, min_length int, "
+        "max_length int, min_inclusive double, max_inclusive double",
+    )
+    got = {(r.node, r.pred, r.violation)
+           for r in shacl_validate_facets(t, facets).collect()}
+    assert got == {
+        ("s1", "price", "max_inclusive"),
+        # non-numeric: datatype AND both bounds report
+        ("s2", "price", "datatype"),
+        ("s2", "price", "min_inclusive"), ("s2", "price", "max_inclusive"),
+        ("s3", "price", "min_inclusive"),
+        ("s2", "born", "datatype"), ("s3", "born", "datatype"),
+        ("s2", "code", "pattern"),
+        ("s1", "note", "min_length"), ("s2", "note", "max_length"),
+        ("s1", "weird", "datatype"),
+    }
+
+
+def test_facets_pattern_is_find_not_fullmatch(spark):
+    from i2o_transform_spark.operators.shacl import shacl_validate_facets
+
+    t = spark.createDataFrame(
+        [("a", "p", "xx-TAG-yy", False), ("b", "p", "no tag", False)],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    facets = spark.createDataFrame(
+        [("p", None, "TAG", None, None, None, None)],
+        "pred string, datatype string, pattern string, min_length int, "
+        "max_length int, min_inclusive double, max_inclusive double",
+    )
+    got = {(r.node, r.violation)
+           for r in shacl_validate_facets(t, facets).collect()}
+    assert got == {("b", "pattern")}   # substring find, SHACL semantics

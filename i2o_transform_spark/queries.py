@@ -7360,6 +7360,111 @@ def kg_shacl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_fd_mine",
+    oracle="""
+    WITH fd AS (
+      SELECT 'o_orderkey' AS lhs_c, 'o_custkey' AS rhs_c,
+             CAST(o_orderkey AS VARCHAR) AS l,
+             CAST(o_custkey AS VARCHAR) AS r
+      FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderstatus',
+             CAST(o_custkey AS VARCHAR), o_orderstatus
+      FROM orders WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+      UNION ALL
+      SELECT 'o_orderpriority', 'o_orderstatus',
+             o_orderpriority, o_orderstatus
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    lv1 AS (
+      SELECT lhs_c, rhs_c, l, r, COUNT(*) AS n
+      FROM fd GROUP BY lhs_c, rhs_c, l, r
+    ),
+    lv2 AS (
+      SELECT lhs_c, rhs_c, l, SUM(n) AS rows_, COUNT(*) AS n_rhs,
+             MAX(n) AS keep
+      FROM lv1 GROUP BY lhs_c, rhs_c, l
+    )
+    SELECT lhs_c AS lhs, rhs_c AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+           CAST(SUM(keep) * 1000000 // SUM(rows_) AS BIGINT)
+             AS g3_confidence_ppm
+    FROM lv2 GROUP BY lhs_c, rhs_c
+    """,
+)
+def kg_fd_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency mining (operators/profile): which extracted
+    attributes determine which — the decision that turns a scraped
+    relation into single-valued KG properties vs multi-valued ones.
+    o_orderkey -> o_custkey holds exactly (g3 = 1e6: the order key is an
+    entity id); o_custkey -> o_orderstatus and o_orderpriority ->
+    o_orderstatus fail with measurable g3 confidence.  ONE pass for all
+    three candidates: constant-fan-out explode, then a three-level
+    shrinking aggregation cascade.  Oracle: the identical cascade in
+    SQL."""
+    from i2o_transform_spark.operators.profile import mine_functional_deps
+
+    return mine_functional_deps(
+        _t(spark, sf_dir, "orders"),
+        [("o_orderkey", "o_custkey"),
+         ("o_custkey", "o_orderstatus"),
+         ("o_orderpriority", "o_orderstatus")],
+    )
+
+
+@query(
+    "kg_key_profile",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(c_custkey) AS BIGINT) AS nn1,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nd1,
+             CAST(COUNT(c_name) AS BIGINT) AS nn2,
+             CAST(COUNT(DISTINCT c_name) AS BIGINT) AS nd2,
+             CAST(COUNT(c_nationkey) AS BIGINT) AS nn3,
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nd3,
+             CAST(COUNT(c_mktsegment) AS BIGINT) AS nn4,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd4
+      FROM customer
+    )
+    SELECT 'c_custkey' AS "column", n_rows, nn1 AS n_nonnull,
+           nd1 AS n_distinct,
+           CAST(nd1 * 1000000 // nn1 AS BIGINT) AS uniqueness_ppm,
+           nn1 = n_rows AND nd1 = n_rows AS is_key FROM s
+    UNION ALL
+    SELECT 'c_name', n_rows, nn2, nd2,
+           CAST(nd2 * 1000000 // nn2 AS BIGINT), nn2 = n_rows AND
+           nd2 = n_rows FROM s
+    UNION ALL
+    SELECT 'c_nationkey', n_rows, nn3, nd3,
+           CAST(nd3 * 1000000 // nn3 AS BIGINT), nn3 = n_rows AND
+           nd3 = n_rows FROM s
+    UNION ALL
+    SELECT 'c_mktsegment', n_rows, nn4, nd4,
+           CAST(nd4 * 1000000 // nn4 AS BIGINT), nn4 = n_rows AND
+           nd4 = n_rows FROM s
+    """,
+)
+def kg_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key profiling (operators/profile.profile_keys): per
+    column, non-null/distinct counts, uniqueness ppm, is_key — the
+    which-attribute-is-the-entity-id decision (c_custkey and c_name are
+    keys; nationkey/mktsegment are low-cardinality properties), and the
+    TANE-style pruning input for kg_fd_mine.  One aggregation, no
+    grouping exchange.  Oracle: the same counts off customer."""
+    from i2o_transform_spark.operators.profile import profile_keys
+
+    return profile_keys(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+
+
+@query(
     "kg_transitive_closure",
     oracle="""
     WITH RECURSIVE edges AS (

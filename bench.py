@@ -71,6 +71,11 @@ EXTRA = [
     # round-4 SPARQL close-out: UNION branches + snapshot UPDATE
     "kg_bgp_union",
     "kg_update_where",
+    # round-4 session-B: subqueries, literal facets, FD mining, bnode canon
+    "kg_sparql_subquery",
+    "kg_shacl_facets",
+    "kg_fd_mine",
+    "kg_bnode_canon",
 ]
 
 

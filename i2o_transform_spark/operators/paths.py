@@ -15,6 +15,7 @@ Expression AST (plain tuples, no classes — picklable and printable):
     ("alt", e1, e2)    alternative   (e1 | e2)
     ("plus", e)        one-or-more   (e+)   — pairs-only reachability fixpoint
     ("star", e)        zero-or-more  (e*)   — plus ∪ identity over ``nodes``
+    ("opt", e)         zero-or-one   (e?)   — pairs ∪ identity over ``nodes``
 
 Every combinator returns a DISTINCT (src, dst) pair set — SPARQL path
 semantics are set-based (no duplicate solutions for ``+``/``*``), which is
@@ -123,14 +124,18 @@ def eval_path(
     if op == "plus":
         inner = eval_path(triples, expr[1], nodes, max_depth)
         return _reach_closure(inner, max_depth)
-    if op == "star":
+    if op in ("star", "opt"):
         if nodes is None:
-            raise ValueError("star path needs the node universe")
+            raise ValueError(f"zero-or-{'more' if op == 'star' else 'one'} "
+                             "path needs the node universe")
         ident = nodes.select(
             F.col(nodes.columns[0]).alias("src"),
             F.col(nodes.columns[0]).alias("dst"),
         ).distinct()
-        return eval_path(
-            triples, ("plus", expr[1]), nodes, max_depth
-        ).union(ident).distinct()
+        inner = (
+            eval_path(triples, ("plus", expr[1]), nodes, max_depth)
+            if op == "star"
+            else eval_path(triples, expr[1], nodes, max_depth)
+        )
+        return inner.union(ident).distinct()
     raise ValueError(f"unknown path op: {op!r}")

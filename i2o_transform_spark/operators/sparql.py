@@ -19,14 +19,17 @@ Supported (SPARQL 1.1 grammar subset)
 * ``SELECT [DISTINCT] (?vars | * | (AGG(...) AS ?alias))  WHERE { ... }``
   with ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC](?v)`` /
   ``LIMIT`` / ``OFFSET``.
-* ``ASK { ... }`` and ``CONSTRUCT { template } WHERE { ... }``.
+* ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``, and
+  ``DESCRIBE ?var WHERE { ... }`` (one-hop concise bounded description
+  via ``bgp_describe``).
 * Group graph patterns: triple blocks with ``;`` / ``,`` abbreviations,
   ``OPTIONAL { }``, ``MINUS { }``, ``FILTER (expr)``,
   ``FILTER [NOT] EXISTS { }``, ``BIND (expr AS ?v)``, ``VALUES`` (single
-  var or row form, ``UNDEF`` honored), and top-level
-  ``{ ... } UNION { ... }``.
-* Property paths in predicate position: ``/`` ``|`` ``^`` ``+`` ``*``,
-  grouping, and negated property sets ``!(p1|p2)``.
+  var or row form, ``UNDEF`` honored), ``GRAPH g { ... }`` (named-graph
+  quad patterns — a constant graph term prunes graph partitions at
+  planning time), and top-level ``{ ... } UNION { ... }``.
+* Property paths in predicate position: ``/`` ``|`` ``^`` ``+`` ``*``
+  ``?``, grouping, and negated property sets ``!(p1|p2)``.
 * FILTER/BIND/HAVING expressions: comparisons, arithmetic, ``&&``/``||``/
   ``!``, ``IN``, and the builtins REGEX (-> RLIKE), BOUND (-> IS NOT
   NULL), STRSTARTS/STRENDS/CONTAINS/STRLEN/SUBSTR, LCASE/UCASE/STR,
@@ -43,10 +46,10 @@ Supported (SPARQL 1.1 grammar subset)
   A group may consist of a subquery alone (no required triple pattern).
 
 Deliberately out of scope (raise ValueError, never silently mis-answer):
-``SERVICE``/federation, ``GRAPH`` blocks (use the quad-pattern
-API directly), ``?`` (zero-or-one) path quantifier, RDF-typed literals with
-datatype tags, and DESCRIBE text form (``bgp_describe`` covers it
-programmatically).
+``SERVICE``/federation, RDF-typed literals with datatype tags (the
+engine's stores hold plain strings — silently dropping ``^^xsd:...``
+would change comparison semantics), and property paths inside GRAPH
+blocks.
 
 Term mapping: this engine's triple stores hold PLAIN STRINGS (``"N:7"``,
 ``"inNation"``) — ``<iri>`` strips the angle brackets, ``"literal"``
@@ -66,7 +69,7 @@ _TOKEN_RE = re.compile(
     |(?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
     |(?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     |(?P<num>\d+(?:\.\d+)?)
-    |(?P<punct>&&|\|\||!=|<=|>=|\{|\}|\(|\)|\.|;|,|\||/|\^|\+|\*|!|=|<|>|-)
+    |(?P<punct>&&|\|\||!=|<=|>=|\{|\}|\(|\)|\.|;|,|\||/|\^|\+|\*|!|=|<|>|-|\?)
     |(?P<name>[A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_.\-:]*)?)
     """,
     re.X,
@@ -76,7 +79,7 @@ _KEYWORDS = {
     "select", "distinct", "where", "optional", "minus", "filter", "exists",
     "not", "values", "bind", "as", "union", "group", "by", "having",
     "order", "asc", "desc", "limit", "offset", "ask", "construct",
-    "prefix", "undef", "in",
+    "prefix", "undef", "in", "describe", "graph",
 }
 
 _AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
@@ -213,11 +216,9 @@ def _parse_path(p: _P):
             inv = True
         e = primary()
         kind, val = p.peek()
-        if kind == "punct" and val in ("+", "*"):
+        if kind == "punct" and val in ("+", "*", "?"):
             p.eat()
-            e = ("plus" if val == "+" else "star", e)
-        elif kind == "punct" and val == "?":
-            raise SparqlSyntaxError("zero-or-one path '?' is unsupported")
+            e = ({"+": "plus", "*": "star", "?": "opt"}[val], e)
         return ("inv", e) if inv else e
 
     def seq():
@@ -450,6 +451,18 @@ def parse(text: str) -> dict:
         return {"form": "construct", "template": template,
                 "groups": [group]}
 
+    if p.at_kw("describe"):
+        p.eat()
+        kind, val = p.eat()
+        if kind != "var":
+            raise SparqlSyntaxError(
+                "DESCRIBE subset is DESCRIBE ?var WHERE { ... }"
+            )
+        p.expect_kw("where")
+        group = _parse_group_with_binds(p)
+        _no_trailing(p)
+        return {"form": "describe", "var": val[1:], "groups": [group]}
+
     spec = _parse_select(p)
     _no_trailing(p)
     return spec
@@ -569,8 +582,25 @@ def _parse_group_with_binds(p: _P) -> dict:
     p.expect_punct("{")
     kw: dict = {"patterns": []}
     while p.peek() != ("punct", "}"):
-        if p.at_kw("bind"):
+        if p.peek() == ("punct", "."):
+            p.eat()  # optional '.' between group elements (GRAPH, {...})
+        elif p.at_kw("bind"):
             _parse_bind(p, kw)
+        elif p.at_kw("graph"):
+            # GRAPH g { triples } -> 4-term quad patterns; the 4th term
+            # (var or constant) binds the store's `graph` column, and a
+            # constant prunes graph partitions at planning time.
+            p.eat()
+            g = p.term()
+            p.expect_punct("{")
+            for (s, pr, o) in _parse_triples_block(p):
+                if isinstance(pr, tuple):
+                    raise SparqlSyntaxError(
+                        "property paths are not supported inside GRAPH "
+                        "blocks (evaluate the path per graph)"
+                    )
+                kw["patterns"].append((s, pr, o, g))
+            p.expect_punct("}")
         elif p.at_kw("optional", "minus", "filter", "values"):
             # reuse the group parser's clause handling via a tiny re-entry
             _parse_clause(p, kw)
@@ -662,7 +692,11 @@ def sparql(
     (see bgp.plan_order).  SELECT returns one column per projected
     variable; ASK one boolean ``ask`` row; CONSTRUCT a distinct
     (subj, pred, obj) graph."""
-    from i2o_transform_spark.operators.bgp import bgp_ask, bgp_construct
+    from i2o_transform_spark.operators.bgp import (
+        bgp_ask,
+        bgp_construct,
+        bgp_describe,
+    )
 
     q = parse(text)
     if q["form"] == "ask":
@@ -672,6 +706,9 @@ def sparql(
         _resolve_subqueries(triples, q["groups"], stats)
         return bgp_construct(triples, template=q["template"],
                              **q["groups"][0])
+    if q["form"] == "describe":
+        _resolve_subqueries(triples, q["groups"], stats)
+        return bgp_describe(triples, var=q["var"], **q["groups"][0])
     return _exec_select(triples, q, stats)
 
 

@@ -7360,6 +7360,83 @@ def kg_shacl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_bnode_canon",
+    oracle="""
+    SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS o,
+           TRUE AS ab_equal,
+           FALSE AS ac_equal,
+           CAST(2 AS BIGINT) AS n_bnodes,
+           CAST(2 AS BIGINT) AS n_colors
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def kg_bnode_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-node canonicalization (operators/canon): three copies of
+    every order's reified bundle — A and B are the SAME structure under
+    different bnode labels (a{k}/m{k} vs zz{k}/q{k}), C mutates one
+    predicate — and the canonical hashes decide graph equality up to
+    relabeling: A==B always, A==C never.  Each bundle has a 2-deep bnode
+    chain (statement node -> metadata node), so the equality is evidence
+    the refinement, not just ground terms, feeds the hash.  n_colors = 2
+    proves the two bnodes of a bundle get distinct colors.  Oracle: the
+    closed-form expectation per order."""
+    from i2o_transform_spark.operators.canon import canonical_graph_hashes
+
+    od = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    k = F.col("o_orderkey").cast("string")
+
+    def bundle(tag, b1, b2, prio_pred):
+        g = F.concat(F.lit(tag + ":"), k)
+        s = F.concat(F.lit("_:" + b1), k)
+        m = F.concat(F.lit("_:" + b2), k)
+        rows = [
+            (s, F.lit("about"), F.concat(F.lit("O:"), k)),
+            (s, F.lit(prio_pred), F.col("o_orderpriority")),
+            (s, F.lit("meta"), m),
+            (m, F.lit("src"), F.lit("crawl")),
+        ]
+        return [
+            od.select(g.alias("graph"), a.alias("subj"),
+                      p.alias("pred"), c.alias("obj"))
+            for a, p, c in rows
+        ]
+
+    frames = (bundle("A", "a", "m", "prio")
+              + bundle("B", "zz", "q", "prio")
+              + bundle("C", "a", "m", "status"))
+    quads = frames[0]
+    for f in frames[1:]:
+        quads = quads.unionByName(f)
+    # the 12-frame union re-reads a tiny parquet 12x into 12+ partitions;
+    # fold it down so the 3 refinement rounds (x3 stages each) schedule a
+    # handful of tasks instead of hundreds
+    quads = quads.coalesce(4)
+
+    h = canonical_graph_hashes(quads, graph_col="graph", rounds=3)
+    tagged = h.select(
+        F.split(F.col("graph"), ":").getItem(0).alias("_t"),
+        F.concat(F.lit("O:"), F.split(F.col("graph"), ":").getItem(1))
+        .alias("o"),
+        "n_bnodes", "n_colors", "canon_hash",
+    )
+    a = tagged.where(F.col("_t") == "A").select(
+        "o", "n_bnodes", "n_colors", F.col("canon_hash").alias("_ha"))
+    b = tagged.where(F.col("_t") == "B").select(
+        "o", F.col("canon_hash").alias("_hb"))
+    c = tagged.where(F.col("_t") == "C").select(
+        "o", F.col("canon_hash").alias("_hc"))
+    return (
+        a.join(b, "o").join(c, "o")
+        .select(
+            "o",
+            (F.col("_ha") == F.col("_hb")).alias("ab_equal"),
+            (F.col("_ha") == F.col("_hc")).alias("ac_equal"),
+            "n_bnodes", "n_colors",
+        )
+    )
+
+
+@query(
     "kg_fd_mine",
     oracle="""
     WITH fd AS (
@@ -9903,10 +9980,21 @@ def kg_quads_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter off the base table with the graph recomputed."""
     from i2o_transform_spark.operators.bgp import bgp_match
 
+    return bgp_match(
+        _quads_fixture(spark, sf_dir),
+        [("?c", "mktsegment", "BUILDING", "?g"),
+         ("?c", "inNation", "N:7", "?g")],
+    )
+
+
+def _quads_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad-store fixture: each customer's triples in one of three named
+    graphs (graph = G:custkey%3) — shared by the programmatic and
+    text-form GRAPH queries."""
     cu = _t(spark, sf_dir, "customer")
     tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
     g = F.concat(F.lit("G:"), (F.col("c_custkey") % 3).cast("string"))
-    quads = (
+    return (
         cu.select(tag("C:", "c_custkey").alias("subj"),
                   F.lit("inNation").alias("pred"),
                   tag("N:", "c_nationkey").alias("obj"),
@@ -9916,11 +10004,55 @@ def kg_quads_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("c_mktsegment").alias("obj"),
                                g.alias("graph")))
     )
-    return bgp_match(
-        quads,
-        [("?c", "mktsegment", "BUILDING", "?g"),
-         ("?c", "inNation", "N:7", "?g")],
-    )
+
+
+@query(
+    "kg_sparql_text_graph",
+    oracle="""
+    SELECT DISTINCT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           'G:' || CAST(c_custkey % 3 AS VARCHAR) AS g
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7
+    """,
+)
+def kg_sparql_text_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH block parsed from text: ``GRAPH ?g { ... }`` compiles
+    each enclosed triple to a 4-term quad pattern binding the store's
+    graph column — the same plan as the programmatic kg_quads_graph (one
+    extra equi-join column, zero extra exchanges; a constant graph term
+    would prune graph partitions at planning time).  Oracle: identical
+    to kg_quads_graph."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_quads_fixture(spark, sf_dir), """
+        SELECT DISTINCT ?c ?g WHERE {
+          GRAPH ?g { ?c mktsegment "BUILDING" . ?c inNation "N:7" }
+        }""")
+
+
+@query(
+    "kg_sparql_opt_path",
+    oracle="""
+    SELECT DISTINCT 'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS r
+    FROM customer
+    UNION
+    SELECT DISTINCT 'N:' || CAST(c_nationkey AS VARCHAR),
+           'R:' || CAST(n_regionkey AS VARCHAR)
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def kg_sparql_opt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL zero-or-one path quantifier (``partOf?``) from text: the
+    paths AST gains ("opt", e) = pairs ∪ identity over the node universe
+    (operators/paths), so each nation reaches itself AND its region in
+    one pattern — the canonical optional-hop idiom (e.g. a concept that
+    may or may not have a parent rollup).  Oracle: identity union the
+    one-hop join."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_sparql_fixture(spark, sf_dir), """
+        SELECT DISTINCT ?n ?r WHERE { ?c inNation ?n . ?n partOf? ?r }""")
 
 
 @query(

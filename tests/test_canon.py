@@ -1,0 +1,97 @@
+"""Blank-node canonicalization (operators/canon): relabel invariance,
+structural sensitivity, orbit counting, refinement depth."""
+
+from __future__ import annotations
+
+import pytest
+
+from i2o_transform_spark.operators.canon import (
+    bnode_colors,
+    canonical_graph_hashes,
+)
+
+Q = "subj string, pred string, obj string, graph string"
+
+
+def _hashes(spark, rows, rounds=3):
+    df = canonical_graph_hashes(
+        spark.createDataFrame(rows, Q), rounds=rounds
+    )
+    return {r.graph: r for r in df.collect()}
+
+
+def test_relabel_invariance_and_structure_sensitivity(spark):
+    base = [
+        ("_:x", "about", "O:1", "g1"), ("_:x", "prio", "HIGH", "g1"),
+        ("_:x", "meta", "_:y", "g1"), ("_:y", "src", "crawl", "g1"),
+    ]
+    relabeled = [
+        (s.replace("_:x", "_:zz").replace("_:y", "_:q"),
+         p,
+         o.replace("_:x", "_:zz").replace("_:y", "_:q"),
+         "g2")
+        for (s, p, o, _) in base
+    ]
+    mutated = [
+        (s, "status" if p == "prio" else p, o, "g3")
+        for (s, p, o, _) in base
+    ]
+    got = _hashes(spark, base + relabeled + mutated)
+    assert got["g1"].canon_hash == got["g2"].canon_hash
+    assert got["g1"].canon_hash != got["g3"].canon_hash
+    assert got["g1"].n_bnodes == 2 and got["g1"].n_colors == 2
+
+
+def test_automorphic_bnodes_share_a_color(spark):
+    rows = [
+        ("E:1", "has", "_:l1", "g"), ("E:1", "has", "_:l2", "g"),
+        ("_:l1", "v", "same", "g"), ("_:l2", "v", "same", "g"),
+    ]
+    got = _hashes(spark, rows)
+    assert got["g"].n_bnodes == 2 and got["g"].n_colors == 1
+
+
+def test_chain_separation_needs_depth(spark):
+    # _:a1 -> _:b1 -> "X"   vs   _:a2 -> _:b2 -> "Y"
+    # round 1 separates b1/b2 (ground evidence); a1/a2 separate only at
+    # round 2, once their neighbors' colors differ.
+    rows = [
+        ("_:a1", "n", "_:b1", "g"), ("_:b1", "v", "X", "g"),
+        ("_:a2", "n", "_:b2", "g"), ("_:b2", "v", "Y", "g"),
+    ]
+    df1 = bnode_colors(
+        spark.createDataFrame(rows, Q), rounds=1, graph_col="graph"
+    )
+    c1 = {r.node: r.color for r in df1.collect()}
+    assert c1["_:a1"] == c1["_:a2"] and c1["_:b1"] != c1["_:b2"]
+    df2 = bnode_colors(
+        spark.createDataFrame(rows, Q), rounds=2, graph_col="graph"
+    )
+    c2 = {r.node: r.color for r in df2.collect()}
+    assert c2["_:a1"] != c2["_:a2"]
+
+
+def test_graph_scoped_bnode_ids(spark):
+    # the SAME label _:x names different structures in g1/g2 — per-graph
+    # scoping must keep them apart
+    rows = [
+        ("_:x", "v", "A", "g1"),
+        ("_:x", "v", "B", "g2"),
+    ]
+    got = _hashes(spark, rows)
+    assert got["g1"].canon_hash != got["g2"].canon_hash
+
+
+def test_ground_only_graph(spark):
+    rows = [("s", "p", "o", "g")]
+    got = _hashes(spark, rows)
+    assert got["g"].n_bnodes == 0 and got["g"].n_colors == 0
+    assert got["g"].n_triples == 1
+
+
+def test_modular_sum_survives_many_triples(spark):
+    # ANSI overflow guard: the per-graph sum runs in decimal(38,0); a few
+    # thousand near-2^61 terms would overflow a bigint sum ~1000x over
+    rows = [(f"s{i}", "p", f"o{i}", "g") for i in range(5000)]
+    got = _hashes(spark, rows)
+    assert 0 <= got["g"].canon_hash < (1 << 61) - 1

@@ -89,3 +89,20 @@ def test_path_cycle_early_fixpoint_and_max_depth(spark):
     assert capped == {
         (f"n{i}", f"n{(i + d) % n}") for i in range(n) for d in (1, 2)
     }
+
+
+def test_zero_or_one_path(spark):
+    from i2o_transform_spark.operators.paths import eval_path
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "subj string, pred string, obj string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "n string")
+    got = {(r.src, r.dst) for r in
+           eval_path(t, ("opt", ("pred", "p")), nodes=nodes).collect()}
+    assert got == {("a", "a"), ("b", "b"), ("c", "c"), ("d", "d"),
+                   ("a", "b"), ("b", "c")}
+    # opt without the node universe is refused, like star
+    import pytest
+    with pytest.raises(ValueError, match="node universe"):
+        eval_path(t, ("opt", ("pred", "p")))

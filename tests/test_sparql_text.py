@@ -244,3 +244,37 @@ def test_subquery_scoping_inner_var_hidden(graph):
 def test_subquery_bare_nested_group_rejected(graph):
     with pytest.raises(SparqlSyntaxError, match="subquery"):
         parse("SELECT ?x WHERE { { ?x p ?y } }")
+
+
+def test_path_zero_or_one(graph):
+    # c1 knows? -> itself and c2 (identity from the node universe)
+    q = 'SELECT ?y WHERE { c1 knows? ?y }'
+    assert rows(sparql(graph, q)) == {("c1",), ("c2",)}
+
+
+def test_describe_text_form(graph):
+    q = 'DESCRIBE ?c WHERE { ?c mktsegment "AUTO" }'
+    assert rows(sparql(graph, q)) == {
+        ("c2", "inNation", "N:7"), ("c2", "mktsegment", "AUTO"),
+        ("c2", "knows", "c3"),
+    }
+
+
+def test_graph_block_quads(spark):
+    quads = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("a", "p", "y", "g2"),
+         ("b", "p", "x", "g1"), ("a", "q", "z", "g1")],
+        "subj string, pred string, obj string, graph string",
+    )
+    got = rows(sparql(quads, """SELECT ?s ?g WHERE {
+        GRAPH ?g { ?s p "x" } }"""))
+    assert got == {("a", "g1"), ("b", "g1")}
+    # constant graph term + cross-graph variable join against g2
+    got = rows(sparql(quads, """SELECT ?s WHERE {
+        GRAPH <g1> { ?s q ?z } . GRAPH <g2> { ?s p ?y } }"""))
+    assert got == {("a",)}
+
+
+def test_graph_block_rejects_paths(graph):
+    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+        parse("SELECT ?s WHERE { GRAPH ?g { ?s knows+ ?o } }")

@@ -260,6 +260,27 @@ def main() -> None:
         "width — only depth.  No windows anywhere.",
     ))
 
+    sections.append((
+        "kg_sparql_subquery — { SELECT top-3 } inside a pattern "
+        "(aggregate-then-join)",
+        tree_of(QUERIES["kg_sparql_subquery"](spark, sf)),
+        "The inner SELECT plans as partial+final `HashAggregate` under a "
+        "`TakeOrderedAndProject` (per-partition top-(k) heaps, no global "
+        "sort), and its 3-row result enters the enclosing pattern through "
+        "a `BroadcastExchange` + `BroadcastHashJoin` — the store-side "
+        "scan never shuffles.  This is the plan a hand-written two-pass "
+        "job would produce, obtained from one query string.",
+    ))
+    sections.append((
+        "kg_fd_mine — 3 FD candidates in ONE pass",
+        tree_of(QUERIES["kg_fd_mine"](spark, sf)),
+        "One scan of orders, a constant-fan-out `Generate` (explode of "
+        "the 3 candidate structs), then the 3-level aggregation cascade — "
+        "each level a partial+final `HashAggregate` pair, each strictly "
+        "smaller than the last; the only data-scale exchange is keyed on "
+        "(pair, lhs).",
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for flagship operators\n\n"
         "Operator trees from `.explain(\"formatted\")` at sf0.01 (shape is\n"

@@ -7407,10 +7407,11 @@ def kg_bnode_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     quads = frames[0]
     for f in frames[1:]:
         quads = quads.unionByName(f)
-    # the 12-frame union re-reads a tiny parquet 12x into 12+ partitions;
-    # fold it down so the 3 refinement rounds (x3 stages each) schedule a
-    # handful of tasks instead of hundreds
-    quads = quads.coalesce(4)
+    # the 12-frame union re-reads the parquet 12x, and the refinement
+    # references the quads in EVERY round of an uncheckpointed plan
+    # (2^rounds copies) — cut the lineage once here so the store
+    # materializes a single time, and fold the tiny partitions down
+    quads = quads.coalesce(4).localCheckpoint(eager=False)
 
     h = canonical_graph_hashes(quads, graph_col="graph", rounds=3)
     tagged = h.select(

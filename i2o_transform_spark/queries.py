@@ -7359,6 +7359,36 @@ def kg_shacl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shacl_validate_facets(triples, facets)
 
 
+def _canon_bundles(
+    spark: SparkSession, sf_dir: str, tag: str, b1: str, b2: str,
+    prio_pred: str,
+) -> DataFrame:
+    """Reified-bundle quad fixture for the canonicalization queries: per
+    orders %10 stratum row, a named graph ``tag:k`` holding a 2-deep
+    bnode chain (statement node ``_:b1 k`` -> metadata node ``_:b2 k``)
+    over ground terms O:k / priority / 'crawl'."""
+    od = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    k = F.col("o_orderkey").cast("string")
+    g = F.concat(F.lit(tag + ":"), k)
+    s = F.concat(F.lit("_:" + b1), k)
+    m = F.concat(F.lit("_:" + b2), k)
+    rows = [
+        (s, F.lit("about"), F.concat(F.lit("O:"), k)),
+        (s, F.lit(prio_pred), F.col("o_orderpriority")),
+        (s, F.lit("meta"), m),
+        (m, F.lit("src"), F.lit("crawl")),
+    ]
+    frames = [
+        od.select(g.alias("graph"), a.alias("subj"),
+                  p.alias("pred"), c.alias("obj"))
+        for a, p, c in rows
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 @query(
     "kg_bnode_canon",
     oracle="""
@@ -7382,31 +7412,11 @@ def kg_bnode_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form expectation per order."""
     from i2o_transform_spark.operators.canon import canonical_graph_hashes
 
-    od = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
-    k = F.col("o_orderkey").cast("string")
-
-    def bundle(tag, b1, b2, prio_pred):
-        g = F.concat(F.lit(tag + ":"), k)
-        s = F.concat(F.lit("_:" + b1), k)
-        m = F.concat(F.lit("_:" + b2), k)
-        rows = [
-            (s, F.lit("about"), F.concat(F.lit("O:"), k)),
-            (s, F.lit(prio_pred), F.col("o_orderpriority")),
-            (s, F.lit("meta"), m),
-            (m, F.lit("src"), F.lit("crawl")),
-        ]
-        return [
-            od.select(g.alias("graph"), a.alias("subj"),
-                      p.alias("pred"), c.alias("obj"))
-            for a, p, c in rows
-        ]
-
-    frames = (bundle("A", "a", "m", "prio")
-              + bundle("B", "zz", "q", "prio")
-              + bundle("C", "a", "m", "status"))
-    quads = frames[0]
-    for f in frames[1:]:
-        quads = quads.unionByName(f)
+    quads = (
+        _canon_bundles(spark, sf_dir, "A", "a", "m", "prio")
+        .unionByName(_canon_bundles(spark, sf_dir, "B", "zz", "q", "prio"))
+        .unionByName(_canon_bundles(spark, sf_dir, "C", "a", "m", "status"))
+    )
     # the 12-frame union re-reads the parquet 12x, and the refinement
     # references the quads in EVERY round of an uncheckpointed plan
     # (2^rounds copies) — cut the lineage once here so the store
@@ -7434,6 +7444,57 @@ def kg_bnode_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_ha") == F.col("_hc")).alias("ac_equal"),
             "n_bnodes", "n_colors",
         )
+    )
+
+
+@query(
+    "st_canon_dedup",
+    oracle="""
+    SELECT 'A:' || CAST(o_orderkey AS VARCHAR) AS graph,
+           CAST(4 AS BIGINT) AS n_triples,
+           CAST(2 AS BIGINT) AS n_bnodes
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'C:' || CAST(o_orderkey AS VARCHAR), 4, 2
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def st_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING canonical-form dedup
+    (streaming/kg_stream.stream_canonical_dedup): batch 0 delivers the A
+    bundles; batch 1 delivers B (relabeled twins of A — every one must be
+    DROPPED against the store despite fresh ``_:`` labels) and C (one
+    predicate mutated — every one must be KEPT).  The final registry is
+    read back and value-checked: exactly the A and C representatives,
+    none of B — the cross-batch relabeling-invariant dedup protocol
+    itself is the thing under oracle.  Append-only store, replay
+    idempotent by the key anti-join."""
+    import os
+    import tempfile
+
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_canonical_dedup,
+    )
+
+    a = _canon_bundles(spark, sf_dir, "A", "a", "m", "prio")
+    b = _canon_bundles(spark, sf_dir, "B", "zz", "q", "prio")
+    c = _canon_bundles(spark, sf_dir, "C", "a", "m", "status")
+    d = tempfile.mkdtemp(prefix="st_canon_")
+    src_dir = os.path.join(d, "quads")
+    a.coalesce(1).write.parquet(os.path.join(src_dir, "b0.parquet"))
+    b.unionByName(c).coalesce(1).write.parquet(
+        os.path.join(src_dir, "b1.parquet"))
+    stream = (
+        spark.readStream
+        .schema("graph string, subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*/")
+    )
+    store_dir = os.path.join(d, "store")
+    q = stream_canonical_dedup(stream, store_dir, os.path.join(d, "ckpt"))
+    q.awaitTermination(600)
+    return spark.read.parquet(store_dir).select(
+        "graph", "n_triples", "n_bnodes"
     )
 
 

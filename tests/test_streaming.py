@@ -656,3 +656,47 @@ def test_stream_incremental_cc_recovers_from_swap_crash(spark, tmp_path):
     # node 0's component must have survived the crash (it is only in b0)
     assert 0 in got
     shutil.rmtree(labels_dir + ".old", ignore_errors=True)
+
+
+def test_stream_canon_dedup_relabel_and_replay(spark, tmp_path):
+    """Relabeled twins arriving in a later micro-batch are dropped against
+    the store; a full replay with a FRESH checkpoint appends nothing new
+    (idempotency is by the key anti-join, not by exactly-once delivery)."""
+    import os
+
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_canonical_dedup,
+    )
+
+    Q = "graph string, subj string, pred string, obj string"
+    b0 = spark.createDataFrame(
+        [("g1", "_:x", "about", "E:1"), ("g1", "_:x", "v", "A"),
+         ("g2", "_:x", "about", "E:2"), ("g2", "_:x", "v", "B")],
+        Q,
+    )
+    b1 = spark.createDataFrame(
+        # twin of g1 under fresh labels -> dropped; g4 is new -> kept
+        [("g3", "_:zz", "about", "E:1"), ("g3", "_:zz", "v", "A"),
+         ("g4", "_:y", "about", "E:3"), ("g4", "_:y", "v", "A")],
+        Q,
+    )
+    src = str(tmp_path / "quads")
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0.parquet"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    store = str(tmp_path / "store")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(Q)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*/")
+        )
+        stream_canonical_dedup(
+            stream, store, str(tmp_path / ckpt)
+        ).awaitTermination(300)
+
+    run("ckpt1")
+    got = {r.graph for r in spark.read.parquet(store).collect()}
+    assert got == {"g1", "g2", "g4"}
+    run("ckpt2")  # full replay, fresh checkpoint
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 3 and {r.graph for r in rows} == {"g1", "g2", "g4"}

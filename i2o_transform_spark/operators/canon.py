@@ -60,10 +60,11 @@ def _is_bnode(col, prefix: str):
 
 def bnode_colors(
     quads: DataFrame,
-    rounds: int = 3,
+    rounds: int | str = 3,
     bnode_prefix: str = "_:",
     graph_col: str | None = None,
     checkpoint: bool = False,
+    max_rounds: int = 32,
 ) -> DataFrame:
     """Color refinement over the blank nodes of ``quads`` (subj, pred,
     obj [, graph]).  Returns (graph,) node, color — one row per blank
@@ -79,7 +80,20 @@ def bnode_colors(
     materializing it.  Set ``True`` for billion-node stores or deep
     round counts: rounds from the third onward localCheckpoint, trading
     one materialization for the exponential plan (and double final
-    recompute)."""
+    recompute).
+
+    ``rounds="auto"`` iterates until the color PARTITION stabilizes
+    (distinct (graph, color) count unchanged — refinement only splits
+    classes, so count equality is a true fixpoint), bounded by
+    ``max_rounds`` and checkpointed per round (the round count is then
+    data-dependent, so lineage must not grow unbounded).  Use auto when
+    bnode-chain diameters are unknown — a fixed round count silently
+    under-refines deeper chains.  CAVEAT for cross-run registries
+    (streaming dedup): the md5 chain makes colors a function of the
+    round COUNT, so two datasets compare equal only at the same count —
+    auto converging at different depths per batch would break
+    cross-batch hash equality; pin an explicit ``rounds`` there (the
+    streaming sink does)."""
     g = graph_col
     t = quads.select(
         *([F.col(g).alias("_g")] if g else [F.lit("").alias("_g")]),
@@ -95,7 +109,10 @@ def bnode_colors(
         .distinct()
     )
     colors = nodes.select("_g", "node", init.alias("color"))
-    for r in range(rounds):
+    auto = rounds == "auto"
+    limit = max_rounds if auto else int(rounds)
+    prev_classes = None
+    for r in range(limit):
         # out-edge tokens: color of obj (ground color inline, bnode color
         # joined); in-edge tokens symmetric.
         oc = colors.select(
@@ -137,8 +154,13 @@ def bnode_colors(
                 F.coalesce(F.col("_toks"), F.lit("")),
             )).alias("color"),
         )
-        if checkpoint and r >= 2:
+        if auto or (checkpoint and r >= 2):
             colors = colors.localCheckpoint(eager=False)
+        if auto:
+            n = colors.select("_g", "color").distinct().count()
+            if n == prev_classes:
+                break
+            prev_classes = n
     out = colors
     if g:
         return out.select(F.col("_g").alias(g), "node", "color")

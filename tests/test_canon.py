@@ -95,3 +95,25 @@ def test_modular_sum_survives_many_triples(spark):
     rows = [(f"s{i}", "p", f"o{i}", "g") for i in range(5000)]
     got = _hashes(spark, rows)
     assert 0 <= got["g"].canon_hash < (1 << 61) - 1
+
+
+def test_auto_rounds_refines_deep_chain(spark):
+    # 5-deep bnode chain ending in distinguishing ground terms: fixed
+    # rounds=2 under-refines the chain heads; auto converges past them
+    def chain(tag, leaf):
+        return (
+            [(f"_:{tag}{i}", "n", f"_:{tag}{i + 1}", "g") for i in range(4)]
+            + [(f"_:{tag}4", "v", leaf, "g")]
+        )
+
+    rows = chain("a", "X") + chain("b", "Y")
+    df = spark.createDataFrame(rows, Q)
+    c2 = {r.node: r.color
+          for r in bnode_colors(df, rounds=2, graph_col="graph").collect()}
+    assert c2["_:a0"] == c2["_:b0"]          # under-refined at depth 2
+    ca = {r.node: r.color
+          for r in bnode_colors(df, rounds="auto",
+                                graph_col="graph").collect()}
+    assert ca["_:a0"] != ca["_:b0"]          # auto reached the fixpoint
+    # every chain position separated
+    assert all(ca[f"_:a{i}"] != ca[f"_:b{i}"] for i in range(5))

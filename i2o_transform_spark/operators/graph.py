@@ -973,3 +973,164 @@ def local_clustering(
             ).alias("clustering_ppm"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peel_rounds: int = 64,
+    max_diameter: int = 512,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the directed
+    complement of the undirected sameAs smushing in
+    operators/sameas.py: `skos:exactMatch` / redirect / `dcterms:replaces`
+    chains assert identity only when the references are MUTUAL, so the
+    identity bundles are the SCCs of the directed claim graph, not the
+    weakly-connected blobs (a one-way `replaces` must NOT merge two
+    entities).  Returns (node, scc_id) with scc_id = min member id.
+
+    Algorithm: trim + forward-backward coloring (the standard distributed
+    SCC scheme; cf. Slota et al., "BFS and Coloring-based Parallel
+    Algorithms for Strongly Connected Components", IPDPS 2014 — public
+    literature, reimplemented here on DataFrames from the paper's idea
+    only).  Each peel round:
+
+    1. TRIM: iteratively drop nodes with no in-edge or no out-edge in the
+       active subgraph — each is its own singleton SCC.  This peels whole
+       DAG regions in a handful of cheap semi-join rounds and is the
+       common case on web claim graphs (most nodes are never mutually
+       referenced).
+    2. COLOR: propagate min node id along forward edges to fixpoint:
+       color(v) = min over {v} ∪ ancestors(v).  Mutually reachable nodes
+       share their ancestor set, so an SCC never spans two color classes;
+       and the class label c is always its own root (a smaller ancestor
+       of c would relabel the whole class).
+    3. BACKWARD: from each root r, grow {v : color(v)=r and v →* r} along
+       reversed edges RESTRICTED to the class — exactly SCC(r).  The
+       class restriction both bounds the frontier and makes the claim
+       exact.
+    4. Emit those SCCs (scc_id = class label = min member), remove them,
+       repeat on the remainder.
+
+    Scale shape: every inner step is one equi-join shuffle + one hash
+    min-aggregation (map-side combine applies); frames are eagerly
+    localCheckpoint-ed per round so round r never replays rounds 0..r-1;
+    coloring convergence is detected by an exact changed-row count (colors
+    only fall), backward/trim by monotone set counts.  Honest bounds:
+    coloring runs O(active diameter) rounds (``max_diameter`` guards, loud
+    ValueError — raise it for pathological chains); a condensation that is
+    itself a deep chain of nontrivial SCCs needs one peel round per level
+    (``max_peel_rounds`` guards loudly).  Real identity graphs are
+    shallow: trim removes the DAG mass, and the surviving mutual cores
+    resolve in 1-2 peels.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = nodes.limit(0).select(
+        "node", F.col("node").alias("scc_id")
+    )
+    active = nodes
+    for _peel in range(max_peel_rounds):
+        if active.isEmpty():
+            return assigned
+        # -- 1. trim: nodes with no in- or no out-edge are singleton SCCs
+        while True:
+            e_act = (
+                e0.join(active.withColumnRenamed("node", "src"),
+                        "src", "left_semi")
+                .join(active.withColumnRenamed("node", "dst"),
+                      "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            keep = (
+                active.join(e_act.select("src").distinct()
+                            .withColumnRenamed("src", "node"),
+                            "node", "left_semi")
+                .join(e_act.select("dst").distinct()
+                      .withColumnRenamed("dst", "node"),
+                      "node", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = active.join(keep, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned = assigned.union(
+                trimmed.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint(eager=True)
+            active = keep
+        if active.isEmpty():
+            return assigned
+        # -- 2. forward min-label coloring to fixpoint
+        colors = active.select("node", F.col("node").alias("color"))
+        converged = False
+        for _ in range(max_diameter):
+            msgs = e_act.join(
+                colors.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "color")
+            new_colors = (
+                colors.union(msgs)
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_colors.withColumnRenamed("color", "_nc")
+                .join(colors, "node")
+                .where(F.col("_nc") != F.col("color"))
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise ValueError(
+                f"SCC coloring did not converge within max_diameter="
+                f"{max_diameter} rounds; raise max_diameter"
+            )
+        # -- 3. backward reach from roots, restricted to the color class
+        reached = (
+            colors.where(F.col("node") == F.col("color"))
+            .select("node", F.col("color").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        n = reached.count()
+        while True:
+            step = (
+                e_act.join(reached.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "scc_id")
+                .join(
+                    colors.withColumnRenamed("color", "scc_id"),
+                    ["node", "scc_id"],
+                    "left_semi",
+                )
+            )
+            grown = reached.union(step).distinct().localCheckpoint(eager=True)
+            n2 = grown.count()
+            reached = grown
+            if n2 == n:
+                break
+            n = n2
+        # -- 4. emit and peel
+        assigned = assigned.union(reached).localCheckpoint(eager=True)
+        active = active.join(
+            reached.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    if not active.isEmpty():
+        raise ValueError(
+            f"SCC peeling did not converge within max_peel_rounds="
+            f"{max_peel_rounds}; the condensation chain is deeper — raise "
+            "max_peel_rounds"
+        )
+    return assigned

@@ -11043,3 +11043,86 @@ def kg_owl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subj string, pred string, obj string",
     )
     return owl_chain_entail(base.unionByName(axioms))
+
+
+@query(
+    "kg_scc",
+    oracle="""
+    WITH RECURSIVE ids AS (SELECT c_custkey AS id FROM customer),
+    base AS (
+      SELECT id, (id - 1) // 5 AS g, (id - 1) % 5 AS pos FROM ids
+    ),
+    e_raw AS (
+      SELECT id AS src, g * 5 + ((pos + 1) % 5) + 1 AS dst
+      FROM base WHERE g % 7 <> 3
+      UNION ALL
+      SELECT id, id + 1 FROM base WHERE pos = 4 AND g % 2 = 0
+      UNION ALL
+      SELECT id, id - 1 FROM base WHERE pos = 0 AND g % 4 = 1
+      UNION ALL
+      SELECT id, id FROM base WHERE pos = 2 AND g % 5 = 4
+    ),
+    e AS (
+      SELECT DISTINCT src, dst FROM e_raw
+      WHERE dst IN (SELECT id FROM ids)
+    ),
+    r AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+    ),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    m AS (
+      SELECT a.src AS v, a.dst AS u
+      FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT n.node AS node,
+           LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc_id
+    FROM n LEFT JOIN m ON m.v = n.node
+    GROUP BY n.node
+    """,
+)
+def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed identity resolution: strongly connected components
+    (operators/graph.strongly_connected_components, trim + forward-
+    backward coloring).  The directed complement of kg_sameas_canonicalize
+    — one-way `dcterms:replaces` / redirect claims must NOT merge
+    entities; only MUTUAL reference cycles do, and those bundles are
+    exactly the SCCs of the directed claim graph.  Fixture: customers in
+    groups of 5 form directed 5-cycles (groups g%7==3 get NO cycle — DAG/
+    singleton trim path); pos-4 nodes of even groups chain one-way into
+    the next group (must stay separate); pos-0 nodes of g%4==1 groups
+    point back (mutual pair -> the two 5-cycles merge into one 10-node
+    SCC); pos-2 nodes of g%5==4 groups carry self-loops.  Oracle:
+    recursive-CTE reachability, scc_id = min mutually-reachable id."""
+    from i2o_transform_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    ids = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    b = ids.select(
+        "id",
+        F.expr("(id - 1) div 5").alias("g"),
+        F.expr("(id - 1) % 5").alias("pos"),
+    )
+    g, pos, i = F.col("g"), F.col("pos"), F.col("id")
+    e_raw = (
+        b.where(g % 7 != 3)
+        .select(i.alias("src"),
+                (g * 5 + (pos + 1) % 5 + 1).alias("dst"))
+        .unionByName(b.where((pos == 4) & (g % 2 == 0))
+                     .select(i.alias("src"), (i + 1).alias("dst")))
+        .unionByName(b.where((pos == 0) & (g % 4 == 1))
+                     .select(i.alias("src"), (i - 1).alias("dst")))
+        .unionByName(b.where((pos == 2) & (g % 5 == 4))
+                     .select(i.alias("src"), i.alias("dst")))
+    )
+    edges = e_raw.join(
+        ids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+    )
+    return strongly_connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+    )

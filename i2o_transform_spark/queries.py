@@ -11126,3 +11126,122 @@ def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("scc_id").cast("long").alias("scc_id"),
     )
+
+
+@query(
+    "kg_schema_match",
+    oracle="""
+    WITH lv AS (
+      SELECT DISTINCT 'c_custkey' AS col, CAST(c_custkey AS VARCHAR) AS value
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION
+      SELECT DISTINCT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_nationkey IS NOT NULL
+      UNION
+      SELECT DISTINCT 'c_mktsegment', c_mktsegment FROM customer
+      WHERE c_mktsegment IS NOT NULL
+      UNION
+      SELECT DISTINCT 'c_name', c_name FROM customer
+      WHERE c_name IS NOT NULL
+    ),
+    rv AS (
+      SELECT DISTINCT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS value
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION
+      SELECT DISTINCT 'o_custkey', CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION
+      SELECT DISTINCT 'o_orderstatus', o_orderstatus FROM orders
+      WHERE o_orderstatus IS NOT NULL
+      UNION
+      SELECT DISTINCT 'o_orderpriority', o_orderpriority FROM orders
+      WHERE o_orderpriority IS NOT NULL
+    ),
+    lk AS (
+      SELECT col, kind FROM (
+        SELECT col, kind,
+               ROW_NUMBER() OVER (PARTITION BY col
+                                  ORDER BY COUNT(*) DESC, kind) AS rn
+        FROM (SELECT col,
+                     CASE WHEN regexp_matches(value, '^-?[0-9]+$')
+                          THEN 'int'
+                          WHEN regexp_matches(value, '^-?[0-9]+\\.[0-9]+$')
+                          THEN 'dec'
+                          WHEN regexp_matches(
+                            value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                          THEN 'date'
+                          ELSE 'text' END AS kind
+              FROM lv) GROUP BY col, kind
+      ) WHERE rn = 1
+    ),
+    rk AS (
+      SELECT col, kind FROM (
+        SELECT col, kind,
+               ROW_NUMBER() OVER (PARTITION BY col
+                                  ORDER BY COUNT(*) DESC, kind) AS rn
+        FROM (SELECT col,
+                     CASE WHEN regexp_matches(value, '^-?[0-9]+$')
+                          THEN 'int'
+                          WHEN regexp_matches(value, '^-?[0-9]+\\.[0-9]+$')
+                          THEN 'dec'
+                          WHEN regexp_matches(
+                            value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                          THEN 'date'
+                          ELSE 'text' END AS kind
+              FROM rv) GROUP BY col, kind
+      ) WHERE rn = 1
+    ),
+    ln AS (SELECT col, COUNT(*) AS n FROM lv GROUP BY col),
+    rn AS (SELECT col, COUNT(*) AS n FROM rv GROUP BY col),
+    shared AS (
+      SELECT l.col AS left_col, r.col AS right_col, COUNT(*) AS n_shared
+      FROM lv l JOIN rv r ON l.value = r.value
+      GROUP BY l.col, r.col
+    ),
+    joined AS (
+      SELECT s.left_col, s.right_col,
+             ln.n AS n_left, rn.n AS n_right, s.n_shared,
+             s.n_shared * 1000000 // (ln.n + rn.n - s.n_shared)
+               AS jaccard_ppm,
+             s.n_shared * 1000000 // ln.n AS contain_left_ppm,
+             s.n_shared * 1000000 // rn.n AS contain_right_ppm,
+             lk.kind AS kind_left, rk.kind AS kind_right,
+             lk.kind = rk.kind AS kind_match
+      FROM shared s
+      JOIN ln ON ln.col = s.left_col
+      JOIN rn ON rn.col = s.right_col
+      JOIN lk ON lk.col = s.left_col
+      JOIN rk ON rk.col = s.right_col
+    )
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY left_col
+                              ORDER BY jaccard_ppm DESC, right_col)
+             AS rank
+    FROM joined
+    """,
+)
+def kg_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-based schema matching
+    (operators/schema_match.match_schemas): discover the column
+    correspondences the reference hard-codes as its i2b2->OMOP crosswalk
+    configuration (MSSQL/OMOPLoader.sql per-table SELECT column lists) by
+    value-domain overlap.  Fixture: customer id/nation/segment/name
+    columns vs orders id/custkey/status/priority — o_custkey is fully
+    CONTAINED in c_custkey (contain_right = 1e6, the FK signal), orderkey
+    overlaps custkey only on the shared low-id range (high containment
+    would be a false match; jaccard stays low), nationkey's tiny domain
+    intersects both order id columns on ids < 25, and the four text
+    domains (segments, names, statuses, priorities) are pairwise disjoint
+    — proving zero-overlap pairs stay absent rather than emitting a
+    |cols|x|cols| grid.  Oracle: the same melt -> value join -> ppm
+    arithmetic in SQL."""
+    from i2o_transform_spark.operators.schema_match import match_schemas
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return match_schemas(
+        cu, od,
+        left_cols=["c_custkey", "c_nationkey", "c_mktsegment", "c_name"],
+        right_cols=["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority"],
+    )

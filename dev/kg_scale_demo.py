@@ -384,6 +384,100 @@ def run_canon_demo() -> None:
     spark.stop()
 
 
+def run_scc_demo() -> None:
+    """Directed SCC at 10M nodes / ~11M edges
+    (operators/graph.strongly_connected_components): 1M groups of 10 —
+    80% directed 10-cycles, 20% pure DAG chains (2M nodes the TRIM phase
+    must peel layer by layer), one-way inter-group chain edges that must
+    NOT merge, and 10k planted mutual-edge pairs that MUST merge two
+    cycles into a 20-node SCC.  Validation is closed form and exhaustive:
+    the SCC size histogram is computed from the planting rules in pure
+    arithmetic and compared exactly — {1: 2M, 10: 780k, 20: 10k} — plus a
+    spot check that every merged pair elected the partner group's min id.
+    """
+    from i2o_transform_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    spark = get_spark(
+        "kg-scc-scale",
+        master="local[32]",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n = 10_000_000
+    ids = spark.range(n).select(
+        "id", F.expr("id div 10").alias("g"), (F.col("id") % 10).alias("p")
+    )
+    gcol, pcol, icol = F.col("g"), F.col("p"), F.col("id")
+    cyc = ids.where(gcol % 5 != 2).select(
+        icol.alias("src"), (gcol * 10 + (pcol + 1) % 10).alias("dst")
+    )
+    dag_chain = ids.where((gcol % 5 == 2) & (pcol < 9)).select(
+        icol.alias("src"), (icol + 1).alias("dst")
+    )
+    inter = ids.where(
+        (pcol == 0) & (gcol % 2 == 0) & (icol + 10 < n)
+    ).select(icol.alias("src"), (icol + 10).alias("dst"))
+    fwd_pair = ids.where((pcol == 9) & (gcol % 100 == 0)).select(
+        icol.alias("src"), (icol + 1).alias("dst")
+    )
+    back_pair = ids.where((pcol == 0) & (gcol % 100 == 1)).select(
+        icol.alias("src"), (icol - 1).alias("dst")
+    )
+    edges = (
+        cyc.unionByName(dag_chain).unionByName(inter)
+        .unionByName(fwd_pair).unionByName(back_pair)
+        .where(F.col("dst") < n)
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    t0 = time.time()
+    scc = strongly_connected_components(edges)
+    hist = {
+        int(r["size"]): int(r["n"])
+        for r in scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dt = time.time() - t0
+    # closed-form expected histogram from the planting rules
+    groups = n // 10
+    dag_groups = sum(1 for g in range(groups) if g % 5 == 2)
+    pair_groups = sum(
+        1 for g in range(groups)
+        if g % 100 == 0 and g + 1 < groups
+        and g % 5 != 2 and (g + 1) % 5 != 2
+    )
+    expect = {
+        1: dag_groups * 10,
+        20: pair_groups,
+        10: groups - dag_groups - 2 * pair_groups,
+    }
+    assert hist == expect, (hist, expect)
+    # merged pairs elected the partner group's min id
+    bad = (
+        scc.where((F.expr("node div 10") % 100 == 1)
+                  & (F.col("scc_id") != (F.expr("node div 10") - 1) * 10))
+        .count()
+    )
+    assert bad == 0, f"{bad} merged-pair nodes mis-labeled"
+    out = {
+        "scc": {
+            "nodes": n,
+            "edges": n_edges,
+            "sec": round(dt, 2),
+            "nodes_per_sec": int(n / dt),
+            "histogram": {str(k): v for k, v in sorted(hist.items())},
+            "spill": _spill_bytes(spark),
+        }
+    }
+    print("KGSCALE " + json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--align" in sys.argv:
         run_align_demo()
@@ -391,5 +485,7 @@ if __name__ == "__main__":
         run_rdflist_demo()
     elif "--canon" in sys.argv:
         run_canon_demo()
+    elif "--scc" in sys.argv:
+        run_scc_demo()
     else:
         main()

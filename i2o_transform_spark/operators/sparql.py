@@ -45,11 +45,36 @@ Supported (SPARQL 1.1 grammar subset)
   ("members of the top-k groups") compose without new execution machinery.
   A group may consist of a subquery alone (no required triple pattern).
 
+* Typed literals ``"lex"^^xsd:T`` (prefixed or full-IRI datatype), with
+  semantics honest about the engine's untyped stores:
+
+  - in EXPRESSIONS (FILTER/BIND/HAVING) they become typed Spark SQL
+    constants (``"30"^^xsd:integer`` -> ``30``, ``xsd:decimal`` ->
+    ``CAST AS DECIMAL(38,9)``, ``xsd:double``/``float`` -> ``DOUBLE``,
+    ``xsd:date``/``dateTime`` -> ``DATE''``/``TIMESTAMP''`` literals,
+    ``xsd:boolean`` -> true/false) — lexical forms are validated at
+    PARSE time, so a malformed literal is a SparqlSyntaxError, never a
+    runtime surprise;
+  - the SPARQL 1.1 §17.5 XPath constructor functions
+    ``xsd:integer(?v)`` / ``decimal`` / ``double`` / ``float`` /
+    ``boolean`` / ``date`` / ``dateTime`` / ``string`` translate to
+    ``TRY_CAST`` — a binding whose lexical form doesn't parse becomes
+    NULL, which FILTER eliminates and BIND leaves unbound: exactly
+    SPARQL's type-error-eliminates-solution semantics.  Cast the
+    variable side of a comparison with these; a typed constant against
+    an UNCAST string variable is left to Spark's ANSI comparison, which
+    fails loudly rather than mis-answering;
+  - in DATA positions (triple patterns, VALUES, CONSTRUCT templates)
+    the store holds plain lexical forms, so only datatypes with a
+    trivially canonical lexical space map: ``xsd:string`` (identity),
+    ``xsd:integer`` (canonicalized — ``"007"^^xsd:integer`` matches the
+    stored ``"7"``), ``xsd:boolean`` (``true``/``false``).  Any other
+    datatype in a data position raises — matching by raw lexical form
+    would silently miss equal values written differently.
+
 Deliberately out of scope (raise ValueError, never silently mis-answer):
-``SERVICE``/federation, RDF-typed literals with datatype tags (the
-engine's stores hold plain strings — silently dropping ``^^xsd:...``
-would change comparison semantics), and property paths inside GRAPH
-blocks.
+``SERVICE``/federation, literal language tags (``@en`` — the stores
+carry no language column), and property paths inside GRAPH blocks.
 
 Term mapping: this engine's triple stores hold PLAIN STRINGS (``"N:7"``,
 ``"inNation"``) — ``<iri>`` strips the angle brackets, ``"literal"``
@@ -154,7 +179,20 @@ class _P:
         if kind == "iri":
             return val[1:-1]
         if kind == "str":
-            return re.sub(r"\\(.)", r"\1", val[1:-1])
+            lex = re.sub(r"\\(.)", r"\1", val[1:-1])
+            dt = _read_datatype(self)
+            if dt is None or dt == "xsd:string":
+                return lex
+            if dt == "xsd:integer":
+                return str(_int_lexical(lex))
+            if dt == "xsd:boolean":
+                return _bool_lexical(lex)
+            raise SparqlSyntaxError(
+                f"typed literal ^^{dt} in a data position: the store "
+                "holds plain lexical forms, and only xsd:string/"
+                "integer/boolean have a canonical mapping here — cast "
+                "a variable with xsd:T(?v) in a FILTER instead"
+            )
         if kind == "num":
             return val
         if kind == "name":
@@ -171,6 +209,97 @@ class _P:
             if pfx in self.prefixes:
                 return self.prefixes[pfx] + local
         return name
+
+
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+# XPath constructor function / typed-literal datatype -> Spark SQL type.
+_XSD_SQL = {
+    "xsd:integer": "BIGINT", "xsd:int": "BIGINT", "xsd:long": "BIGINT",
+    "xsd:decimal": "DECIMAL(38,9)",
+    "xsd:double": "DOUBLE", "xsd:float": "DOUBLE",
+    "xsd:boolean": "BOOLEAN",
+    "xsd:date": "DATE", "xsd:dateTime": "TIMESTAMP",
+    "xsd:string": "STRING",
+}
+
+_DATE_LEX = re.compile(r"^-?[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+_DATETIME_LEX = re.compile(
+    r"^-?[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$"
+)
+
+
+def _norm_dt(dt: str) -> str:
+    """Normalize a datatype IRI/name to conventional 'xsd:local' form."""
+    if dt.startswith(_XSD_NS):
+        return "xsd:" + dt[len(_XSD_NS):]
+    return dt
+
+
+def _read_datatype(p: _P) -> str | None:
+    """Consume a '^^datatype' tag if the cursor sits on one ('^^' arrives
+    as two '^' puncts); returns the normalized datatype, else None."""
+    if p.peek() == ("punct", "^") and p.peek(1) == ("punct", "^"):
+        p.eat()
+        p.eat()
+        kind, val = p.eat()
+        if kind == "iri":
+            return _norm_dt(val[1:-1])
+        if kind == "name":
+            return _norm_dt(p._expand(val))
+        raise SparqlSyntaxError(f"bad datatype after '^^': {val!r}")
+    return None
+
+
+def _int_lexical(lex: str) -> int:
+    if not re.fullmatch(r"[+-]?[0-9]+", lex):
+        raise SparqlSyntaxError(f"bad xsd:integer lexical form {lex!r}")
+    return int(lex)
+
+
+def _bool_lexical(lex: str) -> str:
+    if lex in ("true", "1"):
+        return "true"
+    if lex in ("false", "0"):
+        return "false"
+    raise SparqlSyntaxError(f"bad xsd:boolean lexical form {lex!r}")
+
+
+def _typed_sql_literal(lex: str, dt: str) -> str:
+    """Typed literal -> a Spark SQL constant, lexical form validated at
+    parse time (malformed literals are syntax errors, never runtime
+    surprises)."""
+    q = lex.replace("'", "''")
+    if dt == "xsd:string":
+        return f"'{q}'"
+    if dt in ("xsd:integer", "xsd:int", "xsd:long"):
+        return str(_int_lexical(lex))
+    if dt == "xsd:decimal":
+        if not re.fullmatch(r"[+-]?[0-9]+(\.[0-9]+)?", lex):
+            raise SparqlSyntaxError(f"bad xsd:decimal lexical form {lex!r}")
+        return f"CAST('{lex}' AS DECIMAL(38,9))"
+    if dt in ("xsd:double", "xsd:float"):
+        try:
+            float(lex)
+        except ValueError:
+            raise SparqlSyntaxError(
+                f"bad {dt} lexical form {lex!r}"
+            ) from None
+        return f"CAST('{q}' AS DOUBLE)"
+    if dt == "xsd:boolean":
+        return _bool_lexical(lex)
+    if dt == "xsd:date":
+        if not _DATE_LEX.fullmatch(lex):
+            raise SparqlSyntaxError(f"bad xsd:date lexical form {lex!r}")
+        return f"DATE'{lex}'"
+    if dt == "xsd:dateTime":
+        if not _DATETIME_LEX.fullmatch(lex):
+            raise SparqlSyntaxError(
+                f"bad xsd:dateTime lexical form {lex!r}"
+            )
+        return f"TIMESTAMP'{lex.replace('T', ' ')}'"
+    raise SparqlSyntaxError(f"unsupported typed-literal datatype {dt!r}")
 
 
 def _parse_path(p: _P):
@@ -270,8 +399,12 @@ def _expr(p: _P, stop: set[str]) -> str:
         elif kind == "var":
             parts.append(val[1:])
         elif kind == "str":
-            body = re.sub(r"\\(.)", r"\1", val[1:-1]).replace("'", "''")
-            parts.append(f"'{body}'")
+            body = re.sub(r"\\(.)", r"\1", val[1:-1])
+            dt = _read_datatype(p)
+            if dt is None:
+                parts.append("'" + body.replace("'", "''") + "'")
+            else:
+                parts.append(_typed_sql_literal(body, dt))
         elif kind == "num":
             parts.append(val)
         elif kind == "name":

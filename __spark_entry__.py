@@ -11,7 +11,7 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
 queries().  The union of green rows across CORRECTNESS_r01..r03 is exactly
-100 distinct ids (of 230 now registered — the r03 verdict was right that
+100 distinct ids (of 231 now registered — the r03 verdict was right that
 the earlier "large majority" claim here overstated it).  The r04
 DRIVER_WINDOW therefore holds 50 ids with NO green row in any prior round
 artifact: the type-fixed kg_shape_mining (red in r03 on oracle float
@@ -19,16 +19,17 @@ promotion, engine values were correct), this round's new families (SPARQL
 VALUES/BIND/FILTER + aggregates, SPARQL subqueries, property paths inside
 BGP patterns, banded-alignment recall gate, real RVID video-frame decode,
 SPARQL CONSTRUCT/UNION/UPDATE and the text front-end, SHACL literal value
-facets, FD mining, directed SCC, instance-based schema matching), the
+facets, FD mining, directed SCC, instance-based schema matching, typed
+literals + XPath constructors), the
 eight SURVEY §2 ids never sampled (P5 J7 J10 A3 O1 F8 U2 U5), and one-to-three representatives per never-artifacted
 family: streaming windowed suite, embedding entity-link pair, prefix/
 semantic/span/URL/embedding dedup, CDC SCD-2 + temporal intervals + as-of
 snapshot, N-Triples serialize, reification + property graph, graph
 algorithms, the QA sketch gates, BPE roundtrip, rekey report, multimodal
 metadata/pixels, and PII scrub.  A green r04 artifact lifts the union to
-150/230 (65%).  Everything else follows in original registration order
+150/231 (65%).  Everything else follows in original registration order
 and is verified by tests/run_oracle_check.py (full-registry sweep, all
-230 green at HEAD) instead.
+231 green at HEAD) instead.
 """
 
 from __future__ import annotations
@@ -106,7 +107,10 @@ DRIVER_WINDOW: list[str] = [
     # graphs (quads) / UPDATE — swapped in for family-redundant rows
     # (harmonic-closeness/local-clustering/graph-digest kept 3 graph reps,
     # dereify kept reify, embedding-cosine kept 3 dd reps)
-    "kg_bgp_union",
+    # kg_bgp_union yielded its slot to typed literals + XPath constructor
+    # functions (new family: the last SPARQL scope-out besides SERVICE;
+    # SPARQL keeps 7 reps)
+    "kg_sparql_typed",
     # kg_bgp_ask yielded its slot to the SPARQL TEXT front-end (new
     # this round): parser -> bgp_match/aggregate/modifiers, one call
     "kg_sparql_text",

@@ -424,6 +424,16 @@ def _expr(p: _P, stop: set[str]) -> str:
                 parts.append(f"({arg} IS NOT NULL)")
             elif low in _FN_MAP and nxt_is_call:
                 parts.append(_FN_MAP[low])
+            elif nxt_is_call and _norm_dt(p._expand(val)) in _XSD_SQL:
+                # SPARQL 1.1 §17.5 XPath constructor: xsd:T(?v) ->
+                # TRY_CAST, so an unparseable lexical form becomes NULL
+                # (FILTER eliminates it, BIND leaves it unbound) —
+                # SPARQL's type-error-eliminates-solution semantics.
+                sql_t = _XSD_SQL[_norm_dt(p._expand(val))]
+                p.eat()
+                arg = _expr(p, stop={")"})
+                p.expect_punct(")")
+                parts.append(f"TRY_CAST({arg} AS {sql_t})")
             elif low in ("in", "not"):
                 parts.append(val.upper())
             elif low in ("true", "false"):

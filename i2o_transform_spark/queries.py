@@ -11245,3 +11245,51 @@ def kg_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["o_orderkey", "o_custkey", "o_orderstatus",
                     "o_orderpriority"],
     )
+
+
+@query(
+    "kg_sparql_typed",
+    oracle="""
+    SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS o,
+           o_orderkey % 997 AS v
+    FROM orders
+    WHERE o_orderkey % 7 = 5
+      AND o_orderkey % 997 >= 500
+      AND CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)
+            >= DATE '1999-06-01'
+    """,
+)
+def kg_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL typed literals + XPath constructor functions
+    (operators/sparql): the store holds plain lexical forms, so
+    ``"05"^^xsd:integer`` in a DATA position canonicalizes to the stored
+    "5" (full-IRI datatype spelling exercised), ``xsd:integer(?s)`` /
+    ``xsd:date(?d)`` in FILTER translate to TRY_CAST (type-error rows
+    eliminate, SPARQL §17.5 semantics), and the typed constants become
+    typed Spark literals validated at parse time.  Everything stays a
+    codegen WHERE clause — no Python in the row path.  Oracle: the same
+    modular-arithmetic selection with SQL casts."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    od = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    okey = F.concat(F.lit("O:"), k.cast("string"))
+    store = (
+        od.select(okey.alias("subj"), F.lit("score").alias("pred"),
+                  (k % 997).cast("string").alias("obj"))
+        .unionByName(od.select(
+            okey.alias("subj"), F.lit("grp").alias("pred"),
+            (k % 7).cast("string").alias("obj")))
+        .unionByName(od.select(
+            okey.alias("subj"), F.lit("day").alias("pred"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("obj")))
+    )
+    return sparql(store, """
+        SELECT ?o ?v WHERE {
+          ?o grp "05"^^<http://www.w3.org/2001/XMLSchema#integer> .
+          ?o score ?s .
+          ?o day ?d .
+          BIND (xsd:integer(?s) AS ?v)
+          FILTER (?v >= "500"^^xsd:integer
+                  && xsd:date(?d) >= "1999-06-01"^^xsd:date)
+        }""")

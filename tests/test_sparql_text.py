@@ -278,3 +278,81 @@ def test_graph_block_quads(spark):
 def test_graph_block_rejects_paths(graph):
     with pytest.raises(SparqlSyntaxError, match="GRAPH"):
         parse("SELECT ?s WHERE { GRAPH ?g { ?s knows+ ?o } }")
+
+
+@pytest.fixture(scope="module")
+def typed_graph(spark):
+    return spark.createDataFrame(
+        [("o1", "score", "700"), ("o2", "score", "450"),
+         ("o3", "score", "900"), ("o4", "score", "n/a"),
+         ("o1", "grp", "5"), ("o2", "grp", "5"), ("o3", "grp", "2"),
+         ("o1", "day", "2024-03-01"), ("o2", "day", "2024-09-15"),
+         ("o3", "day", "2024-12-31")],
+        T,
+    ).cache()
+
+
+def test_typed_literal_constructor_filter(typed_graph):
+    # xsd:integer(?v) -> TRY_CAST: "n/a" becomes NULL and is eliminated
+    q = """SELECT ?o WHERE {
+             ?o score ?v .
+             FILTER (xsd:integer(?v) > "500"^^xsd:integer)
+           }"""
+    assert rows(sparql(typed_graph, q)) == {("o1",), ("o3",)}
+
+
+def test_typed_literal_bind_unparseable_is_unbound(typed_graph):
+    q = """SELECT ?o ?n WHERE {
+             ?o score ?v .
+             BIND (xsd:integer(?v) AS ?n)
+           }"""
+    got = rows(sparql(typed_graph, q))
+    assert got == {("o1", 700), ("o2", 450), ("o3", 900), ("o4", None)}
+
+
+def test_typed_literal_date_comparison(typed_graph):
+    q = """SELECT ?o WHERE {
+             ?o day ?d .
+             FILTER (xsd:date(?d) >= "2024-09-01"^^xsd:date)
+           }"""
+    assert rows(sparql(typed_graph, q)) == {("o2",), ("o3",)}
+
+
+def test_typed_literal_full_iri_and_data_position_canon(typed_graph):
+    # data position: "05"^^xsd:integer canonicalizes to the stored "5";
+    # full-IRI datatype spelling accepted
+    q = """SELECT ?o WHERE {
+             ?o grp "05"^^<http://www.w3.org/2001/XMLSchema#integer> .
+           }"""
+    assert rows(sparql(typed_graph, q)) == {("o1",), ("o2",)}
+
+
+def test_typed_literal_decimal_and_double_constants(typed_graph):
+    q = """SELECT ?o WHERE {
+             ?o score ?v .
+             FILTER (xsd:double(?v) < "4.6e2"^^xsd:double)
+           }"""
+    assert rows(sparql(typed_graph, q)) == {("o2",)}
+
+
+def test_typed_literal_prefixed_via_declared_prefix(typed_graph):
+    q = """PREFIX x: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?o WHERE {
+             ?o score ?v . FILTER (x:integer(?v) = "900"^^x:integer)
+           }"""
+    assert rows(sparql(typed_graph, q)) == {("o3",)}
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ('SELECT ?o WHERE { ?o day "2024-09-01"^^xsd:date . }',
+     "data position"),
+    ('SELECT ?o WHERE { ?o score ?v . '
+     'FILTER (?v > "12x"^^xsd:integer) }', "lexical form"),
+    ('SELECT ?o WHERE { ?o score ?v . '
+     'FILTER (?v > "2024-13-99T99"^^xsd:dateTime) }', "lexical form"),
+    ('SELECT ?o WHERE { ?o score "x"^^xsd:unknownType . }',
+     "data position"),
+])
+def test_typed_literal_errors(typed_graph, bad, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        sparql(typed_graph, bad)

@@ -11293,3 +11293,67 @@ def kg_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
           FILTER (?v >= "500"^^xsd:integer
                   && xsd:date(?d) >= "1999-06-01"^^xsd:date)
         }""")
+
+
+@query(
+    "nt_typed_roundtrip",
+    oracle="""
+    SELECT 'http://ex/s/' || CAST(o_orderkey AS VARCHAR) AS subj,
+           'http://ex/p' AS pred,
+           CASE o_orderkey % 5
+             WHEN 0 THEN CAST(o_orderkey % 100 AS VARCHAR)
+             WHEN 1 THEN 'status ' || o_orderstatus
+             WHEN 2 THEN 'v"q ' || o_orderstatus
+             WHEN 3 THEN 'http://ex/o/' || CAST(o_orderkey AS VARCHAR)
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS obj,
+           o_orderkey % 5 = 3 AS obj_is_iri,
+           CASE o_orderkey % 5
+             WHEN 0 THEN 'http://www.w3.org/2001/XMLSchema#integer'
+             WHEN 4 THEN 'http://www.w3.org/2001/XMLSchema#date'
+           END AS obj_datatype,
+           CASE WHEN o_orderkey % 5 = 1
+                THEN 'en-' || CAST(o_orderkey % 3 AS VARCHAR)
+           END AS obj_lang
+    FROM orders
+    """,
+)
+def nt_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF 1.1 literal-tag fidelity through the N-Triples wire
+    (sources/ntriples, keep_tags): typed literals (^^xsd:integer/date),
+    language-tagged literals (@en-N, LANGTAG grammar), escape-bearing
+    plain literals, and IRI objects serialize and parse back
+    BYTE-IDENTICALLY with their tags in the obj_datatype/obj_lang
+    columns — the interchange companion to operators/sparql's typed-
+    literal query surface.  The whole path is JVM column expressions
+    (concat/regexp_extract), zero Python in the row path.  Oracle:
+    reconstructs the pre-wire frame directly, so serialize∘parse = id is
+    value-checked per row."""
+    from i2o_transform_spark.sources.ntriples import (
+        parse_ntriples_lines,
+        to_ntriples_lines,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 5
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    df = od.select(
+        F.concat(F.lit("http://ex/s/"), k.cast("string")).alias("subj"),
+        F.lit("http://ex/p").alias("pred"),
+        F.when(m == 0, (k % 100).cast("string"))
+        .when(m == 1, F.concat(F.lit("status "), F.col("o_orderstatus")))
+        .when(m == 2, F.concat(F.lit('v"q '), F.col("o_orderstatus")))
+        .when(m == 3, F.concat(F.lit("http://ex/o/"), k.cast("string")))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("obj"),
+        (m == 3).alias("obj_is_iri"),
+        F.when(m == 0, F.lit(xsd + "integer"))
+        .when(m == 4, F.lit(xsd + "date")).alias("obj_datatype"),
+        F.when(m == 1, F.concat(F.lit("en-"), (k % 3).cast("string")))
+        .alias("obj_lang"),
+    )
+    lines = to_ntriples_lines(
+        df, obj_is_iri="obj_is_iri",
+        obj_datatype="obj_datatype", obj_lang="obj_lang",
+    )
+    return parse_ntriples_lines(lines, keep_tags=True)

@@ -122,6 +122,8 @@ def to_ntriples_lines(
     pred: str = "pred",
     obj: str = "obj",
     obj_is_iri: str | None = None,
+    obj_datatype: str | None = None,
+    obj_lang: str | None = None,
 ) -> DataFrame:
     """Serialize (subj, pred, obj) rows to one-column ``line`` N-Triples.
 
@@ -129,7 +131,11 @@ def to_ntriples_lines(
     asserts the cheap spec invariant that they contain no ``<>`` or
     whitespace via a raise-on-violation filter).  ``obj`` is written as an
     IRI where ``obj_is_iri`` (boolean column) is true, else as an escaped
-    plain literal."""
+    literal, optionally tagged: a non-null ``obj_datatype`` column value
+    appends ``^^<dt>``, a non-null ``obj_lang`` appends ``@lang`` (LANGTAG
+    grammar enforced in-expression).  RDF 1.1 allows at most one tag per
+    literal and none on an IRI — violations raise inside the expression,
+    never serialize wrong."""
     bad_iri = "[<>\"{}|^`\\\\ \t\n\r]"
 
     # The check rides inside the emitted expression (a pruned side-column
@@ -140,17 +146,53 @@ def to_ntriples_lines(
                 F.concat(F.lit("invalid IRI characters in: "), F.col(c))
             )
         )
-    obj_term = (
-        F.concat(F.lit('"'), escape_literal(F.col(obj).cast("string")),
-                 F.lit('"'))
-        if obj_is_iri is None
-        else F.when(
-            F.col(obj_is_iri),
-            F.concat(F.lit("<"), F.col(obj), F.lit(">")),
-        ).otherwise(
-            F.concat(F.lit('"'), escape_literal(F.col(obj).cast("string")),
-                     F.lit('"'))
+
+    lit_term = F.concat(
+        F.lit('"'), escape_literal(F.col(obj).cast("string")), F.lit('"')
+    )
+    if obj_datatype is not None or obj_lang is not None:
+        dt = F.col(obj_datatype) if obj_datatype is not None else F.lit(None)
+        lang = F.col(obj_lang) if obj_lang is not None else F.lit(None)
+        tag = (
+            F.when(
+                dt.isNotNull() & lang.isNotNull(),
+                F.raise_error(F.concat(
+                    F.lit("literal with BOTH datatype and lang tag: "),
+                    F.col(obj).cast("string"),
+                )),
+            )
+            .when(dt.isNotNull(),
+                  F.concat(F.lit("^^<"),
+                           F.when(~dt.rlike(bad_iri), dt).otherwise(
+                               F.raise_error(F.concat(
+                                   F.lit("invalid datatype IRI: "), dt))),
+                           F.lit(">")))
+            .when(lang.isNotNull(),
+                  F.concat(F.lit("@"),
+                           F.when(
+                               lang.rlike("^[A-Za-z]+(-[A-Za-z0-9]+)*$"),
+                               lang,
+                           ).otherwise(F.raise_error(F.concat(
+                               F.lit("invalid LANGTAG: "), lang)))))
+            .otherwise(F.lit(""))
         )
+        lit_term = F.concat(lit_term, tag)
+        # the guard must live in the IRI branch — `when` evaluates
+        # lazily, so a check inside the literal branch would be dead
+        # code exactly on the rows that violate
+        iri_side = F.when(
+            dt.isNotNull() | lang.isNotNull(),
+            F.raise_error(F.concat(
+                F.lit("IRI object cannot carry a literal tag: "),
+                F.col(obj).cast("string"),
+            )),
+        ).otherwise(F.concat(F.lit("<"), F.col(obj), F.lit(">")))
+    else:
+        iri_side = F.concat(F.lit("<"), F.col(obj), F.lit(">"))
+    obj_term = (
+        lit_term
+        if obj_is_iri is None
+        else F.when(F.col(obj_is_iri), iri_side).otherwise(lit_term)
     )
     return df.select(
         F.concat(
@@ -160,16 +202,22 @@ def to_ntriples_lines(
     )
 
 
-# Anchored line grammar: IRI object (group 3) XOR literal object (group 4);
-# an optional ^^<datatype> suffix is accepted and ignored.
+# Anchored line grammar: IRI object (group 3) XOR literal object (group 4),
+# the literal optionally tagged with ^^<datatype> (group 5) XOR @lang
+# (group 6, spec LANGTAG grammar) — RDF 1.1 allows at most one of the two.
 _LINE_RE = (
-    r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)")'
-    r"(?:\^\^<[^>]*>)? \.\s*$"
+    r'^<([^>]*)> <([^>]*)> '
+    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
+    r'(?:\^\^<([^>]*)>|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))?'
+    r') \.\s*$'
 )
 
 
 def parse_ntriples_lines(
-    lines: DataFrame, col: str = "line", mode: str = "FAILFAST"
+    lines: DataFrame,
+    col: str = "line",
+    mode: str = "FAILFAST",
+    keep_tags: bool = False,
 ) -> DataFrame:
     """Parse N-Triples lines -> (subj, pred, obj, obj_is_iri).
 
@@ -183,6 +231,14 @@ def parse_ntriples_lines(
       quarantine (``WHERE _corrupt_line IS NOT NULL``) instead of dying
       at line 10^11.  Same single anchored-regex pass either way.
 
+    ``keep_tags=True`` appends ``obj_datatype`` / ``obj_lang`` columns
+    preserving a literal's ``^^<datatype>`` / ``@lang`` tag (NULL when
+    absent or the object is an IRI) — full RDF 1.1 literal fidelity for
+    interchange roundtrips.  The default (False) keeps the 4-column
+    schema and documents the loss: tags are accepted by the grammar but
+    dropped, which is the right mode when downstream stores hold plain
+    lexical forms (operators/sparql's documented store convention).
+
     Comment/blank lines are dropped first per spec."""
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
@@ -190,6 +246,17 @@ def parse_ntriples_lines(
         ~F.col(col).rlike(r"^\s*(#|$)")
     )
     m = lambda g: F.regexp_extract(F.col(col), _LINE_RE, g)  # noqa: E731
+
+    def _tag_cols(is_lit) -> list:
+        if not keep_tags:
+            return []
+        return [
+            F.when(is_lit & (F.col("_dt") != ""), F.col("_dt"))
+            .alias("obj_datatype"),
+            F.when(is_lit & (F.col("_lang") != ""), F.col("_lang"))
+            .alias("obj_lang"),
+        ]
+
     if mode == "PERMISSIVE":
         ok = F.col(col).rlike(_LINE_RE)
         parsed = data.select(
@@ -197,6 +264,8 @@ def parse_ntriples_lines(
             F.when(ok, m(2)).alias("pred"),
             F.when(ok, m(3)).alias("_obj_iri"),
             F.when(ok, m(4)).alias("_obj_lit"),
+            F.when(ok, m(5)).alias("_dt"),
+            F.when(ok, m(6)).alias("_lang"),
             F.when(~ok, F.col(col)).alias("_corrupt_line"),
         )
         is_iri = parsed["_obj_iri"] != ""
@@ -207,6 +276,7 @@ def parse_ntriples_lines(
             .otherwise(unescape_literal(F.col("_obj_lit")))
             .alias("obj"),
             F.when(F.col("subj").isNotNull(), is_iri).alias("obj_is_iri"),
+            *_tag_cols(F.col("subj").isNotNull() & ~is_iri),
             "_corrupt_line",
         )
     parsed = data.select(
@@ -219,6 +289,8 @@ def parse_ntriples_lines(
         m(2).alias("pred"),
         m(3).alias("_obj_iri"),
         m(4).alias("_obj_lit"),
+        m(5).alias("_dt"),
+        m(6).alias("_lang"),
     )
     is_iri = parsed["_obj_iri"] != ""
     return parsed.select(
@@ -228,6 +300,7 @@ def parse_ntriples_lines(
         .otherwise(unescape_literal(F.col("_obj_lit")))
         .alias("obj"),
         is_iri.alias("obj_is_iri"),
+        *_tag_cols(~is_iri),
     )
 
 

@@ -157,3 +157,85 @@ def test_uchar_escapes_decode(spark):
         "raw\\u0041",
         "mix\nB\\U0",
     }
+
+
+def test_lang_tags_accepted_and_dropped_by_default(spark):
+    lines = spark.createDataFrame(
+        [Row(line='<http://a> <http://p> "hallo"@de .'),
+         Row(line='<http://a> <http://p> "hi"@en-US-x-2 .')]
+    )
+    out = {(r.obj, r.obj_is_iri)
+           for r in parse_ntriples_lines(lines).collect()}
+    assert out == {("hallo", False), ("hi", False)}
+
+
+def test_keep_tags_preserves_datatype_and_lang(spark):
+    lines = spark.createDataFrame(
+        [Row(line='<http://a> <http://p> "42"^^<http://int> .'),
+         Row(line='<http://a> <http://p> "hallo"@de .'),
+         Row(line='<http://a> <http://p> "plain" .'),
+         Row(line="<http://a> <http://p> <http://b> .")]
+    )
+    out = {(r.obj, r.obj_is_iri, r.obj_datatype, r.obj_lang)
+           for r in parse_ntriples_lines(lines, keep_tags=True).collect()}
+    assert out == {
+        ("42", False, "http://int", None),
+        ("hallo", False, None, "de"),
+        ("plain", False, None, None),
+        ("http://b", True, None, None),
+    }
+
+
+def test_tagged_serialize_roundtrip(spark):
+    rows = [
+        Row(subj="http://ex/s1", pred="http://ex/p", obj="42",
+            obj_is_iri=False, dt="http://www.w3.org/2001/XMLSchema#integer",
+            lang=None),
+        Row(subj="http://ex/s2", pred="http://ex/p", obj='q" \\ uote',
+            obj_is_iri=False, dt=None, lang="en-US"),
+        Row(subj="http://ex/s3", pred="http://ex/p", obj="plain",
+            obj_is_iri=False, dt=None, lang=None),
+        Row(subj="http://ex/s4", pred="http://ex/p", obj="http://ex/o",
+            obj_is_iri=True, dt=None, lang=None),
+    ]
+    df = spark.createDataFrame(rows)
+    lines = to_ntriples_lines(
+        df, obj_is_iri="obj_is_iri", obj_datatype="dt", obj_lang="lang"
+    )
+    texts = {r.line for r in lines.collect()}
+    assert ('<http://ex/s1> <http://ex/p> '
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .') in texts
+    assert any('"@en-US .' in t for t in texts)
+    back = parse_ntriples_lines(lines, keep_tags=True)
+    got = {(r.subj, r.obj, r.obj_is_iri, r.obj_datatype, r.obj_lang)
+           for r in back.collect()}
+    want = {(r.subj, r.obj, r.obj_is_iri, r.dt, r.lang) for r in rows}
+    assert got == want
+
+
+@pytest.mark.parametrize("dt, lang, iri, msg", [
+    ("http://int", "en", False, "BOTH datatype and lang"),
+    (None, "not a tag!", False, "invalid LANGTAG"),
+    ("http://int", None, True, "cannot carry a literal tag"),
+])
+def test_tagged_serialize_violations_raise(spark, dt, lang, iri, msg):
+    df = spark.createDataFrame(
+        [("http://ex/s", "http://ex/p", "v", iri, dt, lang)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "dt string, lang string",
+    )
+    lines = to_ntriples_lines(
+        df, obj_is_iri="obj_is_iri", obj_datatype="dt", obj_lang="lang"
+    )
+    with pytest.raises(Exception, match=msg):
+        lines.collect()
+
+
+def test_permissive_keep_tags_quarantine(spark):
+    lines = spark.createDataFrame(
+        [Row(line='<http://a> <http://p> "x"@en .'),
+         Row(line='garbage line')]
+    )
+    out = parse_ntriples_lines(lines, mode="PERMISSIVE", keep_tags=True)
+    rows = {(r.obj, r.obj_lang, r._corrupt_line) for r in out.collect()}
+    assert rows == {("x", "en", None), (None, None, "garbage line")}

@@ -11357,3 +11357,109 @@ def nt_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         obj_datatype="obj_datatype", obj_lang="obj_lang",
     )
     return parse_ntriples_lines(lines, keep_tags=True)
+
+
+@query(
+    "kg_record_fusion",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey % 100 AS cluster,
+             o_orderstatus AS status,
+             o_orderpriority AS prio_new,
+             o_orderpriority AS prio_long,
+             'T' || CAST(o_orderkey % 13 AS VARCHAR) AS tag,
+             o_orderkey AS okey,
+             o_orderdate AS ts,
+             o_orderkey % 7 AS src_rank
+      FROM orders
+    ),
+    base AS (
+      SELECT cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(okey) AS okey,
+             CAST(COUNT(DISTINCT status) AS BIGINT) AS status_n_values,
+             CAST(COUNT(DISTINCT prio_new) AS BIGINT) AS prio_new_n_values,
+             CAST(COUNT(DISTINCT prio_long) AS BIGINT)
+               AS prio_long_n_values,
+             CAST(COUNT(DISTINCT tag) AS BIGINT) AS tag_n_values,
+             CAST(COUNT(DISTINCT okey) AS BIGINT) AS okey_n_values
+      FROM m GROUP BY cluster
+    ),
+    mode_e AS (
+      SELECT cluster, status FROM (
+        SELECT cluster, status,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY COUNT(*) DESC, status) AS rn
+        FROM m GROUP BY cluster, status
+      ) WHERE rn = 1
+    ),
+    new_e AS (
+      SELECT cluster, prio_new FROM (
+        SELECT cluster, prio_new,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY ts DESC, prio_new DESC) AS rn
+        FROM m
+      ) WHERE rn = 1
+    ),
+    long_e AS (
+      SELECT cluster, prio_long FROM (
+        SELECT cluster, prio_long,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY LENGTH(prio_long) DESC,
+                                           prio_long DESC) AS rn
+        FROM m
+      ) WHERE rn = 1
+    ),
+    pref_e AS (
+      SELECT cluster, tag FROM (
+        SELECT cluster, tag,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY src_rank ASC, tag ASC) AS rn
+        FROM m
+      ) WHERE rn = 1
+    )
+    SELECT b.cluster, b.n_members,
+           mode_e.status, new_e.prio_new, long_e.prio_long, pref_e.tag,
+           b.okey,
+           b.status_n_values, b.prio_new_n_values, b.prio_long_n_values,
+           b.tag_n_values, b.okey_n_values
+    FROM base b
+    JOIN mode_e USING (cluster)
+    JOIN new_e USING (cluster)
+    JOIN long_e USING (cluster)
+    JOIN pref_e USING (cluster)
+    """,
+)
+def kg_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record fusion (operators/fusion.fuse_records): collapse
+    each duplicate cluster to ONE canonical record, best value per
+    attribute under explicit survivorship policies — the data-driven
+    form of the reference's imperative per-table merge survivorship
+    (MSSQL/OMOPLoader.sql upsert/dedup INSERT chains picking MAX()/
+    preferred-source inline).  Fixture: orders clustered by
+    o_custkey%100 fuse status by plurality (mode), priority by recency
+    (newest, ties to largest value) AND by string length (longest, the
+    two policies disagree on purpose), a derived tag by source
+    preference (prefer, smallest rank), and the min order key — plus
+    per-attribute distinct-claim conflict counts.  Oracle: one window
+    election per policy with the same tie orders."""
+    from i2o_transform_spark.operators.fusion import fuse_records
+
+    od = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = od.select(
+        (F.col("o_custkey") % 100).alias("cluster"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio_new"),
+        F.col("o_orderpriority").alias("prio_long"),
+        F.concat(F.lit("T"), (k % 13).cast("string")).alias("tag"),
+        k.alias("okey"),
+        F.col("o_orderdate").alias("ts"),
+        (k % 7).alias("src_rank"),
+    )
+    return fuse_records(
+        m, "cluster",
+        {"status": "mode", "prio_new": "newest", "prio_long": "longest",
+         "tag": "prefer", "okey": "min"},
+        ts_col="ts", priority_col="src_rank",
+    )

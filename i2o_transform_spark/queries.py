@@ -6912,6 +6912,83 @@ def kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KG embedding TRAINING: distributed TransE (operators/kge.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_transe_train_check",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM nation)
+              + (SELECT COUNT(*) FROM region) AS BIGINT) AS n_entities,
+           CAST(1 AS BIGINT) AS n_relations,
+           CAST(1 AS INT) AS loss_decreased,
+           CAST(1 AS INT) AS ranks_improved,
+           CAST(1 AS INT) AS norms_unit
+    """,
+)
+def kg_transe_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TransE TRAINING gate (operators/kge.train_transe — the
+    one genuinely iterative-ML operator here; synchronous full-batch
+    gradient via mapInPandas partition sums + ONE vocab-sized exchange per
+    round, parameters broadcast).  KG: nation --inRegion--> region (the
+    same functional relation kg_transe_eval scores with fixed embeddings —
+    this closes the loop by LEARNING them).
+
+    Invariants the oracle pins: the entity/relation vocabulary sizes are
+    exactly the table counts (both derivable in SQL); training decreased
+    the hinge loss; the trained model's total rank of true tails (integer,
+    deterministic tie-break) strictly beats the seeded-init model's; every
+    entity row is renormalized to unit L2 per the paper.  Exact learned
+    floats are cross-run qualitative by design (gradient sums cross
+    partitions), so the gates — not weight hashes — are the contract;
+    bit-reproducibility on a fixed layout is pytest-gated
+    (tests/test_kge.py::test_transe_single_partition_bit_reproducible)."""
+    from i2o_transform_spark.operators.kge import score_all_tails, train_transe
+    from i2o_transform_spark.operators.ranking import link_prediction_ranks
+
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = na.select(
+        tag("N:", "n_nationkey").alias("subj"),
+        F.lit("inRegion").alias("pred"),
+        tag("R:", "n_regionkey").alias("obj"),
+    )
+    ents, rels, E1, R1, losses = train_transe(
+        triples, dim=8, rounds=20, lr=0.5, seed=3
+    )
+    _, _, E0, R0, _ = train_transe(triples, dim=8, rounds=0, lr=0.5, seed=3)
+
+    qs = triples.select(F.col("subj").alias("h"), F.col("pred").alias("r"))
+    truth = triples.select(
+        F.col("subj").alias("h"),
+        F.col("pred").alias("r"),
+        F.col("obj").alias("cand"),
+    )
+
+    def total_rank(E, R) -> int:
+        scored = score_all_tails(spark, qs, ents, rels, E, R)
+        ranks = link_prediction_ranks(scored, truth, ["h", "r"])
+        return ranks.agg(F.sum("rnk")).collect()[0][0]
+
+    import numpy as np
+
+    rank_trained = total_rank(E1, R1)
+    rank_init = total_rank(E0, R0)
+    norms_ok = bool(np.allclose(np.linalg.norm(E1, axis=1), 1.0, atol=1e-9))
+    return spark.createDataFrame(
+        [(
+            len(ents),
+            len(rels),
+            int(losses[-1] < losses[0]),
+            int(rank_trained < rank_init),
+            int(norms_ok),
+        )],
+        "n_entities bigint, n_relations bigint, loss_decreased int, "
+        "ranks_improved int, norms_unit int",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Open-text relation extraction: Hearst patterns ("Xs such as A and B")
 # ---------------------------------------------------------------------------
 

@@ -33,9 +33,54 @@ from pyspark.sql import functions as F
 
 _POS = ("subj", "pred", "obj")
 
+# Language-tagged-literal support (RDF 1.1).  A store MAY carry an
+# ``obj_lang`` column (sources/ntriples.py ``keep_tags=True`` produces
+# one); when it does, every variable bound from an OBJECT position gets a
+# companion bindings column ``<var>__lang`` holding the tag normalized per
+# RDF 1.1 Concepts §3.3 (lowercase; '' for plain/IRI objects — NEVER null
+# for a bound variable, so plain equi-joins keep working and SPARQL
+# LANG(?v) is a direct column read).  Joins between bindings frames apply
+# RDF TERM equality: companions join when both sides carry one; a
+# companion on exactly one side means the other occurrence sits in an IRI
+# position (subj/pred/graph), so term equality pins the tagged side to ''
+# (an IRI never equals a tagged literal).  Stores without the column are
+# byte-for-byte unaffected — no companion columns ever exist.
+_LANG_SUF = "__lang"
+
 
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
+
+
+def _is_lang_lit(term) -> bool:
+    """A language-tagged literal constant: ``("lang_lit", lexical, tag)``
+    (operators/sparql emits these for ``"chat"@en``)."""
+    return (
+        isinstance(term, tuple) and len(term) == 3 and term[0] == "lang_lit"
+    )
+
+
+def _lang_norm():
+    return F.lower(F.coalesce(F.col("obj_lang"), F.lit("")))
+
+
+def _companion_split(
+    shared: list[str], left_cols, right_cols
+) -> tuple[list[str], list[str], list[str]]:
+    """For each shared variable, classify its __lang companion: present on
+    both sides (joins as a key), left only, or right only (term-equality
+    '' pins)."""
+    both, left_only, right_only = [], [], []
+    for v in shared:
+        c = v + _LANG_SUF
+        in_l, in_r = c in left_cols, c in right_cols
+        if in_l and in_r:
+            both.append(c)
+        elif in_l:
+            left_only.append(c)
+        elif in_r:
+            right_only.append(c)
+    return both, left_only, right_only
 
 
 def _compile_template(
@@ -65,7 +110,14 @@ def _compile_template(
             f"quad pattern {pat!r}: property paths are not supported "
             "inside GRAPH quad patterns (evaluate the path per graph)"
         )
-    if isinstance(pat[1], tuple):
+    if isinstance(pat[1], tuple) and not _is_lang_lit(pat[1]):
+        if "obj_lang" in triples.columns:
+            raise ValueError(
+                "property-path expressions over a language-tagged store "
+                "(obj_lang column) are not supported: path evaluation "
+                "works on lexical pairs and would conflate literals "
+                "differing only in tag — query the untagged projection"
+            )
         from i2o_transform_spark.operators.paths import eval_path
 
         nodes = (
@@ -87,19 +139,52 @@ def _compile_template(
                 df = df.where(F.col(col) == F.lit(term))
         sel = [F.col(c).alias(v) for v, c in first_col.items()]
         return df.select(*sel), set(first_col)
+    has_lang = "obj_lang" in triples.columns
     df = triples
     first_col = {}
+    lang_vars: set[str] = set()
     positions = _POS + ("graph",) if len(pat) == 4 else _POS
     for col, term in zip(positions, pat):
         if _is_var(term):
             name = term[1:]
+            if has_lang and name.endswith(_LANG_SUF):
+                raise ValueError(
+                    f"variable ?{name}: the {_LANG_SUF!r} suffix is "
+                    "reserved for tag companions on language-tagged stores"
+                )
             if name in first_col:
                 df = df.where(F.col(col) == F.col(first_col[name]))
+                # repeated variable across an IRI position and the object
+                # position: term equality forces the object binding plain
+                if has_lang and "obj" in (col, first_col[name]):
+                    df = df.where(_lang_norm() == F.lit(""))
             else:
                 first_col[name] = col
+                if has_lang and col == "obj":
+                    lang_vars.add(name)
+        elif _is_lang_lit(term):
+            if col != "obj":
+                raise ValueError(
+                    f"language-tagged literal {term[1]!r}@{term[2]} in "
+                    f"{col} position: only objects may be tagged literals"
+                )
+            if not has_lang:
+                raise ValueError(
+                    f"language-tagged literal {term[1]!r}@{term[2]} "
+                    "against a store with no obj_lang column — it can "
+                    "match nothing; parse the source with keep_tags=True"
+                )
+            df = df.where(
+                (F.col(col) == F.lit(term[1]))
+                & (_lang_norm() == F.lit(term[2].lower()))
+            )
         else:
             df = df.where(F.col(col) == F.lit(term))
+            if has_lang and col == "obj":
+                # a plain constant is a plain term: tagged rows differ
+                df = df.where(_lang_norm() == F.lit(""))
     sel = [F.col(c).alias(v) for v, c in first_col.items()]
+    sel += [_lang_norm().alias(v + _LANG_SUF) for v in sorted(lang_vars)]
     return df.select(*sel), set(first_col)
 
 
@@ -163,6 +248,77 @@ def plan_order(
         order.append(pick)
         bound |= tmpl_vars(pick)
     return order
+
+
+def _term_cond(left_keys: list[str], pins: list[str]):
+    """Aliased-frame join condition: equality on every key, '' pin on the
+    left-side-only companions (_b = left bindings, _r = right pattern)."""
+    cond = None
+    for k in left_keys:
+        e = F.col(f"_b.{k}") == F.col(f"_r.{k}")
+        cond = e if cond is None else cond & e
+    for c in pins:
+        cond = cond & (F.col(f"_b.{c}") == F.lit(""))
+    return cond
+
+
+def _join_term_inner(out: DataFrame, df: DataFrame, shared: list[str]):
+    """INNER join on shared variables under RDF term equality.  Single-side
+    companions become pre-join '' filters (equivalent under inner joins,
+    and they keep the join a plain broadcast-able equi-join)."""
+    both, left_only, right_only = _companion_split(
+        shared, out.columns, df.columns
+    )
+    for c in left_only:
+        out = out.where(F.col(c) == "")
+    for c in right_only:
+        df = df.where(F.col(c) == "").drop(c)
+    return out.join(df, on=shared + both)
+
+
+def _join_term_filtering(
+    out: DataFrame, df: DataFrame, shared: list[str], how: str
+):
+    """SEMI/ANTI join under RDF term equality (MINUS / FILTER [NOT]
+    EXISTS).  Right-side-only companions pre-filter the match SET (a
+    tagged right row can never term-match an IRI-position left binding);
+    left-side-only companions cannot pre-filter (anti must KEEP those
+    rows), so they move into an expression-join '' pin."""
+    both, left_only, right_only = _companion_split(
+        shared, out.columns, df.columns
+    )
+    r = df
+    for c in right_only:
+        r = r.where(F.col(c) == "")
+    r = r.select(*shared, *both).distinct()
+    if not left_only:
+        return out.join(r, on=shared + both, how=how)
+    return out.alias("_b").join(
+        r.alias("_r"), _term_cond(shared + both, left_only), how=how
+    )
+
+
+def _join_term_left(out: DataFrame, df: DataFrame, shared: list[str]):
+    """LEFT OUTER join under RDF term equality (OPTIONAL)."""
+    both, left_only, right_only = _companion_split(
+        shared, out.columns, df.columns
+    )
+    for c in right_only:
+        # a tagged optional row can't term-match the IRI-position outer
+        # binding; removing it just leaves the outer row unmatched — the
+        # left-join-correct outcome
+        df = df.where(F.col(c) == "").drop(c)
+    if not left_only:
+        return out.join(df, on=shared + both, how="left")
+    new_cols = [c for c in df.columns if c not in set(shared) | set(both)]
+    return (
+        out.alias("_b")
+        .join(df.alias("_r"), _term_cond(shared + both, left_only), "left")
+        .select(
+            *[F.col(f"_b.{c}") for c in out.columns],
+            *[F.col(f"_r.{c}") for c in new_cols],
+        )
+    )
 
 
 def bgp_match(
@@ -243,17 +399,25 @@ def bgp_match(
         for pick in order[1:]:
             df, vs = compiled[pick]
             shared = sorted(vs & bound)
-            out = out.join(df, on=shared) if shared else out.crossJoin(df)
+            out = (
+                _join_term_inner(out, df, shared)
+                if shared
+                else out.crossJoin(df)
+            )
             bound |= vs
         pending = list(extra_bindings or [])
     else:
         pending = list(extra_bindings)
         out = pending.pop(0)
-        bound = set(out.columns)
+        bound = {c for c in out.columns if not c.endswith(_LANG_SUF)}
     for df in pending:
-        vs = set(df.columns)
+        vs = {c for c in df.columns if not c.endswith(_LANG_SUF)}
         shared = sorted(vs & bound)
-        out = out.join(df, on=shared) if shared else out.crossJoin(df)
+        out = (
+            _join_term_inner(out, df, shared)
+            if shared
+            else out.crossJoin(df)
+        )
         bound |= vs
     if values:
         out, bound = _apply_values(out, bound, values)
@@ -265,8 +429,7 @@ def bgp_match(
                 f"MINUS pattern {pat!r} shares no variable with the "
                 "required pattern"
             )
-        out = out.join(df.select(*shared).distinct(), on=shared,
-                       how="left_anti")
+        out = _join_term_filtering(out, df, shared, "left_anti")
     for pat in exists or []:
         df, vs = _compile_template(triples, pat)
         shared = sorted(vs & bound)
@@ -275,8 +438,7 @@ def bgp_match(
                 f"EXISTS pattern {pat!r} shares no variable with the "
                 "required pattern"
             )
-        out = out.join(df.select(*shared).distinct(), on=shared,
-                       how="left_semi")
+        out = _join_term_filtering(out, df, shared, "left_semi")
     for pat in optional or []:
         df, vs = _compile_template(triples, pat)
         shared = sorted(vs & bound)
@@ -285,11 +447,16 @@ def bgp_match(
                 f"OPTIONAL pattern {pat!r} shares no variable with the "
                 "required pattern"
             )
-        out = out.join(df, on=shared, how="left")
+        out = _join_term_left(out, df, shared)
         bound |= vs
     for name, expr in (bind or {}).items():
         if name in bound:
             raise ValueError(f"BIND target ?{name} is already bound")
+        if name.endswith(_LANG_SUF):
+            raise ValueError(
+                f"BIND target ?{name}: the {_LANG_SUF!r} suffix is "
+                "reserved for language-tag companion columns"
+            )
         out = out.withColumn(
             name, F.expr(expr) if isinstance(expr, str) else expr
         )
@@ -315,6 +482,13 @@ def _apply_values(
     vars_ = sorted({k for row in values for k in row})
     if not vars_:
         raise ValueError("VALUES block binds no variables")
+    tagged = [v for v in vars_ if v + _LANG_SUF in out.columns]
+    if tagged:
+        raise ValueError(
+            f"VALUES over language-tagged binding(s) {tagged}: inline "
+            "data holds plain terms; constrain with FILTER on LANG(?v) "
+            "plus the lexical value instead"
+        )
     spark = out.sparkSession
     vdf = spark.createDataFrame(
         [tuple(row.get(v) for v in vars_) for row in values],
@@ -373,10 +547,23 @@ def bgp_construct(
     for t in template:
         if any(isinstance(term, tuple) for term in t):
             raise ValueError(
-                f"CONSTRUCT template {t!r}: property-path expressions are "
-                "only legal in the WHERE pattern, not the template"
+                f"CONSTRUCT template {t!r}: property-path expressions and "
+                "tagged literals are only legal in the WHERE pattern, not "
+                "the template (the constructed graph is 3-column/plain)"
             )
     bindings = bgp_match(triples, patterns, distinct=False, **match_kwargs)
+    tagged = sorted({
+        term[1:]
+        for t in template
+        for term in t
+        if _is_var(term) and term[1:] + _LANG_SUF in bindings.columns
+    })
+    if tagged:
+        raise ValueError(
+            f"CONSTRUCT template uses language-tagged binding(s) "
+            f"{tagged}: instantiating would silently drop the tag — "
+            "construct from STR via BIND, or keep the store untagged"
+        )
     return _instantiate(bindings, template).distinct()
 
 
@@ -536,6 +723,18 @@ def bgp_union(
     for nxt in outs[1:]:
         out = out.unionByName(nxt, allowMissingColumns=True)
     out = out.select(*all_vars)
+    # a variable tagged in one branch, IRI-position in another: the fill
+    # for the untagged branch's BOUND rows is '' (plain term), NULL stays
+    # only where the variable itself is unbound
+    for c in all_vars:
+        if c.endswith(_LANG_SUF):
+            v = c[: -len(_LANG_SUF)]
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNull() & F.col(v).isNotNull(), F.lit("")
+                ).otherwise(F.col(c)),
+            )
     return out.distinct() if distinct else out
 
 
@@ -593,7 +792,10 @@ def bgp_describe(
                 nodes, on=triples["obj"] == nodes["_n"], how="left_semi"
             )
         ).distinct()
-    return out.select("subj", "pred", "obj")
+    cols = ["subj", "pred", "obj"]
+    if "obj_lang" in triples.columns:  # tagged store: description keeps tags
+        cols.append("obj_lang")
+    return out.select(*cols)
 
 
 def update_where(
@@ -625,6 +827,13 @@ def update_where(
     shuffle-free on the big side."""
     if not delete and not insert:
         raise ValueError("UPDATE needs a DELETE and/or INSERT template")
+    if "obj_lang" in triples.columns:
+        raise ValueError(
+            "UPDATE over a language-tagged store is not supported: the "
+            "3-column delete/insert templates cannot express tags — "
+            "update the untagged projection and re-join obj_lang, or "
+            "rewrite via the tagged N-Triples serializer"
+        )
     spo = ["subj", "pred", "obj"]
     bindings = bgp_match(
         triples, where, distinct=False, **match_kwargs

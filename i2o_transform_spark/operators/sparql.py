@@ -72,9 +72,30 @@ Supported (SPARQL 1.1 grammar subset)
     datatype in a data position raises — matching by raw lexical form
     would silently miss equal values written differently.
 
+* Language-tagged literals (RDF 1.1) against TAGGED stores — a triples
+  frame carrying an ``obj_lang`` column (sources/ntriples.py
+  ``keep_tags=True`` produces one):
+
+  - ``"chat"@en`` constants in object positions compile to a pushed-down
+    (obj, lowercased-tag) filter;
+  - a variable bound from a tagged object position carries a ``__lang``
+    companion bindings column (lowercase tag; ``''`` for plain objects —
+    SPARQL's LANG answer), which joins/MINUS/OPTIONAL/DISTINCT/GROUP BY
+    treat as part of the term, so ``"chat"@en`` and ``"chat"@fr`` never
+    conflate; projected variables keep their companion in the output;
+  - builtins ``LANG(?v)`` (the companion column read) and
+    ``LANGMATCHES(tag, range)`` (``'*'`` = any non-empty tag, else
+    case-insensitive exact or extended-prefix per RFC 4647 basic
+    filtering);
+  - refused, stated loudly: tagged literals in subject/GRAPH/VALUES/
+    CONSTRUCT-template/expression positions, property paths over tagged
+    stores, UPDATE over tagged stores, and any tagged constant against a
+    store WITHOUT ``obj_lang`` (it could silently match nothing).
+    Untagged stores are completely unaffected — no companion columns
+    ever exist.
+
 Deliberately out of scope (raise ValueError, never silently mis-answer):
-``SERVICE``/federation, literal language tags (``@en`` — the stores
-carry no language column), and property paths inside GRAPH blocks.
+``SERVICE``/federation and property paths inside GRAPH blocks.
 
 Term mapping: this engine's triple stores hold PLAIN STRINGS (``"N:7"``,
 ``"inNation"``) — ``<iri>`` strips the angle brackets, ``"literal"``
@@ -92,6 +113,7 @@ _TOKEN_RE = re.compile(
     r"""\s+|\#[^\n]*
     |(?P<iri><[^<>\s]*>)
     |(?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    |(?P<lang>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     |(?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     |(?P<num>\d+(?:\.\d+)?)
     |(?P<punct>&&|\|\||!=|<=|>=|\{|\}|\(|\)|\.|;|,|\||/|\^|\+|\*|!|=|<|>|-|\?)
@@ -131,7 +153,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
                 f"cannot tokenize at offset {pos}: {text[pos:pos + 20]!r}"
             )
         pos = m.end()
-        for kind in ("iri", "str", "var", "num", "punct", "name"):
+        for kind in ("iri", "str", "lang", "var", "num", "punct", "name"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -180,7 +202,18 @@ class _P:
             return val[1:-1]
         if kind == "str":
             lex = re.sub(r"\\(.)", r"\1", val[1:-1])
+            if self.peek()[0] == "lang":
+                # "chat"@en -> tagged-literal constant; bgp compiles it
+                # against the store's obj_lang column (RDF 1.1 lowercase-
+                # normalized).  Grammar: LANGTAG xor ^^datatype.
+                tag = self.eat()[1][1:].lower()
+                return ("lang_lit", lex, tag)
             dt = _read_datatype(self)
+            if dt is not None and self.peek()[0] == "lang":
+                raise SparqlSyntaxError(
+                    f"literal {lex!r} carries both ^^{dt} and a language "
+                    "tag — the grammar allows exactly one"
+                )
             if dt is None or dt == "xsd:string":
                 return lex
             if dt == "xsd:integer":
@@ -400,6 +433,12 @@ def _expr(p: _P, stop: set[str]) -> str:
             parts.append(val[1:])
         elif kind == "str":
             body = re.sub(r"\\(.)", r"\1", val[1:-1])
+            if p.peek()[0] == "lang":
+                raise SparqlSyntaxError(
+                    f"language-tagged literal {body!r}{p.peek()[1]} in an "
+                    "expression: compare the parts — FILTER(?v = "
+                    f"{body!r} && LANG(?v) = {p.peek()[1][1:].lower()!r})"
+                )
             dt = _read_datatype(p)
             if dt is None:
                 parts.append("'" + body.replace("'", "''") + "'")
@@ -422,6 +461,32 @@ def _expr(p: _P, stop: set[str]) -> str:
                 arg = _expr(p, stop={")"})
                 p.expect_punct(")")
                 parts.append(f"({arg} IS NOT NULL)")
+            elif low == "lang" and nxt_is_call:
+                # LANG(?v) -> the bindings' __lang companion column: ''
+                # for plain literals (SPARQL's answer), lowercase tag
+                # otherwise, NULL (eliminates) for unbound ?v.  Only legal
+                # on variables; a var never bound from a tagged object
+                # position has no companion and fails loudly at analysis.
+                p.eat()
+                kind2, v2 = p.eat()
+                if kind2 != "var":
+                    raise SparqlSyntaxError("LANG() takes a variable")
+                p.expect_punct(")")
+                parts.append(f"{v2[1:]}__lang")
+            elif low == "langmatches" and nxt_is_call:
+                # LANGMATCHES(tag, range): '*' matches any non-empty tag;
+                # otherwise case-insensitive exact or extended-prefix
+                # ('en' matches 'en-us') per RFC 4647 basic filtering.
+                p.eat()
+                a = _expr(p, stop={","})
+                p.expect_punct(",")
+                b = _expr(p, stop={")"})
+                p.expect_punct(")")
+                parts.append(
+                    f"(CASE WHEN {b} = '*' THEN {a} <> '' ELSE "
+                    f"lower({a}) = lower({b}) OR "
+                    f"startswith(lower({a}), lower({b}) || '-') END)"
+                )
             elif low in _FN_MAP and nxt_is_call:
                 parts.append(_FN_MAP[low])
             elif nxt_is_call and _norm_dt(p._expand(val)) in _XSD_SQL:
@@ -464,6 +529,10 @@ def _parse_triples_block(p: _P) -> list[tuple]:
         ):
             break
         subj = p.term()
+        if isinstance(subj, tuple):
+            raise SparqlSyntaxError(
+                "language-tagged literal in subject position"
+            )
         while True:
             pred = _parse_path(p)
             while True:
@@ -498,7 +567,13 @@ def _parse_values(p: _P) -> list[dict[str, str | None]]:
                 p.eat()
                 rows.append({var: None})
             else:
-                rows.append({var: p.term()})
+                t = p.term()
+                if isinstance(t, tuple):
+                    raise SparqlSyntaxError(
+                        "language-tagged literal in VALUES: inline data "
+                        "holds plain terms; FILTER on LANG(?v) instead"
+                    )
+                rows.append({var: t})
         p.eat()
         return rows
     p.expect_punct("(")
@@ -519,7 +594,13 @@ def _parse_values(p: _P) -> list[dict[str, str | None]]:
                 p.eat()
                 row[n] = None
             else:
-                row[n] = p.term()
+                t = p.term()
+                if isinstance(t, tuple):
+                    raise SparqlSyntaxError(
+                        "language-tagged literal in VALUES: inline data "
+                        "holds plain terms; FILTER on LANG(?v) instead"
+                    )
+                row[n] = t
         p.expect_punct(")")
         rows.append(row)
     p.eat()
@@ -735,6 +816,10 @@ def _parse_group_with_binds(p: _P) -> dict:
             # constant prunes graph partitions at planning time.
             p.eat()
             g = p.term()
+            if isinstance(g, tuple):
+                raise SparqlSyntaxError(
+                    "language-tagged literal as a GRAPH name"
+                )
             p.expect_punct("{")
             for (s, pr, o) in _parse_triples_block(p):
                 if isinstance(pr, tuple):
@@ -879,17 +964,37 @@ def _exec_select(
         for v in q["group_by"]:
             if v in q["aggs"]:
                 raise SparqlSyntaxError(f"?{v} is both group key and alias")
-        bindings = bgp_aggregate(bindings, q["group_by"], q["aggs"])
+        # group keys are RDF terms: a tagged variable groups by
+        # (lexical, tag), so its companion column joins the key set
+        gb = []
+        for v in q["group_by"]:
+            gb.append(v)
+            if v + "__lang" in bindings.columns:
+                gb.append(v + "__lang")
+        bindings = bgp_aggregate(bindings, gb, q["aggs"])
         if q["having"]:
             bindings = bindings.where(q["having"])
     elif q["having"]:
         raise SparqlSyntaxError("HAVING without aggregates")
 
-    cols = bindings.columns if q["star"] else q["project"]
+    cols = (
+        [c for c in bindings.columns if not c.endswith("__lang")]
+        if q["star"]
+        else q["project"]
+    )
     missing = [c for c in cols if c not in bindings.columns]
     if missing:
         raise SparqlSyntaxError(f"projected unbound variable(s): {missing}")
-    out = bindings.select(*cols)
+    # a projected variable bound from a tagged object position keeps its
+    # __lang companion column: the RDF term is (lexical, tag) — projecting
+    # the lexical alone would conflate "chat"@en with "chat"@fr under
+    # DISTINCT.  Plain stores: no companions, schema unchanged.
+    proj = []
+    for c in cols:
+        proj.append(c)
+        if c + "__lang" in bindings.columns:
+            proj.append(c + "__lang")
+    out = bindings.select(*proj)
     if q["distinct"]:
         out = out.distinct()
     if q["order"] or q["limit"] is not None or q["offset"]:

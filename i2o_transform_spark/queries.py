@@ -11041,6 +11041,102 @@ def kg_sparql_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def _tagged_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-TAGGED triples frame off the documents table (the webtext
+    shape: crawled titles carry an RDF 1.1 language tag).  Deterministic
+    tag derivation so the DuckDB oracles replay it exactly:
+
+      doc_id % 7 == 0 -> plain literal (obj_lang NULL -> LANG = '')
+      doc_id % 7 == 1 -> regional subtag, UPPERCASED in the store
+                         ('EN-XX') — pins the RDF 1.1 lowercase
+                         normalization end-to-end
+      otherwise       -> the document's lang column as-is
+
+    Plus untagged ``fromSource`` triples so tagged and plain object
+    positions coexist in one store (the companion-column machinery must
+    leave IRI-ish objects plain)."""
+    doc = _t(spark, sf_dir, "documents")
+    d = F.concat(F.lit("D:"), F.col("doc_id").cast("string"))
+    title = doc.select(
+        d.alias("subj"),
+        F.lit("title").alias("pred"),
+        F.substring("text", 1, 16).alias("obj"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.upper("lang"), F.lit("-XX")))
+        .otherwise(F.col("lang"))
+        .alias("obj_lang"),
+    )
+    src = doc.select(
+        d.alias("subj"),
+        F.lit("fromSource").alias("pred"),
+        F.concat(F.lit("S:"), F.col("source")).alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    return title.unionByName(src)
+
+
+# SQL twin of _tagged_fixture's tag derivation (lowercased, '' for plain —
+# the normalized form SPARQL LANG() answers).
+_TAG_SQL = """
+    CASE WHEN doc_id % 7 = 0 THEN ''
+         WHEN doc_id % 7 = 1 THEN lower(lang) || '-xx'
+         ELSE lang END
+"""
+
+
+@query(
+    "kg_sparql_lang",
+    oracle=f"""
+    SELECT lg, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT {_TAG_SQL} AS lg FROM documents)
+    WHERE lg = '' OR lg = 'en' OR lg LIKE 'en-%'
+    GROUP BY lg
+    """,
+)
+def kg_sparql_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL over language-TAGGED literals (operators/sparql + bgp
+    companion columns): LANGMATCHES(LANG(?t), "en") does RFC 4647 basic
+    filtering — 'en' AND the store's uppercase 'EN-XX' (normalized) match,
+    'fr'/'de'/'es'/'zh' don't — while ``LANG(?t) = ""`` keeps the plain
+    literals; BIND lifts the tag into a groupable variable.  The tag
+    filter compiles to a plain codegen predicate over the companion
+    column — no Python, no extra shuffle beyond the aggregate.  Oracle:
+    the same CASE-derived tag straight off documents."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_tagged_fixture(spark, sf_dir), """
+        SELECT ?lg (COUNT(?d) AS ?n_docs) WHERE {
+          ?d title ?t .
+          FILTER (LANGMATCHES(LANG(?t), "en") || LANG(?t) = "")
+          BIND (LANG(?t) AS ?lg)
+        } GROUP BY ?lg""")
+
+
+@query(
+    "kg_sparql_lang_terms",
+    oracle=f"""
+    SELECT DISTINCT substr(text, 1, 16) AS t, {_TAG_SQL} AS t__lang
+    FROM documents WHERE source = 'src3'
+    """,
+)
+def kg_sparql_lang_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level DISTINCT over tagged bindings: a projected variable
+    bound from a tagged object position carries its ``__lang`` companion
+    into the result, so DISTINCT separates "chat"@en / "chat"@fr / plain
+    "chat" — three different RDF terms with one lexical form.  The shared
+    ?d joins a tagged pattern to an untagged constant pattern (plain-term
+    pinning on the constant side).  Oracle: DISTINCT over the same
+    (lexical, normalized-tag) pair."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    return sparql(_tagged_fixture(spark, sf_dir), """
+        SELECT DISTINCT ?t WHERE {
+          ?d fromSource S:src3 .
+          ?d title ?t .
+        }""")
+
+
 @query(
     "kg_owl_chain",
     oracle="""

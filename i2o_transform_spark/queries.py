@@ -11137,6 +11137,74 @@ def kg_sparql_lang_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+_VOID_T_SQL = """
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS subj,
+           'inNation' AS pred,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS obj FROM customer
+    UNION ALL
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'mktsegment', c_mktsegment
+    FROM customer WHERE c_custkey % 13 <> 0
+    UNION ALL
+    SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'partOf',
+           'R:' || CAST(n_regionkey AS VARCHAR) FROM nation
+    UNION ALL
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'rdf:type', 'Customer'
+    FROM customer
+    UNION ALL
+    SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'rdf:type', 'Nation'
+    FROM nation
+"""
+
+
+@query(
+    "kg_void_stats",
+    oracle=f"""
+    WITH t AS ({_VOID_T_SQL})
+    SELECT 'dataset' AS partition, '' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+           CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects,
+           CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_predicates
+    FROM t
+    UNION ALL
+    SELECT 'property', pred, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT subj) AS BIGINT),
+           CAST(COUNT(DISTINCT obj) AS BIGINT), CAST(1 AS BIGINT)
+    FROM t GROUP BY pred
+    UNION ALL
+    SELECT 'class', obj, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT subj) AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM t WHERE pred = 'rdf:type' GROUP BY obj
+    """,
+)
+def kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID dataset statistics (operators/void.void_statistics): the
+    publish-next-to-the-graph summary — dataset totals, per-predicate
+    property partitions (fan-in/fan-out profile), per-class entity counts.
+    Graph-world analogue of the reference's omopReport count
+    reconciliation (MSSQL/OMOPLoader.sql:1996-2097).  Three single-pass
+    aggregations over a pruned 3-column scan; the class pass reads only
+    the pushed-down rdf:type slice.  Oracle: the same three partitions
+    as plain SQL over an identical CTE."""
+    from i2o_transform_spark.operators.void import void_statistics
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    types = (
+        cu.select(tag("C:", "c_custkey").alias("subj"),
+                  F.lit("rdf:type").alias("pred"),
+                  F.lit("Customer").alias("obj"))
+        .unionByName(na.select(tag("N:", "n_nationkey").alias("subj"),
+                               F.lit("rdf:type").alias("pred"),
+                               F.lit("Nation").alias("obj")))
+    )
+    return void_statistics(
+        _sparql_fixture(spark, sf_dir).unionByName(types)
+    )
+
+
 @query(
     "kg_owl_chain",
     oracle="""

@@ -11,7 +11,7 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
 queries().  The union of green rows across CORRECTNESS_r01..r03 is exactly
-100 distinct ids (of 237 now registered — the r03 verdict was right that
+100 distinct ids (of 238 now registered — the r03 verdict was right that
 the earlier "large majority" claim here overstated it).  The r04
 DRIVER_WINDOW therefore holds 50 ids with NO green row in any prior round
 artifact: the type-fixed kg_shape_mining (red in r03 on oracle float
@@ -28,9 +28,9 @@ snapshot, N-Triples serialize, reification + property graph, graph
 algorithms, the QA sketch gates, BPE roundtrip, rekey report, multimodal
 metadata/pixels, and the distributed TransE training gate.  A green r04
 artifact lifts the union to
-151/237 (64%).  Everything else follows in original registration order
+152/238 (64%).  Everything else follows in original registration order
 and is verified by tests/run_oracle_check.py (full-registry sweep, all
-237 green at HEAD) instead.
+238 green at HEAD) instead.
 """
 
 from __future__ import annotations
@@ -69,9 +69,12 @@ DRIVER_WINDOW: list[str] = [
     # family: the publish-next-to-the-graph partition report; streaming
     # keeps 4 reps incl. st_rdfs_incremental below)
     "kg_void_stats",
-    # embedding entity-link pair (staged + Arrow-fused)
+    # embedding entity-link (el_embedding_link_arrow yielded its slot to
+    # JSON-LD ingest — new family: schema.org ld+json script extraction +
+    # profile flattening to tagged triples, the web-KG feedstock path;
+    # entity-link keeps el_embedding_link + el_kg_disambig_check r03 row)
     "el_embedding_link",
-    "el_embedding_link_arrow",
+    "jl_extract_triples",
     # dedup family reps without artifact rows; dd_url_dedup yielded its
     # slot to instance-based schema matching (new family: value-overlap
     # column correspondences — the mined crosswalk; dedup keeps 3 reps)

@@ -11206,6 +11206,75 @@ def kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jl_extract_triples",
+    oracle="""
+    WITH c AS (
+      SELECT 'http://w/c' || CAST(c_custkey AS VARCHAR) || '#0' AS dk,
+             'http://ex/C' || CAST(c_custkey AS VARCHAR) AS s,
+             c_name, c_nationkey, c_mktsegment,
+             c_custkey % 5 AS rnk
+      FROM customer)
+    SELECT dk AS doc_key, s AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'http://schema.org/Customer' AS obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM c
+    UNION ALL
+    SELECT dk, s, 'http://schema.org/name', c_name, FALSE, NULL, NULL FROM c
+    UNION ALL
+    SELECT dk, s, 'http://schema.org/nation',
+           'http://ex/N' || CAST(c_nationkey AS VARCHAR), TRUE, NULL, NULL
+    FROM c
+    UNION ALL
+    SELECT dk, s, 'http://schema.org/segment', c_mktsegment, FALSE, NULL,
+           'en'
+    FROM c
+    UNION ALL
+    SELECT dk, s, 'http://schema.org/rank', CAST(rnk AS VARCHAR), FALSE,
+           'http://www.w3.org/2001/XMLSchema#integer', NULL
+    FROM c
+    """,
+)
+def jl_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD ingest end-to-end (sources/jsonld): synthesize schema.org
+    ld+json blocks inside HTML pages from the customer table, pull them
+    out with the JVM-regex script extractor, and flatten to tagged
+    triples in one mapInPandas stage — @context prefix + @vocab
+    expansion, @type, node-object edges, @language values (obj_lang,
+    shared schema with the N-Triples keep_tags parser and the tagged
+    SPARQL engine), integer canonicalization.  The web-KG feedstock path:
+    WARC pages -> this -> the KG pipeline.  Oracle: every expected triple
+    predicted straight from the customer columns — the extractor and
+    flattener can't cancel each other's bugs."""
+    from i2o_transform_spark.sources.jsonld import (
+        extract_jsonld_scripts,
+        jsonld_to_triples,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    html = F.format_string(
+        '<html><body><script type="application/ld+json">\n'
+        '{"@context":{"ex":"http://ex/","@vocab":"http://schema.org/"},'
+        '"@id":"ex:C%s","@type":"Customer","name":"%s",'
+        '"nation":{"@id":"ex:N%s"},'
+        '"segment":{"@value":"%s","@language":"en"},"rank":%s}'
+        "\n</script></body></html>",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_mktsegment"),
+        (F.col("c_custkey") % 5).cast("string"),
+    )
+    pages = cu.select(
+        F.concat(F.lit("http://w/c"),
+                 F.col("c_custkey").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return jsonld_to_triples(extract_jsonld_scripts(pages))
+
+
+@query(
     "kg_owl_chain",
     oracle="""
     WITH placed AS (

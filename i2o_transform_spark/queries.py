@@ -11773,3 +11773,208 @@ def kg_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
          "tag": "prefer", "okey": "min"},
         ts_col="ts", priority_col="src_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor-text surface-form priors — the entity-linking prior dictionary
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_anchor_priors",
+    oracle=r"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT CAST((d.doc_id * 7 + j * 131 + 13) % tot.n AS BIGINT) AS t
+      FROM documents d
+      CROSS JOIN tot
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+      WHERE j < d.doc_id % 4
+    ), pairs AS (
+      SELECT 's' || CAST(t % 5 AS VARCHAR) AS surface,
+             'e' || CAST((t * t) % 23 AS VARCHAR) AS target
+      FROM links
+    ), counted AS (
+      SELECT surface, target,
+             CAST(COUNT(*) AS BIGINT) AS n_mentions,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY surface) AS BIGINT)
+               AS n_surface
+      FROM pairs GROUP BY surface, target
+    )
+    SELECT surface, target, n_mentions,
+           n_mentions * 1000000 // n_surface AS prior_ppm,
+           rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY surface
+               ORDER BY n_mentions DESC, target) AS BIGINT) AS rnk
+      FROM counted
+    ) WHERE rnk <= 3
+    """,
+)
+def kg_anchor_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text commonness priors — the P(entity | surface form)
+    dictionary every web-scale entity linker bootstraps from its own link
+    graph (the Wikipedia-anchor trick): synthesize crawl HTML whose <a>
+    elements carry a surface token pointing at a target entity page
+    (one surface deliberately spread over MANY targets so the prior is
+    non-trivial), extract (surface, href-entity) pairs with ONE JVM
+    regexp_extract_all pass (zero Python), and aggregate per-surface
+    mention counts, integer-ppm commonness, and the deterministic top-3
+    rank that seeds candidate generation in operators/entity_link.py.
+    The reference's analogue is the static concept crosswalk
+    (MSSQL/OMOPLoader.sql mapping-table joins); here the crosswalk's
+    candidate weights are MINED from the corpus itself.  Scale shape:
+    map-side extraction, one (surface, target) HashAggregate, the
+    per-surface totals via a second surface-keyed aggregation joined
+    back (both exchanges land on the same key so AQE coalesces), and a
+    per-surface top-k window over groups bounded by the surface
+    vocabulary — anchor payloads never shuffle.  Oracle predicts every
+    pair from the deterministic link formula."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    base = docs.crossJoin(n_total)
+    tid = lambda j: (F.col("doc_id") * 7 + j * 131 + 13) % F.col("_n")  # noqa: E731
+    anchor_arr = F.transform(
+        F.slice(
+            F.sequence(F.lit(0), F.lit(2)), F.lit(1), (F.col("doc_id") % 4).cast("int")
+        ),
+        lambda j: F.concat(
+            F.lit('<a href="http://kg.example/entity/e'),
+            ((tid(j) * tid(j)) % 23).cast("string"),
+            F.lit('">s'),
+            (tid(j) % 5).cast("string"),
+            F.lit("</a>"),
+        ),
+    )
+    pages = base.select(
+        F.concat(
+            F.lit('<html><body><a class="decoy">not a mention</a>'),
+            F.array_join(anchor_arr, " "),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    pat = r'<a href="http://kg\.example/entity/([^"]+)">([^<]*)</a>'
+    pairs = pages.select(
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("html", F.lit(pat), F.lit(2)).alias("surface"),
+                F.regexp_extract_all("html", F.lit(pat), F.lit(1)).alias("target"),
+            )
+        ).alias("a")
+    ).select(F.col("a.surface").alias("surface"), F.col("a.target").alias("target"))
+    counted = pairs.groupBy("surface", "target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    w_tot = Window.partitionBy("surface")
+    w_rnk = Window.partitionBy("surface").orderBy(
+        F.col("n_mentions").desc(), F.col("target")
+    )
+    return (
+        counted.withColumn(
+            "n_surface", F.sum("n_mentions").over(w_tot).cast("long")
+        )
+        .withColumn("rnk", F.row_number().over(w_rnk).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "surface", "target", "n_mentions",
+            F.expr("n_mentions * 1000000 div n_surface").alias("prior_ppm"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# term-dictionary encoding — integer ids for a 10^12-triple store
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_dict_encode",
+    oracle=f"""
+    WITH t AS ({_NT_TRIPLES_SQL}),
+    terms AS (
+      SELECT subj AS term FROM t
+      UNION SELECT pred FROM t
+      UNION SELECT obj FROM t
+    )
+    SELECT term,
+           CAST(ROW_NUMBER() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+    FROM terms
+    """,
+)
+def kg_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-dictionary construction, dense ids (operators/dictenc.py): the
+    integer keys a 10^12-triple store joins on instead of strings — the
+    open-world derivation of the reference's curated integer concept keys
+    (MSSQL/OMOPLoader.sql concept_id crosswalk joins).  Dense ids equal
+    ROW_NUMBER() OVER (ORDER BY term) - 1 EXACTLY, but the plan has no
+    single-partition stage: range-repartition the vocabulary, pin the
+    assignment with an eager localCheckpoint, prefix-sum the per-partition
+    counts driver-side (#partitions rows), and window only WITHIN
+    partitions.  The oracle IS the naive global window, so the distributed
+    two-phase assignment is value-checked id by id — including terms
+    carrying tabs/newlines/escapes, which also pins that both engines
+    order strings bytewise."""
+    from i2o_transform_spark.operators.dictenc import build_term_dictionary
+
+    return build_term_dictionary(
+        _nt_triples(spark, sf_dir), method="dense", num_partitions=8
+    )
+
+
+@query(
+    "kg_dict_roundtrip_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(*) AS BIGINT) AS n_decoded,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS n_collisions
+    FROM ({_NT_TRIPLES_SQL}) t
+    """,
+)
+def kg_dict_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-id path of the term dictionary: encode is a JOIN-FREE map-side
+    xxhash64 projection (the property that makes hash ids the 10^12-row
+    default — the encode pass of the fact table does zero shuffles and
+    needs no dictionary), decode resolves ids back through the (term,
+    term_id) frame, and the check multiset-compares decode(encode(T))
+    against T (per-key count full-outer diff, so a collision that merged
+    two terms OR a dropped row both surface as n_mismatch > 0) plus the
+    exact collision_audit count over the vocabulary.  The oracle pins
+    n_triples/n_decoded from the same derivation and the two zeros."""
+    from i2o_transform_spark.operators.dictenc import (
+        build_term_dictionary,
+        collision_audit,
+        decode_triples,
+        encode_triples,
+    )
+
+    t = _nt_triples(spark, sf_dir).select("subj", "pred", "obj")
+    encoded = encode_triples(t)  # hash ids, no dictionary, map-side
+    dictionary = build_term_dictionary(t, method="hash")
+    decoded = decode_triples(encoded, dictionary)
+
+    orig_counts = t.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("_n_orig")
+    )
+    dec_counts = decoded.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("_n_dec")
+    )
+    diff = orig_counts.join(dec_counts, ["subj", "pred", "obj"], "full_outer")
+    mism = diff.agg(
+        F.sum(
+            F.when(
+                F.coalesce(F.col("_n_orig"), F.lit(0))
+                != F.coalesce(F.col("_n_dec"), F.lit(0)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_mismatch")
+    )
+    audit = collision_audit(t).select("n_collisions")
+    return (
+        t.agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+        .crossJoin(decoded.agg(F.count(F.lit(1)).cast("long").alias("n_decoded")))
+        .crossJoin(mism)
+        .crossJoin(audit)
+    )

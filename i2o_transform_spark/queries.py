@@ -11978,3 +11978,97 @@ def kg_dict_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(mism)
         .crossJoin(audit)
     )
+
+
+# ---------------------------------------------------------------------------
+# Microdata ingest — the other schema.org carrier besides JSON-LD
+# ---------------------------------------------------------------------------
+
+@query(
+    "md_extract_triples",
+    oracle=r"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nk,
+             'https://crawl.example/c/' || CAST(c_custkey AS VARCHAR)
+               AS doc_key,
+             'https://ex.org/cust/' || CAST(c_custkey AS VARCHAR) AS sid
+      FROM customer
+    ), bn AS (
+      SELECT *, '_:' || substr(md5(doc_key || '#item1'), 1, 16) AS addr
+      FROM c
+    )
+    SELECT doc_key, sid AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'https://schema.org/Person' AS obj,
+           TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/name', nm || ' (crawled)',
+           FALSE, NULL, 'en' FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/identifier',
+           'C' || CAST(k AS VARCHAR), FALSE, NULL, 'en' FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/url',
+           'https://ex.org/page/' || CAST(k AS VARCHAR), TRUE, NULL, NULL
+    FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/birthDate',
+           '1970-01-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0'),
+           FALSE, 'http://www.w3.org/2001/XMLSchema#date', NULL FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/address', addr,
+           TRUE, NULL, NULL FROM bn
+    UNION ALL
+    SELECT doc_key, addr,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'https://schema.org/PostalAddress', TRUE, NULL, NULL FROM bn
+    UNION ALL
+    SELECT doc_key, addr, 'https://schema.org/addressCountry',
+           'N' || CAST(nk AS VARCHAR), FALSE, NULL, 'fr' FROM bn
+    """,
+)
+def md_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata ingest end-to-end (sources/microdata.py): synthesize
+    crawl HTML whose elements carry schema.org itemscope/itemprop
+    markup — itemid'd Person items with text / meta-content / a-href /
+    time-datetime valued properties, a nested blank-node PostalAddress
+    item, inherited html-level lang (en) overridden locally (fr), and a
+    date-sniffed datatype — then walk every page in ONE narrow
+    mapInPandas stage to the shared tagged-triples schema.  The oracle
+    predicts EVERY triple straight from the customer columns, including
+    the deterministic md5 blank-node label and the lang/datatype
+    tagging rules (datatyped and IRI objects carry no tag), so a walker
+    bug in value extraction, vocabulary expansion, language scoping, or
+    bnode numbering all fail the value hash.  Scale shape: zero
+    shuffles — extraction parallelism is the crawl's partitioning, the
+    same fused record-parse stage as the WARC reader."""
+    from i2o_transform_spark.sources.microdata import microdata_to_triples
+
+    cu = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    pages = cu.select(
+        F.concat(F.lit("https://crawl.example/c/"), k).alias("url"),
+        F.concat(
+            F.lit('<html lang="en"><body><div itemscope '
+                  'itemtype="https://schema.org/Person" '
+                  'itemid="https://ex.org/cust/'), k, F.lit('">'),
+            F.lit('<span itemprop="name"><b>'), F.col("c_name"),
+            F.lit('</b> (crawled)</span>'),
+            F.lit('<meta itemprop="identifier" content="C'), k,
+            F.lit('">'),
+            F.lit('<a itemprop="url" href="https://ex.org/page/'), k,
+            F.lit('">profile</a>'),
+            F.lit('<time itemprop="birthDate" datetime="1970-01-'),
+            F.lpad((F.col("c_custkey") % 28 + 1).cast("string"), 2, "0"),
+            F.lit('">born</time>'),
+            F.lit('<span itemprop="address" itemscope '
+                  'itemtype="https://schema.org/PostalAddress">'
+                  '<span itemprop="addressCountry" lang="fr">N'),
+            F.col("c_nationkey").cast("string"),
+            F.lit("</span></span></div></body></html>"),
+        ).alias("html"),
+    )
+    return microdata_to_triples(pages)

@@ -12072,3 +12072,89 @@ def md_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return microdata_to_triples(pages)
+
+
+@query(
+    "rdfa_extract_triples",
+    oracle=r"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nk,
+             'https://crawl.example/r/' || CAST(c_custkey AS VARCHAR)
+               AS doc_key,
+             'http://ex.org/cust/' || CAST(c_custkey AS VARCHAR) AS sid
+      FROM customer
+    ), bn AS (
+      SELECT *, '_:' || substr(md5(doc_key || '#rdfa0'), 1, 16) AS addr
+      FROM c
+    )
+    SELECT doc_key, doc_key AS subj, 'https://schema.org/name' AS pred,
+           'Crawl ' || CAST(k AS VARCHAR) AS obj, FALSE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype, 'en' AS obj_lang
+    FROM bn
+    UNION ALL
+    SELECT doc_key, sid,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'https://schema.org/Person', TRUE, NULL, NULL FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/name', nm,
+           FALSE, NULL, 'en' FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'http://ex.org/ns#grade',
+           'G' || CAST(k % 7 AS VARCHAR), FALSE, NULL, 'fr' FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/url',
+           'http://ex.org/page/' || CAST(k AS VARCHAR), TRUE, NULL, NULL
+    FROM bn
+    UNION ALL
+    SELECT doc_key, addr,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'https://schema.org/PostalAddress', TRUE, NULL, NULL FROM bn
+    UNION ALL
+    SELECT doc_key, sid, 'https://schema.org/address', addr,
+           TRUE, NULL, NULL FROM bn
+    UNION ALL
+    SELECT doc_key, addr, 'https://schema.org/addressCountry',
+           'N' || CAST(nk AS VARCHAR), FALSE, NULL, 'en' FROM bn
+    """,
+)
+def rdfa_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa Lite ingest end-to-end (sources/rdfa.py) — completes the
+    structured-data extraction trio (JSON-LD scripts, microdata,
+    RDFa attributes): synthesize crawl HTML carrying vocab / prefix /
+    typeof / property / resource markup — a page-level property that
+    attaches to the DOCUMENT IRI (standard RDFa), a resource-named
+    Person with text / meta-content / a-href valued properties, a
+    prefix-declared CURIE predicate under a local lang override, and a
+    chained blank-node PostalAddress (typeof+property on one element) —
+    then walk every page in ONE narrow mapInPandas stage to the shared
+    tagged-triples schema.  The oracle predicts EVERY triple from the
+    customer columns including the md5 bnode label and the
+    language-scoping rules, so CURIE expansion, chaining, context
+    save/restore, and bnode numbering are all value-hashed.  Scale
+    shape: zero shuffles, crawl-partitioned, same as the WARC/microdata
+    readers."""
+    from i2o_transform_spark.sources.rdfa import rdfa_to_triples
+
+    cu = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    pages = cu.select(
+        F.concat(F.lit("https://crawl.example/r/"), k).alias("url"),
+        F.concat(
+            F.lit('<html lang="en" vocab="https://schema.org/" '
+                  'prefix="ex: http://ex.org/ns#"><body>'
+                  '<span property="name">Crawl '), k, F.lit("</span>"),
+            F.lit('<div typeof="Person" resource="http://ex.org/cust/'),
+            k, F.lit('">'),
+            F.lit('<span property="name">'), F.col("c_name"),
+            F.lit("</span>"),
+            F.lit('<span property="ex:grade" lang="fr">G'),
+            (F.col("c_custkey") % 7).cast("string"), F.lit("</span>"),
+            F.lit('<a property="url" href="http://ex.org/page/'), k,
+            F.lit('">profile</a>'),
+            F.lit('<div property="address" typeof="PostalAddress">'
+                  '<span property="addressCountry">N'),
+            F.col("c_nationkey").cast("string"),
+            F.lit("</span></div></div></body></html>"),
+        ).alias("html"),
+    )
+    return rdfa_to_triples(pages)

@@ -12158,3 +12158,97 @@ def rdfa_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return rdfa_to_triples(pages)
+
+
+@query(
+    "sd_unified_ingest",
+    oracle=r"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm,
+             'https://crawl.example/u/' || CAST(c_custkey AS VARCHAR)
+               AS url,
+             'http://ex.org/cust/' || CAST(c_custkey AS VARCHAR) AS sid
+      FROM customer
+    )
+    SELECT 'jsonld' AS syntax, url || '#0' AS doc_key, sid AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'https://schema.org/Person' AS obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM c
+    UNION ALL
+    SELECT 'jsonld', url || '#0', sid, 'https://schema.org/name', nm,
+           FALSE, NULL FROM c
+    UNION ALL
+    SELECT 'jsonld', url || '#0', sid, 'https://schema.org/memberOf',
+           'LVL' || CAST(k % 3 AS VARCHAR), FALSE, NULL FROM c
+    UNION ALL
+    SELECT 'microdata', url, sid,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'https://schema.org/Person', TRUE, NULL FROM c
+    UNION ALL
+    SELECT 'microdata', url, sid, 'https://schema.org/identifier',
+           'C' || CAST(k AS VARCHAR), FALSE, 'en' FROM c
+    UNION ALL
+    SELECT 'rdfa', url, url, 'https://schema.org/name',
+           'Crawl ' || CAST(k AS VARCHAR), FALSE, 'en' FROM c
+    UNION ALL
+    SELECT 'rdfa', url, sid, 'https://schema.org/jobTitle',
+           'J' || CAST(k % 5 AS VARCHAR), FALSE, 'en' FROM c
+    """,
+)
+def sd_unified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified structured-data ingest — the front door of the web-KG
+    builder: ONE crawl page carrying all three schema.org syntaxes (an
+    ld+json script block, a microdata itemscope, RDFa attributes on the
+    page chrome), run through all three extractors (sources/jsonld,
+    sources/microdata, sources/rdfa) and unioned into the shared tagged
+    schema with a ``syntax`` provenance column.  The three walkers must
+    NOT cross-talk: the script body is invisible to the attribute
+    walkers (no itemprop/property on it), the microdata attributes mean
+    nothing to RDFa and vice versa — the oracle predicts the exact
+    per-syntax triple sets, so any leakage (a walker picking up another
+    syntax's markup or a script's text) breaks the value hash.  All
+    three stages are narrow mapInPandas passes over the SAME cached
+    crawl frame; the union is plan-level (no shuffle)."""
+    from i2o_transform_spark.sources.jsonld import (
+        extract_jsonld_scripts,
+        jsonld_to_triples,
+    )
+    from i2o_transform_spark.sources.microdata import microdata_to_triples
+    from i2o_transform_spark.sources.rdfa import rdfa_to_triples
+
+    cu = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    sid = F.concat(F.lit("http://ex.org/cust/"), k)
+    pages = cu.select(
+        F.concat(F.lit("https://crawl.example/u/"), k).alias("url"),
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@context": "https://schema.org", "@id": "'),
+            sid, F.lit('", "@type": "Person", "name": "'),
+            F.col("c_name"),  # TPC-H names are JSON-safe (no " or \)
+            F.lit('", "memberOf": "LVL'), (F.col("c_custkey") % 3).cast("string"),
+            F.lit('"}</script></head><body lang="en" '
+                  'vocab="https://schema.org/">'
+                  '<span property="name">Crawl '), k, F.lit("</span>"),
+            F.lit('<div itemscope itemtype="https://schema.org/Person" '
+                  'itemid="'), sid, F.lit('">'
+                  '<meta itemprop="identifier" content="C'), k,
+            F.lit('"></div>'),
+            F.lit('<p resource="'), sid,
+            F.lit('"><span property="jobTitle">J'),
+            (F.col("c_custkey") % 5).cast("string"),
+            F.lit("</span></p></body></html>"),
+        ).alias("html"),
+    )
+    pick = ["doc_key", "subj", "pred", "obj", "obj_is_iri", "obj_lang"]
+    jl = jsonld_to_triples(extract_jsonld_scripts(pages)).select(
+        F.lit("jsonld").alias("syntax"), *pick
+    )
+    md = microdata_to_triples(pages).select(
+        F.lit("microdata").alias("syntax"), *pick
+    )
+    rd = rdfa_to_triples(pages).select(
+        F.lit("rdfa").alias("syntax"), *pick
+    )
+    return jl.unionByName(md).unionByName(rd)

@@ -12252,3 +12252,57 @@ def sd_unified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rdfa").alias("syntax"), *pick
     )
     return jl.unionByName(md).unionByName(rd)
+
+
+@query(
+    "kg_bgp_encoded",
+    oracle=f"""
+    WITH t AS ({_NT_TRIPLES_SQL})
+    SELECT a.subj AS nation, a.obj AS region
+    FROM t a JOIN t b ON a.subj = b.subj
+    WHERE a.pred = 'http://ex.org/rel/locatedIn'
+      AND b.pred = 'http://ex.org/rel/comment'
+    """,
+)
+def kg_bgp_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL over a dictionary-ENCODED store — the composition that makes
+    a 10^12-triple store queryable: the fact table holds xxhash64 term ids
+    (8 bytes, encoded join-free by operators/dictenc), the BGP's join and
+    filter machinery runs entirely on longs (cheaper exchanges, denser
+    pages, faster equality than 60-byte IRIs), pattern CONSTANTS are
+    hashed once driver-side (one 1-row job per constant — bounded), and
+    the dictionary joins back ONLY at the projection boundary to decode
+    the answer variables.  The two-template BGP (nation located-in region
+    AND nation has-comment) exercises an id-keyed self-join; the oracle
+    runs the same query on the STRING store, so hash encoding must be a
+    lossless bijection end-to-end for the value hash to match."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+    from i2o_transform_spark.operators.dictenc import (
+        build_term_dictionary,
+        encode_triples,
+    )
+
+    t = _nt_triples(spark, sf_dir).select("subj", "pred", "obj")
+    enc = encode_triples(t).select(
+        F.col("s_id").alias("subj"),
+        F.col("p_id").alias("pred"),
+        F.col("o_id").alias("obj"),
+    )
+    const = {
+        s: spark.range(1).select(F.xxhash64(F.lit(s))).first()[0]
+        for s in ("http://ex.org/rel/locatedIn", "http://ex.org/rel/comment")
+    }
+    bound = bgp_match(
+        enc,
+        [
+            ("?n", const["http://ex.org/rel/locatedIn"], "?r"),
+            ("?n", const["http://ex.org/rel/comment"], "?c"),
+        ],
+    )
+    d = build_term_dictionary(t, method="hash")
+    nat = d.select(F.col("term_id").alias("n"), F.col("term").alias("nation"))
+    reg = d.select(F.col("term_id").alias("r"), F.col("term").alias("region"))
+    return (
+        bound.join(nat, "n", "inner").join(reg, "r", "inner")
+        .select("nation", "region")
+    )

@@ -103,3 +103,51 @@ def canonicalize_triples(
         )
         .distinct()
     )
+
+
+def detect_fps(triples: DataFrame) -> DataFrame:
+    """Dual of :func:`detect_ifps` — per predicate: how FUNCTIONAL it
+    behaves in the data (a subject carries at most one object value —
+    birth date, canonical homepage).  Returns (pred, n_subjs,
+    fanout1_ppm): distinct subjects and the integer-ppm share with
+    exactly ONE object value.  Same scale shape as detection over
+    objects: one (pred, subj) HashAggregate + a vocabulary-sized
+    rollup."""
+    per_subj = triples.groupBy("pred", "subj").agg(
+        F.countDistinct("obj").alias("_fanout")
+    )
+    return per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjs"),
+        F.expr(
+            "sum(cast(_fanout = 1 as long)) * 1000000 div count(1)"
+        ).alias("fanout1_ppm"),
+    )
+
+
+def fp_sameas_pairs(
+    triples: DataFrame,
+    fp_preds: list[str],
+    max_fanout: int = 100,
+) -> DataFrame:
+    """OWL 2 RL prp-fp as data: for FUNCTIONAL predicates, two object
+    values asserted for the SAME subject must name the same entity —
+    sameAs edges (src, dst) as a STAR per (pred, subj) group from the
+    min object (never the quadratic clique), the object-side mirror of
+    :func:`ifp_sameas_pairs`.  Groups above ``max_fanout`` distinct
+    objects are dropped as noise (a 'functional' predicate with 500
+    values on one subject is a broken extraction, not 500-way
+    identity)."""
+    t = triples.where(F.col("pred").isin(fp_preds))
+    grouped = (
+        t.groupBy("pred", "subj")
+        .agg(F.collect_set("obj").alias("_objs"))
+        .where((F.size("_objs") >= 2) & (F.size("_objs") <= max_fanout))
+    )
+    return (
+        grouped.select(
+            F.array_min("_objs").alias("src"),
+            F.explode("_objs").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )

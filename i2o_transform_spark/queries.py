@@ -12306,3 +12306,39 @@ def kg_bgp_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.join(nat, "n", "inner").join(reg, "r", "inner")
         .select("nation", "region")
     )
+
+
+@query(
+    "kg_fp_sameas",
+    oracle=r"""
+    SELECT DISTINCT
+           'N:' || CAST(c_nationkey AS VARCHAR) AS src,
+           'NA:' || CAST(c_nationkey AS VARCHAR) AS dst
+    FROM customer WHERE c_custkey % 4 = 0
+    """,
+)
+def kg_fp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL prp-fp identity from FUNCTIONAL predicates
+    (operators/sameas.fp_sameas_pairs — the object-side dual of the IFP
+    merge keys): every customer asserts one functional `nation` value,
+    a quarter of them additionally assert an alias spelling of the SAME
+    nation — so per (pred, subj) group the two spellings must co-refer,
+    and the distinct star edges collapse to one (canonical, alias) pair
+    per nation.  The oracle derives the pair set in closed form from
+    the planting rule.  Scale shape: one (pred, subj) aggregation with
+    a fan-out noise cap, output bounded by the alias vocabulary."""
+    from i2o_transform_spark.operators.sameas import fp_sameas_pairs
+
+    cu = _t(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey").cast("string")
+    base = cu.select(
+        F.concat(F.lit("P:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("fp:nation").alias("pred"),
+        F.concat(F.lit("N:"), nk).alias("obj"),
+    )
+    alias = cu.where(F.col("c_custkey") % 4 == 0).select(
+        F.concat(F.lit("P:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("fp:nation").alias("pred"),
+        F.concat(F.lit("NA:"), nk).alias("obj"),
+    )
+    return fp_sameas_pairs(base.unionByName(alias), ["fp:nation"])

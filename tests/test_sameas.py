@@ -48,3 +48,28 @@ def test_canonicalize_rewrites_subjects_and_objects(spark):
         ("a1", "city", "nyc"), ("c1", "city", "nyc"),
         ("a1", "knows", "a1"),
     }
+
+
+def test_detect_fps_and_fp_pairs(spark):
+    from i2o_transform_spark.operators.sameas import (
+        detect_fps,
+        fp_sameas_pairs,
+    )
+
+    rows = [
+        ("s1", "bdate", "1990-01-01"),
+        ("s1", "bdate", "1990-1-1"),      # alias spelling -> sameAs
+        ("s2", "bdate", "1980-05-05"),
+        ("s1", "tag", "a"), ("s1", "tag", "b"), ("s1", "tag", "c"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    d = {r["pred"]: r for r in detect_fps(t).collect()}
+    assert d["bdate"]["fanout1_ppm"] == 500000  # 1 of 2 subjects clean
+    assert d["tag"]["fanout1_ppm"] == 0
+    pairs = fp_sameas_pairs(t, ["bdate"]).collect()
+    assert [(p["src"], p["dst"]) for p in pairs] == [
+        ("1990-01-01", "1990-1-1")
+    ]
+    # noise cap: a 3-valued group survives only if max_fanout allows
+    assert fp_sameas_pairs(t, ["tag"], max_fanout=2).count() == 0
+    assert fp_sameas_pairs(t, ["tag"], max_fanout=10).count() == 2

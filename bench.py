@@ -76,6 +76,14 @@ EXTRA = [
     "kg_shacl_facets",
     "kg_fd_mine",
     "kg_bnode_canon",
+    # round-4 session-C: structured-data ingest trio, dictionary
+    # encoding, anchor priors
+    "sd_unified_ingest",
+    "md_extract_triples",
+    "rdfa_extract_triples",
+    "kg_dict_encode",
+    "kg_bgp_encoded",
+    "kg_anchor_priors",
 ]
 
 

@@ -12342,3 +12342,62 @@ def kg_fp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("NA:"), nk).alias("obj"),
     )
     return fp_sameas_pairs(base.unionByName(alias), ["fp:nation"])
+
+
+@query(
+    "og_extract_metadata",
+    oracle=r"""
+    SELECT 'https://crawl.example/og/' || CAST(p_partkey AS VARCHAR)
+             AS doc_key,
+           'http://ogp.me/ns#title' AS pred, p_name AS obj
+    FROM part
+    UNION ALL
+    SELECT 'https://crawl.example/og/' || CAST(p_partkey AS VARCHAR),
+           'http://ogp.me/ns#type', 'product'
+    FROM part
+    UNION ALL
+    SELECT 'https://crawl.example/og/' || CAST(p_partkey AS VARCHAR),
+           'http://ogp.me/ns#image',
+           'https://img.example/' || CAST(p_partkey AS VARCHAR) || '.jpg'
+    FROM part
+    UNION ALL
+    SELECT 'https://crawl.example/og/' || CAST(p_partkey AS VARCHAR),
+           'http://purl.org/dc/terms/creator', p_brand
+    FROM part
+    """,
+)
+def og_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph card extraction — the most-deployed RDFa on the real
+    web ships bare ``<meta property="og:...">`` tags with NO prefix
+    declaration (the RDFa 1.1 initial context supplies og:/dc:/foaf:
+    et al.): read them through sources/rdfa with DEFAULT_PREFIXES
+    seeding the root context.  All values attach to the PAGE IRI (no
+    typeof/resource in page chrome), og:image stays a string here
+    because OpenGraph meta values are content-attribute strings (the
+    property/content path — not href).  The strict profile (empty
+    default context) still refuses undeclared prefixes loudly; this
+    query exercises the explicitly-opted-in web-compat mode.  Oracle
+    predicts every (page, og-IRI, value) row from the part columns."""
+    from i2o_transform_spark.sources.rdfa import (
+        DEFAULT_PREFIXES,
+        rdfa_to_triples,
+    )
+
+    pt = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("string")
+    pages = pt.select(
+        F.concat(F.lit("https://crawl.example/og/"), k).alias("url"),
+        F.concat(
+            F.lit('<html><head><meta property="og:title" content="'),
+            F.col("p_name"), F.lit('">'),
+            F.lit('<meta property="og:type" content="product">'),
+            F.lit('<meta property="og:image" '
+                  'content="https://img.example/'), k, F.lit('.jpg">'),
+            F.lit('<meta property="dc:creator" content="'),
+            F.col("p_brand"), F.lit('">'),
+            F.lit("</head><body></body></html>"),
+        ).alias("html"),
+    )
+    return rdfa_to_triples(
+        pages, default_prefixes=DEFAULT_PREFIXES
+    ).select("doc_key", "pred", "obj")

@@ -91,12 +91,27 @@ class _Ctx:
         self.lang = lang
 
 
+#: RDFa 1.1 initial-context entries that real pages rely on WITHOUT a
+#: ``prefix`` declaration — OpenGraph above all (the most-deployed RDFa
+#: on the web ships bare ``<meta property="og:...">`` tags).
+DEFAULT_PREFIXES: dict[str, str] = {
+    "og": "http://ogp.me/ns#",
+    "fb": "http://ogp.me/ns/fb#",
+    "article": "http://ogp.me/ns/article#",
+    "profile": "http://ogp.me/ns/profile#",
+    "dc": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+}
+
+
 class _RdfaWalker(HTMLParser):
-    def __init__(self, doc_key: str):
+    def __init__(self, doc_key: str,
+                 default_prefixes: dict[str, str] | None = None):
         super().__init__(convert_charrefs=True)
         self.doc_key = doc_key
         self.out: list[tuple] = []
-        self.ctx = _Ctx(doc_key, None, {}, None)
+        self.ctx = _Ctx(doc_key, None, dict(default_prefixes or {}), None)
         # frames: (tag, saved_ctx|None, collector|None)
         self.elems: list[tuple] = []
         self.collectors: list[tuple] = []  # (subj, preds, parts, lang)
@@ -235,12 +250,16 @@ def rdfa_to_triples(
     html_col: str = "html",
     key_col: str = "url",
     mode: str = "FAILFAST",
+    default_prefixes: dict[str, str] | None = None,
 ) -> DataFrame:
     """(url, html) -> provenance-keyed tagged triples from embedded RDFa
     Lite markup.  ``mode`` mirrors sources/ntriples/jsonld/microdata:
     FAILFAST raises on the first out-of-profile document, PERMISSIVE
-    routes it whole to ``_corrupt_doc``.  One mapInPandas stage —
-    narrow, zero shuffle."""
+    routes it whole to ``_corrupt_doc``.  ``default_prefixes`` seeds the
+    root context (pass :data:`DEFAULT_PREFIXES` to read real-web
+    OpenGraph/Dublin-Core markup that never declares its prefixes; the
+    default stays empty so the strict profile refuses undeclared
+    prefixes loudly).  One mapInPandas stage — narrow, zero shuffle."""
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
     permissive = mode == "PERMISSIVE"
@@ -264,7 +283,7 @@ def rdfa_to_triples(
             rows: list[tuple] = []
             for key, html in zip(pdf[key_col], pdf[html_col]):
                 key = str(key)
-                w = _RdfaWalker(key)
+                w = _RdfaWalker(key, default_prefixes)
                 try:
                     w.feed(str(html))
                     w.close()

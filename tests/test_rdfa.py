@@ -173,3 +173,22 @@ def test_plan_is_narrow(spark):
     plan = (rdfa_to_triples(pages)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_default_prefixes_opt_in():
+    from i2o_transform_spark.sources.rdfa import DEFAULT_PREFIXES
+
+    html = '<meta property="og:title" content="T">'
+    with pytest.raises(RdfaUnsupportedError):
+        _walk(html)  # strict profile: og: is undeclared
+    w = _RdfaWalker("http://d/1", DEFAULT_PREFIXES)
+    w.feed(html)
+    w.close()
+    assert w.out == [("http://d/1", "http://ogp.me/ns#title", "T",
+                      False, None, None)]
+    # a local prefix attr overrides the initial context
+    w2 = _RdfaWalker("http://d/1", DEFAULT_PREFIXES)
+    w2.feed('<div prefix="og: http://other/ns#">'
+            '<meta property="og:x" content="y"></div>')
+    w2.close()
+    assert w2.out[0][1] == "http://other/ns#x"

@@ -12401,3 +12401,100 @@ def og_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfa_to_triples(
         pages, default_prefixes=DEFAULT_PREFIXES
     ).select("doc_key", "pred", "obj")
+
+
+@query(
+    "sm_sitemap_parse",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 20 AS g FROM documents
+    ), urls AS (
+      SELECT 'https://h' || CAST(g AS VARCHAR) || '.example/sitemap.xml'
+               AS sitemap_url,
+             'urlset' AS kind,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY g
+               ORDER BY CAST(doc_id AS VARCHAR) || '?') - 1
+               AS BIGINT) AS entry_index,
+             'https://h' || CAST(g AS VARCHAR) || '.example/p/'
+               || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+             '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               AS lastmod,
+             CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(doc_id % 10 AS BIGINT) * 100000 AS priority_ppm
+      FROM d
+    ), idx AS (
+      SELECT 'https://root.example/sitemap_index.xml' AS sitemap_url,
+             'index' AS kind,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               'https://h' || CAST(g AS VARCHAR)
+               || '.example/sitemap.xml') - 1 AS BIGINT) AS entry_index,
+             'https://h' || CAST(g AS VARCHAR) || '.example/sitemap.xml'
+               AS loc,
+             CAST(NULL AS VARCHAR) AS lastmod,
+             CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(-1 AS BIGINT) AS priority_ppm
+      FROM (SELECT DISTINCT g FROM d) t
+    )
+    SELECT * FROM urls UNION ALL SELECT * FROM idx
+    """,
+)
+def sm_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier ingest (sources/sitemap.py): synthesize per-host
+    urlset sitemaps (one multi-entry XML document per host, entries with
+    XML-escaped query strings, lastmod, fractional priority) plus a root
+    sitemapindex listing all of them, then parse EVERYTHING with pure
+    JVM regex (whole-stage codegen, zero Python) into the typed frontier
+    frame.  The oracle predicts every row — entry ordering inside each
+    document, the &amp;-unescape, and the integer-ppm priority per the
+    repo's no-floats rule — straight from the documents table.  Scale
+    shape: one narrow extraction pass; the only exchange is the fixture
+    synthesis groupBy (real sitemaps arrive one-per-file)."""
+    from i2o_transform_spark.sources.sitemap import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("g")
+    )
+    host = F.concat(F.lit("https://h"), F.col("g").cast("string"),
+                    F.lit(".example"))
+    block = F.concat(
+        F.lit("<url><loc>"), host, F.lit("/p/"),
+        F.col("doc_id").cast("string"), F.lit("?a=1&amp;b=2</loc>"),
+        F.lit("<lastmod>2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    urlsets = (
+        d.select("g", host.alias("host"), block.alias("b"))
+        .groupBy("g", "host")
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+        .select(
+            F.concat(F.col("host"), F.lit("/sitemap.xml")).alias("url"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas'
+                      '/sitemap/0.9">'),
+                F.array_join("bs", "\n"), F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    index = (
+        urlsets.select(
+            F.concat(F.lit("<sitemap><loc>"), F.col("url"),
+                     F.lit("</loc></sitemap>")).alias("b")
+        )
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+        .select(
+            F.lit("https://root.example/sitemap_index.xml").alias("url"),
+            F.concat(F.lit("<sitemapindex>"), F.array_join("bs", ""),
+                     F.lit("</sitemapindex>")).alias("xml"),
+        )
+    )
+    parsed = parse_sitemaps(urlsets.unionByName(index))
+    # integer-ppm end-to-end with a documented -1 sentinel for absent
+    # priority (the kg_shape_mining contract rule: pandas would promote
+    # a nullable-int oracle column to float64/NaN and break the hash)
+    return parsed.withColumn(
+        "priority_ppm", F.coalesce(F.col("priority_ppm"), F.lit(-1).cast("long"))
+    )

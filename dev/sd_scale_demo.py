@@ -72,13 +72,17 @@ def _pages(spark, n: int):
     )
 
 
-def _run(master: str, n_pages: int, cores: int) -> dict:
+def _run(master: str, n_pages: int, cores: int,
+         fused: bool = True) -> dict:
     from i2o_transform_spark.sources.jsonld import (
         extract_jsonld_scripts,
         jsonld_to_triples,
     )
     from i2o_transform_spark.sources.microdata import microdata_to_triples
     from i2o_transform_spark.sources.rdfa import rdfa_to_triples
+    from i2o_transform_spark.sources.unified import (
+        structured_data_to_triples,
+    )
 
     spark = get_spark(f"sd-scale-{cores}", master=master)
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,14 +93,17 @@ def _run(master: str, n_pages: int, cores: int) -> dict:
     )
     n = pages.count()
     t0 = time.time()
-    jl = jsonld_to_triples(extract_jsonld_scripts(pages))
-    md = microdata_to_triples(pages)
-    rd = rdfa_to_triples(pages)
-    pick = ["doc_key", "subj", "pred", "obj"]
-    total = (
-        jl.select(*pick).unionByName(md.select(*pick))
-        .unionByName(rd.select(*pick)).count()
-    )
+    if fused:
+        total = structured_data_to_triples(pages).count()
+    else:
+        jl = jsonld_to_triples(extract_jsonld_scripts(pages))
+        md = microdata_to_triples(pages)
+        rd = rdfa_to_triples(pages)
+        pick = ["doc_key", "subj", "pred", "obj"]
+        total = (
+            jl.select(*pick).unionByName(md.select(*pick))
+            .unionByName(rd.select(*pick)).count()
+        )
     wall = time.time() - t0
     spark.stop()
     return {
@@ -111,7 +118,8 @@ def _run(master: str, n_pages: int, cores: int) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         cores, n_pages = int(sys.argv[2]), int(sys.argv[3])
-        res = _run(f"local[{cores}]", n_pages, cores)
+        fused = os.environ.get("SD_FUSED", "1") == "1"
+        res = _run(f"local[{cores}]", n_pages, cores, fused=fused)
         print("CHILD " + json.dumps(res))
         return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000

@@ -12160,6 +12160,37 @@ def rdfa_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfa_to_triples(pages)
 
 
+def _sd_trio_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One crawl page per customer carrying all three schema.org
+    syntaxes — shared by sd_unified_ingest (three-pass composable path)
+    and sd_unified_fused (single-Arrow-pass path); both verify against
+    the SAME oracle."""
+    cu = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    sid = F.concat(F.lit("http://ex.org/cust/"), k)
+    return cu.select(
+        F.concat(F.lit("https://crawl.example/u/"), k).alias("url"),
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@context": "https://schema.org", "@id": "'),
+            sid, F.lit('", "@type": "Person", "name": "'),
+            F.col("c_name"),  # TPC-H names are JSON-safe (no " or \\)
+            F.lit('", "memberOf": "LVL'), (F.col("c_custkey") % 3).cast("string"),
+            F.lit('"}</script></head><body lang="en" '
+                  'vocab="https://schema.org/">'
+                  '<span property="name">Crawl '), k, F.lit("</span>"),
+            F.lit('<div itemscope itemtype="https://schema.org/Person" '
+                  'itemid="'), sid, F.lit('">'
+                  '<meta itemprop="identifier" content="C'), k,
+            F.lit('"></div>'),
+            F.lit('<p resource="'), sid,
+            F.lit('"><span property="jobTitle">J'),
+            (F.col("c_custkey") % 5).cast("string"),
+            F.lit("</span></p></body></html>"),
+        ).alias("html"),
+    )
+
+
 @query(
     "sd_unified_ingest",
     oracle=r"""
@@ -12217,30 +12248,7 @@ def sd_unified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i2o_transform_spark.sources.microdata import microdata_to_triples
     from i2o_transform_spark.sources.rdfa import rdfa_to_triples
 
-    cu = _t(spark, sf_dir, "customer")
-    k = F.col("c_custkey").cast("string")
-    sid = F.concat(F.lit("http://ex.org/cust/"), k)
-    pages = cu.select(
-        F.concat(F.lit("https://crawl.example/u/"), k).alias("url"),
-        F.concat(
-            F.lit('<html><head><script type="application/ld+json">'
-                  '{"@context": "https://schema.org", "@id": "'),
-            sid, F.lit('", "@type": "Person", "name": "'),
-            F.col("c_name"),  # TPC-H names are JSON-safe (no " or \)
-            F.lit('", "memberOf": "LVL'), (F.col("c_custkey") % 3).cast("string"),
-            F.lit('"}</script></head><body lang="en" '
-                  'vocab="https://schema.org/">'
-                  '<span property="name">Crawl '), k, F.lit("</span>"),
-            F.lit('<div itemscope itemtype="https://schema.org/Person" '
-                  'itemid="'), sid, F.lit('">'
-                  '<meta itemprop="identifier" content="C'), k,
-            F.lit('"></div>'),
-            F.lit('<p resource="'), sid,
-            F.lit('"><span property="jobTitle">J'),
-            (F.col("c_custkey") % 5).cast("string"),
-            F.lit("</span></p></body></html>"),
-        ).alias("html"),
-    )
+    pages = _sd_trio_pages(spark, sf_dir)
     pick = ["doc_key", "subj", "pred", "obj", "obj_is_iri", "obj_lang"]
     jl = jsonld_to_triples(extract_jsonld_scripts(pages)).select(
         F.lit("jsonld").alias("syntax"), *pick
@@ -12497,4 +12505,57 @@ def sm_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a nullable-int oracle column to float64/NaN and break the hash)
     return parsed.withColumn(
         "priority_ppm", F.coalesce(F.col("priority_ppm"), F.lit(-1).cast("long"))
+    )
+
+_SD_TRIO_ORACLE = r"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm,
+             'https://crawl.example/u/' || CAST(c_custkey AS VARCHAR)
+               AS url,
+             'http://ex.org/cust/' || CAST(c_custkey AS VARCHAR) AS sid
+      FROM customer
+    )
+    SELECT 'jsonld' AS syntax, url || '#0' AS doc_key, sid AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'https://schema.org/Person' AS obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM c
+    UNION ALL
+    SELECT 'jsonld', url || '#0', sid, 'https://schema.org/name', nm,
+           FALSE, NULL FROM c
+    UNION ALL
+    SELECT 'jsonld', url || '#0', sid, 'https://schema.org/memberOf',
+           'LVL' || CAST(k % 3 AS VARCHAR), FALSE, NULL FROM c
+    UNION ALL
+    SELECT 'microdata', url, sid,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'https://schema.org/Person', TRUE, NULL FROM c
+    UNION ALL
+    SELECT 'microdata', url, sid, 'https://schema.org/identifier',
+           'C' || CAST(k AS VARCHAR), FALSE, 'en' FROM c
+    UNION ALL
+    SELECT 'rdfa', url, url, 'https://schema.org/name',
+           'Crawl ' || CAST(k AS VARCHAR), FALSE, 'en' FROM c
+    UNION ALL
+    SELECT 'rdfa', url, sid, 'https://schema.org/jobTitle',
+           'J' || CAST(k % 5 AS VARCHAR), FALSE, 'en' FROM c
+"""
+
+
+@query("sd_unified_fused", oracle=_SD_TRIO_ORACLE)
+def sd_unified_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass structured-data extraction
+    (sources/unified.structured_data_to_triples): the same trio fixture
+    and the SAME oracle as sd_unified_ingest, but every html string
+    crosses the JVM->Arrow->Python boundary ONCE instead of three times
+    — at crawl scale the Arrow shipping of raw page bytes dominates this
+    stage, so the fusion is the 100 TB default (the composable
+    three-pass path stays for per-syntax testing).  Equality of the two
+    paths is pinned both here (same oracle hash) and by pytest."""
+    from i2o_transform_spark.sources.unified import (
+        structured_data_to_triples,
+    )
+
+    return structured_data_to_triples(_sd_trio_pages(spark, sf_dir)).select(
+        "syntax", "doc_key", "subj", "pred", "obj", "obj_is_iri", "obj_lang"
     )

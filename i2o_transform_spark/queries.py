@@ -12559,3 +12559,71 @@ def sd_unified_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structured_data_to_triples(_sd_trio_pages(spark, sf_dir)).select(
         "syntax", "doc_key", "subj", "pred", "obj", "obj_is_iri", "obj_lang"
     )
+
+
+@query(
+    "rb_robots_filter",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 25 AS hn,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '/d/open/f' WHEN 1 THEN '/d/x'
+               WHEN 2 THEN '/open' ELSE '/d' END AS path
+      FROM documents
+    ), scored AS (
+      SELECT 'https://h' || CAST(hn AS VARCHAR) || '.ex' || path AS url,
+             'h' || CAST(hn AS VARCHAR) || '.ex' AS host, path,
+             CASE
+               WHEN hn % 3 = 0 AND path LIKE '/d/open%' THEN '/d/open'
+               WHEN path LIKE '/d%' THEN '/d'
+             END AS matched_rule
+      FROM d
+    )
+    SELECT DISTINCT url, host, path,
+           (matched_rule IS NULL OR matched_rule = '/d/open') AS allowed,
+           matched_rule,
+           CAST(LENGTH(matched_rule) AS BIGINT) AS matched_len
+    FROM scored
+    """,
+)
+def rb_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness end-to-end (sources/robots.py): synthesize
+    per-host robots.txt bodies — every third host names kgbot in its own
+    group (Disallow /d, Allow /d/open — longest-match + allow-wins both
+    load-bearing) ahead of a catch-all '*' group that disallows
+    EVERYTHING (so group election matters: picking '*' would flip those
+    hosts' answers), the rest publish a bare '*' Disallow /d — parse
+    them (JVM split/explode + window group numbering), and filter a
+    4-path-shape frontier for agent 'kgbot'.  The oracle re-derives
+    every politeness decision in closed form.  Scale shape: rules are
+    politeness-document-sized and broadcast; the frontier passes through
+    ONE aggregation (match + longest-match election packed into a
+    struct max)."""
+    from i2o_transform_spark.sources.robots import check_allowed, parse_robots
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 25).alias("hn")
+    )
+    hosts = d.select("hn").distinct()
+    kg_body = (
+        "# group election test\nUser-agent: kgbot\nDisallow: /d\n"
+        "Allow: /d/open\n\nUser-agent: *\nDisallow: /\n"
+    )
+    star_body = "User-agent: *\nDisallow: /d\n"
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hn").cast("string"), F.lit(".ex"))
+        .alias("host"),
+        F.when(F.col("hn") % 3 == 0, F.lit(kg_body))
+        .otherwise(F.lit(star_body)).alias("body"),
+    )
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/d/open/f"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/d/x"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/open"))
+        .otherwise(F.lit("/d"))
+    )
+    frontier = d.select(
+        F.concat(F.lit("https://h"), F.col("hn").cast("string"),
+                 F.lit(".ex"), path).alias("url")
+    ).distinct()
+    return check_allowed(frontier, parse_robots(robots), "kgbot")

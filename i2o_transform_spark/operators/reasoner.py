@@ -596,3 +596,191 @@ def owl_chain_entail(
             break
         graph = graph.unionByName(new).localCheckpoint(eager=True)
     return graph
+
+
+def rdfs_retract_delta(
+    base: DataFrame,
+    delete: DataFrame,
+    subclass: DataFrame,
+    subprop: DataFrame,
+    domains: DataFrame,
+    ranges: DataFrame,
+) -> DataFrame:
+    """Incremental maintenance, RETRACTION delta (DRed for ρDF): the
+    triples to REMOVE from a materialization when asserted triples
+    ``delete`` ⊆ ``base`` are retracted — the caller's new store is
+    ``materialized LEFT ANTI removals`` and equals
+    ``rdfs_entail(base \\ delete)`` exactly (oracle-checked).
+
+    Classic DRed is overdelete-then-rederive; ρDF's linearity (every
+    rule consumes ONE instance triple + schema, see rdfs_entail_delta)
+    makes both phases cheap and EXACT:
+
+    * overdeletion D* = entail(delete) — delta-sized, schema-broadcast
+      joins only;
+    * rederivation: d ∈ D* survives iff SOME remaining asserted triple
+      still derives it.  Because derivations are linear, the preimages
+      of D* are enumerable as delta x schema-bounded candidate sets —
+      exact triples through the inverse property closure, (subj, pred)
+      patterns through the composed domain map, (pred, obj) patterns
+      through the composed range map, and type-ancestor patterns
+      through the inverse class closure — and each set probes the
+      remaining store in ONE broadcast-build inner join (the store is
+      scanned, never shuffled; one matching row rederives d, no
+      counting books are kept, which is what makes DRed-for-linear-rules
+      exact where general DRed needs support counts).
+
+    The 10^12-triple shape: every join build side is delta- or
+    schema-sized; the remaining store is read once per probe family (4
+    narrow scans, or fewer after the planner shares them) and the final
+    anti-join's build side is the (delta-sized) removal set."""
+    spo = ["subj", "pred", "obj"]
+    remaining = base.join(delete.select(*spo), spo, "left_anti")
+    dstar = rdfs_entail(delete, subclass, subprop, domains, ranges)
+    pclo = _reflexive_closure(subprop, "sub", "sup")
+    cclo = _reflexive_closure(subclass, "sub", "sup")
+    # composed schema maps: q asserts (s,q,o) => lifted q' ⊒ q =>
+    # domain/range class => class closure; (cls, q) says "a remaining
+    # triple with predicate q rederives type cls"
+    def _pred_cls_map(axioms: DataFrame) -> DataFrame:
+        """(q, cls): a remaining triple with predicate q derives type
+        cls through lifting + this axiom family + the class closure.
+        The class closure is reflexive only over schema-mentioned
+        classes, so axiom classes absent from it keep themselves via
+        the identity union (the same left-anti pattern rdfs_entail
+        uses)."""
+        lifted = pclo.join(axioms, pclo["sup"] == axioms["pred"]).select(
+            pclo["sub"].alias("q"), axioms["cls"].alias("c0")
+        )
+        closed = lifted.join(cclo, lifted["c0"] == cclo["sub"]).select(
+            "q", cclo["sup"].alias("cls")
+        )
+        ident = lifted.join(
+            cclo, lifted["c0"] == cclo["sub"], "left_anti"
+        ).select("q", F.col("c0").alias("cls"))
+        return closed.unionByName(ident).distinct()
+
+    dom_map = _pred_cls_map(domains)
+    rng_map = _pred_cls_map(ranges)
+    d_non = dstar.where(F.col("pred") != TYPE_PRED)
+    d_typ = dstar.where(F.col("pred") == TYPE_PRED)
+
+    # (a) non-type d=(s,p,o): remaining (s,q,o) with p ∈ pclo(q); the
+    # reflexive closure covers schema preds, the identity union covers
+    # preds with no schema entry
+    cand_a = (
+        d_non.alias("d")
+        .join(pclo, F.col("d.pred") == pclo["sup"])
+        .select(F.col("d.subj").alias("subj"), pclo["sub"].alias("q"),
+                F.col("d.obj").alias("obj"), F.col("d.pred").alias("dp"))
+        .unionByName(
+            d_non.select("subj", F.col("pred").alias("q"), "obj",
+                         F.col("pred").alias("dp"))
+        )
+        .distinct()
+    )
+    red_a = (
+        remaining.alias("r")
+        .join(
+            F.broadcast(cand_a).alias("c"),
+            (F.col("r.subj") == F.col("c.subj"))
+            & (F.col("r.pred") == F.col("c.q"))
+            & (F.col("r.obj") == F.col("c.obj")),
+        )
+        .select(F.col("c.subj").alias("subj"),
+                F.col("c.dp").alias("pred"),
+                F.col("c.obj").alias("obj"))
+        .distinct()
+    )
+
+    # type assertions can enter the cascade through predicates that lift
+    # INTO 'type' (legal ρDF) as well as through 'type' itself
+    type_preds = (
+        pclo.where(F.col("sup") == TYPE_PRED)
+        .select(F.col("sub").alias("tp"))
+        .unionByName(
+            subprop.sparkSession.createDataFrame(
+                [(TYPE_PRED,)], "tp string"
+            )
+        )
+        .distinct()
+    )
+    rem_t = (
+        remaining.join(
+            F.broadcast(type_preds), remaining["pred"] == F.col("tp")
+        )
+        .select("subj", "obj")
+    )
+
+    # (b) type d=(s,type,C): remaining type assertion (s, C0) with
+    # C ∈ cclo(C0); identity union covers classes with no schema entry
+    cand_b = (
+        d_typ.alias("d")
+        .join(cclo, F.col("d.obj") == cclo["sup"])
+        .select(F.col("d.subj").alias("subj"), cclo["sub"].alias("c0"),
+                F.col("d.obj").alias("cls"))
+        .unionByName(
+            d_typ.select("subj", F.col("obj").alias("c0"),
+                         F.col("obj").alias("cls"))
+        )
+        .distinct()
+    )
+    red_b = (
+        rem_t.alias("r")
+        .join(
+            F.broadcast(cand_b).alias("c"),
+            (F.col("r.subj") == F.col("c.subj"))
+            & (F.col("r.obj") == F.col("c.c0")),
+        )
+        .select(F.col("c.subj").alias("subj"),
+                F.lit(TYPE_PRED).alias("pred"),
+                F.col("c.cls").alias("obj"))
+        .distinct()
+    )
+
+    # (c) type d via domain: remaining (s, q, ?) for (cls, q) in dom_map
+    cand_c = (
+        d_typ.alias("d")
+        .join(dom_map, F.col("d.obj") == dom_map["cls"])
+        .select(F.col("d.subj").alias("subj"), "q",
+                F.col("d.obj").alias("cls"))
+        .distinct()
+    )
+    red_c = (
+        remaining.alias("r")
+        .join(
+            F.broadcast(cand_c).alias("c"),
+            (F.col("r.subj") == F.col("c.subj"))
+            & (F.col("r.pred") == F.col("c.q")),
+        )
+        .select(F.col("c.subj").alias("subj"),
+                F.lit(TYPE_PRED).alias("pred"),
+                F.col("c.cls").alias("obj"))
+        .distinct()
+    )
+
+    # (d) type d via range: remaining (?, q, s) for (cls, q) in rng_map
+    cand_d = (
+        d_typ.alias("d")
+        .join(rng_map, F.col("d.obj") == rng_map["cls"])
+        .select(F.col("d.subj").alias("node"), "q",
+                F.col("d.obj").alias("cls"))
+        .distinct()
+    )
+    red_d = (
+        remaining.alias("r")
+        .join(
+            F.broadcast(cand_d).alias("c"),
+            (F.col("r.obj") == F.col("c.node"))
+            & (F.col("r.pred") == F.col("c.q")),
+        )
+        .select(F.col("c.node").alias("subj"),
+                F.lit(TYPE_PRED).alias("pred"),
+                F.col("c.cls").alias("obj"))
+        .distinct()
+    )
+
+    rederived = (
+        red_a.unionByName(red_b).unionByName(red_c).unionByName(red_d)
+    )
+    return dstar.join(rederived, spo, "left_anti")

@@ -12627,3 +12627,67 @@ def rb_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".ex"), path).alias("url")
     ).distinct()
     return check_allowed(frontier, parse_robots(robots), "kgbot")
+
+
+_RDFS_REMAIN_INST = """
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'orders_from',
+             'S:' || CAST(c_custkey % 100 AS VARCHAR)
+      FROM customer WHERE c_custkey % 8 = 4
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'type', 'PremiumCustomer'
+      FROM customer WHERE c_custkey % 16 = 8"""
+
+
+@query(
+    "kg_rdfs_retract",
+    oracle=f"""
+    WITH n AS ({_rdfs_cascade_sql(_RDFS_REMAIN_INST, _RDFS_PCLO, _RDFS_CCLO,
+                                  _RDFS_DOMS, _RDFS_RNGS)})
+    SELECT subj, pred, obj FROM n
+    """,
+)
+def kg_rdfs_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RDFS maintenance, RETRACTION delta
+    (operators/reasoner.rdfs_retract_delta — DRed made exact by ρDF's
+    rule linearity): half the base edge stratum and half the base type
+    stratum are retracted; overdeletion entails the DELETED triples only,
+    rederivation probes the remaining store with delta x schema-bounded
+    candidate sets (one broadcast-build scan per preimage family), and
+    the new store is materialized-minus-removals.  The fixture makes
+    rederivation load-bearing three ways: customers keeping their type
+    assertion rederive `C:c type Customer/Agent` after their edge is
+    deleted; supplier objects `S:(c%100)` shared by MANY customers
+    rederive their range types from SURVIVING edges of other customers;
+    and the query returns the maintained store, which the oracle
+    recomputes FROM SCRATCH over the remaining instance set — so an
+    overdeletion that removes too much, or a rederivation that misses a
+    preimage family, both break the value hash."""
+    from i2o_transform_spark.operators.reasoner import (
+        rdfs_entail,
+        rdfs_retract_delta,
+    )
+
+    schema = _rdfs_schema(spark)
+    base = _rdfs_fixture(spark, sf_dir, 0, 0)
+    cu = _t(spark, sf_dir, "customer")
+    delete = (
+        cu.where(F.col("c_custkey") % 8 == 0)
+        .select(
+            F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+            .alias("subj"),
+            F.lit("orders_from").alias("pred"),
+            F.concat(F.lit("S:"), (F.col("c_custkey") % 100).cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            cu.where(F.col("c_custkey") % 16 == 0).select(
+                F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+                .alias("subj"),
+                F.lit("type").alias("pred"),
+                F.lit("PremiumCustomer").alias("obj"),
+            )
+        )
+    )
+    m = rdfs_entail(base, *schema)
+    removals = rdfs_retract_delta(base, delete, *schema)
+    return m.join(removals, ["subj", "pred", "obj"], "left_anti")

@@ -294,3 +294,86 @@ def test_stream_entailment_replay_is_idempotent(spark, tmp_path):
     assert _spo(got2) == _spo(full)
     assert got2.count() == got.count()  # no duplicate rows appended
     assert len(glob.glob(os.path.join(store, "*.parquet"))) >= n_files
+
+
+def _retract_env(spark):
+    from i2o_transform_spark.operators.reasoner import (
+        rdfs_entail,
+        rdfs_retract_delta,
+    )
+
+    subprop = spark.createDataFrame([("p", "q")], "sub string, sup string")
+    subclass = spark.createDataFrame([("A", "B")], "sub string, sup string")
+    domains = spark.createDataFrame([("q", "A")], "pred string, cls string")
+    ranges = spark.createDataFrame([("q", "R")], "pred string, cls string")
+    schema = (subclass, subprop, domains, ranges)
+
+    def maintained(base_rows, delete_rows):
+        base = spark.createDataFrame(
+            base_rows, "subj string, pred string, obj string")
+        delete = spark.createDataFrame(
+            delete_rows, "subj string, pred string, obj string") \
+            if delete_rows else base.limit(0)
+        m = rdfs_entail(base, *schema)
+        rem = rdfs_retract_delta(base, delete, *schema)
+        got = m.join(rem, ["subj", "pred", "obj"], "left_anti")
+        spo = ["subj", "pred", "obj"]
+        remaining = base.join(delete.select(*spo), spo, "left_anti")
+        want = rdfs_entail(remaining, *schema)
+        return (sorted(map(tuple, got.collect())),
+                sorted(map(tuple, want.collect())))
+
+    return maintained
+
+
+def test_retract_equals_recompute_shared_object(spark):
+    maintained = _retract_env(spark)
+    # two edges share the object o1: deleting ONE must keep o1's range
+    # type alive via the survivor
+    base = [("s1", "p", "o1"), ("s2", "p", "o1"), ("s1", "type", "A")]
+    got, want = maintained(base, [("s1", "p", "o1")])
+    assert got == want
+    assert ("o1", "type", "R") in got          # rederived from s2's edge
+    assert ("s1", "type", "B") in got          # rederived from type A
+    assert ("s1", "q", "o1") not in got        # lift of deleted edge gone
+
+
+def test_retract_everything_and_nothing(spark):
+    maintained = _retract_env(spark)
+    base = [("s1", "p", "o1"), ("s1", "type", "A")]
+    got, want = maintained(base, base)
+    assert got == want == []
+    got2, want2 = maintained(base, [])
+    assert got2 == want2 and len(got2) > 0
+
+
+def test_retract_nonschema_pred_identity(spark):
+    maintained = _retract_env(spark)
+    base = [("s1", "zz", "o1"), ("s2", "zz", "o1")]
+    got, want = maintained(base, [("s1", "zz", "o1")])
+    assert got == want == [("s2", "zz", "o1")]
+
+
+def test_retract_pred_lifting_into_type(spark):
+    from i2o_transform_spark.operators.reasoner import (
+        rdfs_entail,
+        rdfs_retract_delta,
+    )
+
+    # legal rho-DF: a predicate that is a subproperty of rdf:type —
+    # (s, isa, A) lifts to (s, type, A) then the class closure
+    subprop = spark.createDataFrame([("isa", "type")],
+                                    "sub string, sup string")
+    subclass = spark.createDataFrame([("A", "B")], "sub string, sup string")
+    empty = spark.createDataFrame([], "pred string, cls string")
+    schema = (subclass, subprop, empty, empty)
+    base = spark.createDataFrame(
+        [("s1", "type", "A"), ("s1", "isa", "A")],
+        "subj string, pred string, obj string")
+    delete = base.where("pred = 'type'")
+    m = rdfs_entail(base, *schema)
+    rem = rdfs_retract_delta(base, delete, *schema)
+    got = sorted(map(tuple, m.join(
+        rem, ["subj", "pred", "obj"], "left_anti").collect()))
+    # (s1,type,A) and (s1,type,B) both survive via the isa assertion
+    assert ("s1", "type", "B") in got and ("s1", "type", "A") in got

@@ -285,3 +285,58 @@ def stream_canonical_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_structured_ingest(
+    pages_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    mode: str = "FAILFAST",
+    default_prefixes: dict | None = None,
+):
+    """Streaming crawl ingest: a stream of (url, html) pages keeps a
+    triple store current through the FUSED structured-data extractor
+    (sources/unified — JSON-LD + microdata + RDFa in one Arrow pass per
+    micro-batch; extraction is map-only, so the streaming plan is the
+    batch plan verbatim).
+
+    Sink protocol = stream_entailment_maintenance's append-only story,
+    at ROW granularity: an RDF store is a SET of (provenance-tagged)
+    triples, so the batch's extraction is made distinct and anti-joined
+    against the store on the FULL row before appending — at-least-once
+    replay is idempotent even across a crash that left PART of a page's
+    rows appended (per-row, not per-page, so the missing remainder still
+    lands).  Re-CRAWLED pages (same url, new snapshot) are the caller's
+    versioning concern (kg_asof_snapshot / cdc_scd2_history), not this
+    sink's.  Per-batch cost: extraction of the batch + one store-scan
+    anti-join whose build side is batch-sized (broadcast under AQE).
+    Returns the started StreamingQuery (availableNow trigger)."""
+    import glob
+
+    from i2o_transform_spark.sources.unified import (
+        structured_data_to_triples,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples = structured_data_to_triples(
+            batch_df, mode=mode, default_prefixes=default_prefixes
+        ).distinct()
+        if bool(glob.glob(os.path.join(store_dir, "*.parquet"))):
+            store = spark.read.parquet(store_dir).alias("s")
+            t = triples.alias("t")
+            # null-safe equality — obj_datatype/obj_lang are NULL for
+            # plain/IRI rows, and `=` would let every such row re-append
+            cond = None
+            for c in triples.columns:
+                eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                cond = eq if cond is None else (cond & eq)
+            triples = t.join(store, cond, "left_anti")
+        triples.write.mode("append").parquet(store_dir)
+
+    return (
+        pages_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -700,3 +700,66 @@ def test_stream_canon_dedup_relabel_and_replay(spark, tmp_path):
     run("ckpt2")  # full replay, fresh checkpoint
     rows = spark.read.parquet(store).collect()
     assert len(rows) == 3 and {r.graph for r in rows} == {"g1", "g2", "g4"}
+
+
+def test_stream_structured_ingest_equals_batch_and_replays(spark, tmp_path):
+    """Streaming crawl ingest (kg_stream.stream_structured_ingest): pages
+    arriving in waves through the fused trio extractor must build exactly
+    the batch extraction's triple SET, and a full replay with a fresh
+    checkpoint (at-least-once delivery) must not duplicate a row."""
+    import os
+
+    from i2o_transform_spark.sources.unified import (
+        structured_data_to_triples,
+    )
+    from i2o_transform_spark.streaming.kg_stream import (
+        stream_structured_ingest,
+    )
+
+    def page(i):
+        return (
+            f"https://c/{i}",
+            '<html lang="en" vocab="https://schema.org/">'
+            '<script type="application/ld+json">'
+            f'{{"@context": "https://schema.org", "@id": "http://e/{i}",'
+            f' "@type": "Person", "name": "E{i}"}}</script>'
+            f'<div itemscope itemtype="https://schema.org/Person" '
+            f'itemid="http://e/{i}">'
+            f'<meta itemprop="identifier" content="C{i}"></div>'
+            f'<span property="name">Crawl {i}</span></html>',
+        )
+
+    waves = [[page(i) for i in range(0, 4)], [page(i) for i in range(4, 7)]]
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    for w, rows in enumerate(waves):
+        spark.createDataFrame(rows, "url string, html string").coalesce(
+            1
+        ).write.parquet(str(src / f"w{w}.parquet"))
+    store = str(tmp_path / "triples")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("url string, html string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*/")
+        )
+        q = stream_structured_ingest(stream, store, str(tmp_path / ckpt))
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    all_pages = spark.createDataFrame(
+        [p for w in waves for p in w], "url string, html string"
+    )
+    want = sorted(
+        map(tuple, structured_data_to_triples(all_pages).distinct()
+            .collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert got == want and len(got) == 7 * 5
+
+    # full replay with a fresh checkpoint: nothing may duplicate
+    run("ckpt2")
+    again = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert again == want
+    assert os.path.exists(store)

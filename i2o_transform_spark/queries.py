@@ -12691,3 +12691,113 @@ def kg_rdfs_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = rdfs_entail(base, *schema)
     removals = rdfs_retract_delta(base, delete, *schema)
     return m.join(removals, ["subj", "pred", "obj"], "left_anti")
+
+
+_RELEX_PAIRS_SQL = """
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS subj,
+             'N:' || CAST(c_nationkey AS VARCHAR) AS obj,
+             'is based in' AS pattern
+      FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR),
+             'G:' || CAST(c_custkey % 10 AS VARCHAR), 'works at'
+      FROM customer
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR),
+             'N:' || CAST(c_nationkey AS VARCHAR), 'works at'
+      FROM customer WHERE c_custkey % 5 = 0"""
+_RELEX_KB_SQL = """
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS subj,
+             'located_in' AS pred,
+             'N:' || CAST(c_nationkey AS VARCHAR) AS obj
+      FROM customer WHERE c_custkey % 3 < 2
+      UNION ALL
+      SELECT 'C:' || CAST(c_custkey AS VARCHAR), 'employed_by',
+             'G:' || CAST(c_custkey % 10 AS VARCHAR)
+      FROM customer WHERE c_custkey % 4 < 3"""
+
+
+@query(
+    "kg_relex_distant",
+    oracle=f"""
+    WITH pairs(subj, obj, pattern) AS ({_RELEX_PAIRS_SQL}),
+    kb(subj, pred, obj) AS ({_RELEX_KB_SQL}),
+    aligned AS (
+      SELECT p.pattern, k.pred FROM pairs p
+      JOIN kb k ON p.subj = k.subj AND p.obj = k.obj
+    ),
+    per AS (
+      SELECT pattern, pred, CAST(COUNT(*) AS BIGINT) AS n_support
+      FROM aligned GROUP BY pattern, pred
+    ),
+    pat AS (
+      SELECT pattern, pred FROM (
+        SELECT pattern, pred, n_support,
+               SUM(n_support) OVER (PARTITION BY pattern) AS n_pattern
+        FROM per WHERE TRUE
+      ) WHERE n_support >= 2
+        AND n_support * 1000000 // n_pattern >= 600000
+    ),
+    proposed AS (
+      SELECT p.subj, t.pred, p.obj,
+             CAST(COUNT(*) AS BIGINT) AS n_mentions
+      FROM pairs p JOIN pat t USING (pattern)
+      GROUP BY p.subj, t.pred, p.obj
+    )
+    SELECT pr.subj, pr.pred, pr.obj, pr.n_mentions
+    FROM proposed pr
+    LEFT JOIN kb k ON pr.subj = k.subj AND pr.pred = k.pred
+                  AND pr.obj = k.obj
+    WHERE k.subj IS NULL
+    """,
+)
+def kg_relex_distant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision relation extraction (operators/relex.py —
+    Mintz-style KB alignment, the learned-template sibling of
+    kg_hearst_hypernyms): mention pairs carry two planted textual
+    patterns — 'is based in' purely expressing located_in, 'works at'
+    mostly expressing employed_by but CONTAMINATED with located_in
+    pairs on every 5th customer — and a seed KB holding two thirds of
+    the located_in facts and three quarters of the employed_by facts.
+    Mining must split the ambiguous pattern's confidence across both
+    predicates (integer ppm) and keep it only for its majority sense;
+    application then proposes exactly the KB's MISSING facts plus the
+    honest false positives the noise pattern implies (every 5th
+    customer 'employed_by' its nation) — all of which the oracle
+    enumerates in closed form, so alignment, the support floor, the
+    ppm confidence gate, and the new-knowledge anti-join are each
+    value-checked.  Scale shape: broadcast KB equi-join, two
+    aggregations, broadcast pattern application, proposal-sized
+    anti-join."""
+    from i2o_transform_spark.operators.relex import (
+        apply_patterns,
+        mine_patterns,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    c = F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))
+    n = F.concat(F.lit("N:"), F.col("c_nationkey").cast("string"))
+    g = F.concat(F.lit("G:"), (F.col("c_custkey") % 10).cast("string"))
+    pairs = (
+        cu.select(c.alias("subj"), n.alias("obj"),
+                  F.lit("  Is   Based IN ").alias("between"))
+        .unionByName(cu.select(c.alias("subj"), g.alias("obj"),
+                               F.lit("works at").alias("between")))
+        .unionByName(
+            cu.where(F.col("c_custkey") % 5 == 0).select(
+                c.alias("subj"), n.alias("obj"),
+                F.lit(" works\tat ").alias("between"))
+        )
+    )
+    kb = (
+        cu.where(F.col("c_custkey") % 3 < 2)
+        .select(c.alias("subj"), F.lit("located_in").alias("pred"),
+                n.alias("obj"))
+        .unionByName(
+            cu.where(F.col("c_custkey") % 4 < 3).select(
+                c.alias("subj"), F.lit("employed_by").alias("pred"),
+                g.alias("obj"))
+        )
+    )
+    mined = mine_patterns(pairs, kb, min_support=2)
+    return apply_patterns(pairs, mined, kb, min_conf_ppm=600_000)

@@ -79,6 +79,7 @@ EXTRA = [
     # round-4 session-C: structured-data ingest trio, dictionary
     # encoding, anchor priors
     "sd_unified_ingest",
+    "sd_unified_fused",
     "md_extract_triples",
     "rdfa_extract_triples",
     "kg_dict_encode",

@@ -281,6 +281,38 @@ def main() -> None:
         "(pair, lhs).",
     ))
 
+    sections.append((
+        "sd_unified_fused — the trio in ONE Arrow pass",
+        tree_of(QUERIES["sd_unified_fused"](spark, sf)),
+        "A single `MapInPandas` node over the synthesized crawl frame — "
+        "the html column crosses the JVM->Python boundary once for all "
+        "three structured-data syntaxes (the composable three-pass union "
+        "plans three of these and ships the pages thrice; "
+        "BENCH_SCALING.md quantifies 0.63 -> 0.83 scaling efficiency "
+        "from the fusion).  No Exchange anywhere: extraction "
+        "parallelism is the crawl's partitioning.",
+    ))
+    sections.append((
+        "kg_dict_encode — dense term ids with NO single-partition stage",
+        tree_of(QUERIES["kg_dict_encode"](spark, sf)),
+        "The naive ROW_NUMBER-over-everything formulation would plan a "
+        "`Window` over `SinglePartition` — one task owning the whole "
+        "vocabulary.  Here: range `Exchange`, the localCheckpoint scan, "
+        "per-partition counts collected driver-side, and a `Window` "
+        "partitioned by `_pid` (a real hash exchange).  The string "
+        "\"SinglePartition\" does not appear (pinned by "
+        "tests/test_dictenc.py).",
+    ))
+    sections.append((
+        "rb_robots_filter — politeness as one broadcast + one aggregate",
+        tree_of(QUERIES["rb_robots_filter"](spark, sf)),
+        "Rules ride a `BroadcastExchange` into a `BroadcastHashJoin` "
+        "against the frontier (LeftOuter), and the longest-match/"
+        "allow-wins election is a single partial+final `HashAggregate` "
+        "over a packed struct max — the frontier is scanned once and "
+        "shuffled only on its own key for the election.",
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for flagship operators\n\n"
         "Operator trees from `.explain(\"formatted\")` at sf0.01 (shape is\n"

@@ -12801,3 +12801,38 @@ def kg_relex_distant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mined = mine_patterns(pairs, kb, min_support=2)
     return apply_patterns(pairs, mined, kb, min_conf_ppm=600_000)
+
+
+@query(
+    "nq_roundtrip",
+    oracle=f"""
+    SELECT subj, pred, obj, obj_is_iri,
+           CASE WHEN obj_is_iri
+                THEN 'http://ex.org/graph/crawl'
+           END AS graph
+    FROM ({_NT_TRIPLES_SQL}) t
+    """,
+)
+def nq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads interchange roundtrip (sources/ntriples with the 4th
+    term): the located-in stratum is serialized INTO a named graph
+    (provenance: which crawl asserted it) while the literal stratum
+    stays in the default graph (no 4th term on the wire) — one frame, a
+    MIXED quad/triple document, exactly what the N-Quads spec allows.
+    serialize∘parse must reproduce (subj, pred, obj, obj_is_iri, graph)
+    bit-exactly with NULL graph for default-graph rows; the oracle
+    predicts every value straight from the base tables, so the optional
+    4th-term grammar, its absence, and escaped-literal lines coexisting
+    with quad lines are all value-checked.  Same line-parallel one-regex
+    scan as the triple path."""
+    from i2o_transform_spark.sources.ntriples import (
+        parse_ntriples_lines,
+        to_ntriples_lines,
+    )
+
+    t = _nt_triples(spark, sf_dir).withColumn(
+        "g",
+        F.when(F.col("obj_is_iri"), F.lit("http://ex.org/graph/crawl")),
+    )
+    lines = to_ntriples_lines(t, obj_is_iri="obj_is_iri", graph="g")
+    return parse_ntriples_lines(lines, quads=True)

@@ -124,6 +124,7 @@ def to_ntriples_lines(
     obj_is_iri: str | None = None,
     obj_datatype: str | None = None,
     obj_lang: str | None = None,
+    graph: str | None = None,
 ) -> DataFrame:
     """Serialize (subj, pred, obj) rows to one-column ``line`` N-Triples.
 
@@ -135,7 +136,11 @@ def to_ntriples_lines(
     appends ``^^<dt>``, a non-null ``obj_lang`` appends ``@lang`` (LANGTAG
     grammar enforced in-expression).  RDF 1.1 allows at most one tag per
     literal and none on an IRI — violations raise inside the expression,
-    never serialize wrong."""
+    never serialize wrong.
+
+    ``graph`` names an IRI column to emit as the N-QUADS 4th term; a
+    NULL graph value writes a plain triple line (the default graph, per
+    the N-Quads spec), so one frame serializes a mixed quad store."""
     bad_iri = "[<>\"{}|^`\\\\ \t\n\r]"
 
     # The check rides inside the emitted expression (a pruned side-column
@@ -194,10 +199,18 @@ def to_ntriples_lines(
         if obj_is_iri is None
         else F.when(F.col(obj_is_iri), iri_side).otherwise(lit_term)
     )
+    gterm = (
+        F.lit("")
+        if graph is None
+        else F.when(
+            F.col(graph).isNotNull(),
+            F.concat(F.lit(" <"), _iri(graph), F.lit(">")),
+        ).otherwise(F.lit(""))
+    )
     return df.select(
         F.concat(
             F.lit("<"), _iri(subj), F.lit("> <"), _iri(pred), F.lit("> "),
-            obj_term, F.lit(" ."),
+            obj_term, gterm, F.lit(" ."),
         ).alias("line")
     )
 
@@ -212,12 +225,22 @@ _LINE_RE = (
     r') \.\s*$'
 )
 
+# N-Quads: the same grammar with an optional 4th IRI term (group 7)
+# before the dot; its absence = the default graph.
+_QUAD_RE = (
+    r'^<([^>]*)> <([^>]*)> '
+    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
+    r'(?:\^\^<([^>]*)>|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))?'
+    r')(?: <([^>]*)>)? \.\s*$'
+)
+
 
 def parse_ntriples_lines(
     lines: DataFrame,
     col: str = "line",
     mode: str = "FAILFAST",
     keep_tags: bool = False,
+    quads: bool = False,
 ) -> DataFrame:
     """Parse N-Triples lines -> (subj, pred, obj, obj_is_iri).
 
@@ -239,13 +262,17 @@ def parse_ntriples_lines(
     dropped, which is the right mode when downstream stores hold plain
     lexical forms (operators/sparql's documented store convention).
 
+    ``quads=True`` parses the N-Quads grammar instead: an optional 4th
+    IRI term lands in a ``graph`` column (NULL = the default graph).
+
     Comment/blank lines are dropped first per spec."""
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
+    rx = _QUAD_RE if quads else _LINE_RE
     data = lines.where(
         ~F.col(col).rlike(r"^\s*(#|$)")
     )
-    m = lambda g: F.regexp_extract(F.col(col), _LINE_RE, g)  # noqa: E731
+    m = lambda g: F.regexp_extract(F.col(col), rx, g)  # noqa: E731
 
     def _tag_cols(is_lit) -> list:
         if not keep_tags:
@@ -257,8 +284,15 @@ def parse_ntriples_lines(
             .alias("obj_lang"),
         ]
 
+    def _graph_cols(ok_row) -> list:
+        if not quads:
+            return []
+        return [
+            F.when(ok_row & (F.col("_g") != ""), F.col("_g")).alias("graph")
+        ]
+
     if mode == "PERMISSIVE":
-        ok = F.col(col).rlike(_LINE_RE)
+        ok = F.col(col).rlike(rx)
         parsed = data.select(
             F.when(ok, m(1)).alias("subj"),
             F.when(ok, m(2)).alias("pred"),
@@ -266,6 +300,7 @@ def parse_ntriples_lines(
             F.when(ok, m(4)).alias("_obj_lit"),
             F.when(ok, m(5)).alias("_dt"),
             F.when(ok, m(6)).alias("_lang"),
+            *([F.when(ok, m(7)).alias("_g")] if quads else []),
             F.when(~ok, F.col(col)).alias("_corrupt_line"),
         )
         is_iri = parsed["_obj_iri"] != ""
@@ -277,11 +312,12 @@ def parse_ntriples_lines(
             .alias("obj"),
             F.when(F.col("subj").isNotNull(), is_iri).alias("obj_is_iri"),
             *_tag_cols(F.col("subj").isNotNull() & ~is_iri),
+            *_graph_cols(F.col("subj").isNotNull()),
             "_corrupt_line",
         )
     parsed = data.select(
         F.when(
-            F.col(col).rlike(_LINE_RE), m(1)
+            F.col(col).rlike(rx), m(1)
         ).otherwise(
             F.raise_error(F.concat(F.lit("malformed N-Triples line: "),
                                    F.col(col)))
@@ -291,6 +327,7 @@ def parse_ntriples_lines(
         m(4).alias("_obj_lit"),
         m(5).alias("_dt"),
         m(6).alias("_lang"),
+        *([m(7).alias("_g")] if quads else []),
     )
     is_iri = parsed["_obj_iri"] != ""
     return parsed.select(
@@ -301,6 +338,7 @@ def parse_ntriples_lines(
         .alias("obj"),
         is_iri.alias("obj_is_iri"),
         *_tag_cols(~is_iri),
+        *_graph_cols(F.lit(True)),
     )
 
 

@@ -239,3 +239,46 @@ def test_permissive_keep_tags_quarantine(spark):
     out = parse_ntriples_lines(lines, mode="PERMISSIVE", keep_tags=True)
     rows = {(r.obj, r.obj_lang, r._corrupt_line) for r in out.collect()}
     assert rows == {("x", "en", None), (None, None, "garbage line")}
+
+
+def test_nquads_mixed_roundtrip_and_grammar(spark):
+    from i2o_transform_spark.sources.ntriples import (
+        parse_ntriples_lines,
+        to_ntriples_lines,
+    )
+
+    rows = [
+        ("http://s/1", "http://p", "http://o/1", True, "http://g/a"),
+        ("http://s/2", "http://p", 'lit "q" \n', False, None),  # default g
+        ("http://s/3", "http://p", "http://o/3", True, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean,"
+              " g string"
+    )
+    lines = to_ntriples_lines(df, obj_is_iri="obj_is_iri", graph="g")
+    txt = {r["line"] for r in lines.collect()}
+    assert "<http://s/1> <http://p> <http://o/1> <http://g/a> ." in txt
+    assert "<http://s/3> <http://p> <http://o/3> ." in txt  # no 4th term
+    back = parse_ntriples_lines(lines, quads=True)
+    got = sorted(map(tuple, back.select(
+        "subj", "pred", "obj", "obj_is_iri", "graph").collect()))
+    assert got == sorted(rows)
+    # triple-mode parser must REJECT a quad line (FAILFAST)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        parse_ntriples_lines(lines).collect()
+    # permissive quad parse quarantines junk, keeps graph column
+    junk = lines.unionByName(
+        spark.createDataFrame([("<bad quad",)], "line string")
+    )
+    soft = parse_ntriples_lines(junk, quads=True, mode="PERMISSIVE")
+    assert soft.where("_corrupt_line IS NOT NULL").count() == 1
+    assert soft.where("graph = 'http://g/a'").count() == 1
+    # an invalid graph IRI raises inside the serializer expression
+    bad = spark.createDataFrame(
+        [("http://s", "http://p", "x", False, "has space")],
+        "subj string, pred string, obj string, obj_is_iri boolean, g string",
+    )
+    with _pytest.raises(Exception):
+        to_ntriples_lines(bad, obj_is_iri="obj_is_iri", graph="g").collect()

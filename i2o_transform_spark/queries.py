@@ -12836,3 +12836,97 @@ def nq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = to_ntriples_lines(t, obj_is_iri="obj_is_iri", graph="g")
     return parse_ntriples_lines(lines, quads=True)
+
+
+@query(
+    "wb_crawl_cycle",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 20 AS g FROM documents
+    ), allowed AS (
+      SELECT doc_id, g FROM d WHERE g % 3 <> 0
+    )
+    SELECT 'https://h' || CAST(g AS VARCHAR) || '.example' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_triples
+    FROM allowed GROUP BY g
+    """,
+)
+def wb_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door end-to-end — every new r04 source composed:
+    per-host sitemaps enumerate page URLs (sources/sitemap), robots.txt
+    politeness filters the frontier (sources/robots — every third host
+    disallows its /p/ tree for this agent, so its pages must NOT be
+    fetched), the surviving URLs are 'fetched' (deterministic synthetic
+    HTML carrying microdata), and the fused structured-data extractor
+    (sources/unified) turns them into triples, reported as per-host
+    page/triple counts.  The oracle predicts the whole funnel in closed
+    form — a politeness leak (fetching a disallowed host) or an
+    extraction miss changes a count and fails the hash.  Scale shape:
+    sitemap parse + robots rules are host-bounded broadcasts; the only
+    frontier-scale ops are the politeness election aggregate, the fetch
+    join, and the final per-host count."""
+    from i2o_transform_spark.sources.robots import check_allowed, parse_robots
+    from i2o_transform_spark.sources.sitemap import parse_sitemaps
+    from i2o_transform_spark.sources.unified import (
+        structured_data_to_triples,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("g")
+    )
+    host = F.concat(F.lit("https://h"), F.col("g").cast("string"),
+                    F.lit(".example"))
+    bare_host = F.concat(F.lit("h"), F.col("g").cast("string"),
+                         F.lit(".example"))
+    # 1. sitemaps: one urlset per host listing its pages
+    block = F.concat(
+        F.lit("<url><loc>"), host, F.lit("/p/"),
+        F.col("doc_id").cast("string"), F.lit("</loc></url>"),
+    )
+    sitemaps = (
+        d.select("g", host.alias("h"), block.alias("b"))
+        .groupBy("g", "h")
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+        .select(
+            F.concat(F.col("h"), F.lit("/sitemap.xml")).alias("url"),
+            F.concat(F.lit("<urlset>"), F.array_join("bs", ""),
+                     F.lit("</urlset>")).alias("xml"),
+        )
+    )
+    frontier = parse_sitemaps(sitemaps).where(
+        F.col("kind") == "urlset"
+    ).select(F.col("loc").alias("url"))
+    # 2. politeness: every third host closes /p/ to this agent
+    robots = d.select("g", bare_host.alias("host")).distinct().select(
+        "host",
+        F.when(F.col("g") % 3 == 0,
+               F.lit("User-agent: kgbot\nDisallow: /p/\n"))
+        .otherwise(F.lit("User-agent: kgbot\nDisallow: /private\n"))
+        .alias("body"),
+    )
+    polite = check_allowed(frontier, parse_robots(robots), "kgbot").where(
+        F.col("allowed")
+    )
+    # 3. 'fetch': deterministic synthetic page per allowed URL
+    doc_id = F.regexp_extract("url", r"/p/(\d+)$", 1)
+    pages = polite.select(
+        "url",
+        F.concat(
+            F.lit('<div itemscope itemtype="https://schema.org/Article" '
+                  'itemid="https://ex.org/doc/'), doc_id,
+            F.lit('"><meta itemprop="identifier" content="D'), doc_id,
+            F.lit('"></div>'),
+        ).alias("html"),
+    )
+    triples = structured_data_to_triples(pages, syntaxes=("microdata",))
+    # 4. per-host report
+    thost = F.regexp_extract("doc_key", r"^(https://[^/]+)", 1)
+    return (
+        triples.select(thost.alias("host"), "doc_key")
+        .groupBy("host")
+        .agg(
+            F.count_distinct("doc_key").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+        )
+    )

@@ -107,3 +107,46 @@ def void_statistics(
     )
 
     return dataset.unionByName(prop).unionByName(cls)
+
+
+def void_graph_statistics(
+    quads: DataFrame,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-NAMED-GRAPH VoID — the quad-lake companion of
+    :func:`void_statistics`: dataset totals and property partitions
+    keyed by the ``graph`` column (NULL = the default graph), the report
+    a crawl-provenanced store publishes per source graph.
+
+    Schema (fixed, UNION-able): (graph, partition, key, n_triples,
+    n_subjects, n_objects) — partition='dataset' rows carry key=NULL,
+    partition='property' rows carry key=pred.  Two aggregations over a
+    pruned 4-column scan; on the quad lake layout (write.partitionBy
+    ("graph")) the graph key is the partition column, so both
+    aggregations are map-side-combinable within graph partitions.
+    ``exact=False`` switches distincts to HyperLogLog++."""
+    q = quads.select("graph", "subj", "pred", "obj")
+    d = (
+        (lambda c: F.countDistinct(c))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    dataset = q.groupBy("graph").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        d("subj").cast("long").alias("n_subjects"),
+        d("obj").cast("long").alias("n_objects"),
+    ).select(
+        "graph", F.lit("dataset").alias("partition"),
+        F.lit(None).cast("string").alias("key"),
+        "n_triples", "n_subjects", "n_objects",
+    )
+    props = q.groupBy("graph", "pred").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        d("subj").cast("long").alias("n_subjects"),
+        d("obj").cast("long").alias("n_objects"),
+    ).select(
+        "graph", F.lit("property").alias("partition"),
+        F.col("pred").alias("key"),
+        "n_triples", "n_subjects", "n_objects",
+    )
+    return dataset.unionByName(props)

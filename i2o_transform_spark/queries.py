@@ -12930,3 +12930,60 @@ def wb_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_triples"),
         )
     )
+
+
+@query(
+    "kg_void_graphs",
+    oracle=r"""
+    WITH q AS (
+      SELECT CASE WHEN o_orderkey % 4 = 3 THEN NULL
+                  ELSE 'http://g/' || CAST(o_orderkey % 4 AS VARCHAR)
+             END AS graph,
+             'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'placed_by'
+                  ELSE 'has_status' END AS pred,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN 'C:' || CAST(o_custkey AS VARCHAR)
+                  ELSE o_orderstatus END AS obj
+      FROM orders
+    )
+    SELECT graph, 'dataset' AS partition, CAST(NULL AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+           CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+    FROM q GROUP BY graph
+    UNION ALL
+    SELECT graph, 'property', pred,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT subj) AS BIGINT),
+           CAST(COUNT(DISTINCT obj) AS BIGINT)
+    FROM q GROUP BY graph, pred
+    """,
+)
+def kg_void_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-named-graph VoID (operators/void.void_graph_statistics): a
+    provenance-partitioned quad store — three named crawl graphs plus a
+    DEFAULT-graph stratum (graph NULL, the N-Quads no-4th-term case) —
+    reports dataset totals and property partitions per graph in the
+    fixed UNION-able schema.  The oracle recomputes both partitions
+    with identical GROUP BYs, so NULL-graph grouping (a classic
+    silent-drop hazard: an inner join or non-null-safe key would lose
+    the default graph) is value-checked.  Two map-side-combinable
+    aggregations; on the partitionBy('graph') lake layout the keys
+    align with the physical partitioning."""
+    from i2o_transform_spark.operators.void import void_graph_statistics
+
+    od = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    quads = od.select(
+        F.when(k % 4 != 3,
+               F.concat(F.lit("http://g/"), (k % 4).cast("string")))
+        .alias("graph"),
+        F.concat(F.lit("O:"), k.cast("string")).alias("subj"),
+        F.when(k % 2 == 0, F.lit("placed_by"))
+        .otherwise(F.lit("has_status")).alias("pred"),
+        F.when(k % 2 == 0,
+               F.concat(F.lit("C:"), F.col("o_custkey").cast("string")))
+        .otherwise(F.col("o_orderstatus")).alias("obj"),
+    )
+    return void_graph_statistics(quads)

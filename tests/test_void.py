@@ -70,3 +70,28 @@ def test_approx_same_shape_small_exact(g):
 def test_custom_type_pred(g):
     got = rows(void_statistics(g, type_pred="knows"))
     assert ("class", "c", 2, 2, 1, 1) in got  # a,b "type" c
+
+
+def test_void_graph_statistics_null_graph_and_approx(spark):
+    from i2o_transform_spark.operators.void import void_graph_statistics
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "s1", "p", "o1"), ("g1", "s1", "p", "o2"),
+            ("g1", "s2", "q", "o1"),
+            (None, "s1", "p", "o1"),  # default graph must NOT vanish
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    rows = {(r["graph"], r["partition"], r["key"]):
+            (r["n_triples"], r["n_subjects"], r["n_objects"])
+            for r in void_graph_statistics(quads).collect()}
+    assert rows[("g1", "dataset", None)] == (3, 2, 2)
+    assert rows[("g1", "property", "p")] == (2, 1, 2)
+    assert rows[("g1", "property", "q")] == (1, 1, 1)
+    assert rows[(None, "dataset", None)] == (1, 1, 1)
+    assert rows[(None, "property", "p")] == (1, 1, 1)
+    approx = {(r["graph"], r["partition"], r["key"]):
+              (r["n_triples"], r["n_subjects"], r["n_objects"])
+              for r in void_graph_statistics(quads, exact=False).collect()}
+    assert approx == rows  # HLL exact at tiny cardinality

@@ -247,3 +247,77 @@ def canonical_graph_hashes(
         F.coalesce("n_colors", F.lit(0)).cast("long").alias("n_colors"),
         "canon_hash",
     )
+
+
+def skolemize(
+    triples: DataFrame,
+    base: str = "https://ex.org/.well-known/genid/",
+    rounds: int | str = 3,
+    bnode_prefix: str = "_:",
+    strict: bool = True,
+) -> DataFrame:
+    """Replace blank nodes with RELABEL-INVARIANT Skolem IRIs (RDF 1.1
+    §3.5 well-known genid): bnode -> ``base + md5(color)[:24]`` where
+    color is the node's 1-WL refinement color — so two parses of the
+    same document under fresh ``_:`` labels skolemize to the SAME IRIs
+    and their triple sets become directly mergeable/set-dedupable
+    (the point of skolemizing a crawl: downstream joins never special-
+    case bnode scoping again).
+
+    The color is structural, so AUTOMORPHIC bnodes (1-WL-equivalent
+    nodes, e.g. two indistinguishable members of a symmetric pair)
+    would collide onto one IRI — that would MERGE distinct nodes, so
+    ``strict=True`` (default) raises when any color is shared by two
+    bnodes within a scope; ``strict=False`` appends a per-color
+    ``row_number`` ordinal instead (deterministic given the store's
+    lexical order, but NOT relabel-invariant for the colliding nodes —
+    the documented 1-WL resolution limit).  Scale shape: one
+    bnode-sized color frame joined back twice (broadcast when it
+    fits)."""
+    colors = bnode_colors(triples, rounds=rounds,
+                          bnode_prefix=bnode_prefix)
+    per_color = colors.groupBy("color").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    if strict:
+        guard = per_color.where(F.col("_n") > 1)
+        dup = F.broadcast(guard).alias("g")
+        colors = (
+            colors.alias("c")
+            .join(dup, F.col("c.color") == F.col("g.color"), "left_outer")
+            .select(
+                "c.node",
+                F.when(
+                    F.col("g.color").isNotNull(),
+                    F.raise_error(F.concat(
+                        F.lit("1-WL-equivalent blank nodes share color "),
+                        F.col("c.color"),
+                        F.lit(" — skolemizing would merge them; use "
+                              "strict=False for ordinal suffixes"),
+                    )),
+                ).otherwise(F.col("c.color")).alias("color"),
+                F.lit(None).cast("long").alias("_ord"),
+            )
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("color").orderBy("node")
+        colors = colors.select(
+            "node", "color",
+            (F.row_number().over(w) - 1).cast("long").alias("_ord"),
+        )
+    iri = F.concat(
+        F.lit(base), F.substring(F.md5("color"), 1, 24),
+        F.when(F.col("_ord") > 0,
+               F.concat(F.lit("-"), F.col("_ord").cast("string")))
+        .otherwise(F.lit("")),
+    )
+    sk = F.broadcast(colors.select("node", iri.alias("_sk")))
+    out = triples
+    for c in ("subj", "obj"):
+        m = sk.select(F.col("node").alias(c), F.col("_sk").alias(f"_sk_{c}"))
+        out = out.join(m, c, "left_outer")
+        out = out.withColumn(c, F.coalesce(F.col(f"_sk_{c}"), F.col(c)))
+        out = out.drop(f"_sk_{c}")
+    return out.select(*triples.columns)  # joins reorder; restore caller's

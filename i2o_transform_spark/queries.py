@@ -12987,3 +12987,59 @@ def kg_void_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderstatus")).alias("obj"),
     )
     return void_graph_statistics(quads)
+
+
+@query(
+    "kg_skolemize",
+    oracle=r"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer)
+    SELECT c * 2 AS n_triples_a, c * 2 AS n_triples_b,
+           c * 2 AS n_identical, c AS n_skolem_subjects
+    FROM n
+    """,
+)
+def kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skolemization (operators/canon.skolemize — RDF 1.1 §3.5
+    well-known genid): blank nodes become RELABEL-INVARIANT IRIs keyed
+    by their 1-WL color, so two parses of the same crawl document under
+    fresh _: labels produce byte-identical triple sets and downstream
+    merges never special-case bnode scoping.  The query skolemizes the
+    SAME per-customer bundle under two disjoint label schemes (_:a<k>
+    vs _:zz<k>-relabeled) and counts: both skolemized sets have 2
+    triples per customer, their INNER join on all three columns matches
+    completely (n_identical == n_triples — the invariance claim as a
+    value), and exactly one genid subject per customer exists.  Bundles
+    are structurally identical ACROSS customers but each contains its
+    customer's unique name literal, so colors separate and the strict
+    automorphism guard passes — the guard itself is pytest-covered.
+    Scale shape: colors are bnode-sized and broadcast back; the
+    rewrite is two map-side joins."""
+    from i2o_transform_spark.operators.canon import skolemize
+
+    cu = _t(spark, sf_dir, "customer")
+
+    def bundle(label_prefix: str) -> DataFrame:
+        b = F.concat(F.lit(label_prefix), F.col("c_custkey").cast("string"))
+        return cu.select(
+            b.alias("subj"), F.lit("name").alias("pred"),
+            F.col("c_name").alias("obj"),
+        ).unionByName(
+            cu.select(b.alias("subj"), F.lit("type").alias("pred"),
+                      F.lit("Person").alias("obj"))
+        )
+
+    ska = skolemize(bundle("_:a"))
+    skb = skolemize(bundle("_:zz"))
+    common = ska.join(skb, ["subj", "pred", "obj"], "inner")
+    genid = ska.where(
+        F.col("subj").startswith("https://ex.org/.well-known/genid/")
+    ).select("subj").distinct()
+    return (
+        ska.agg(F.count(F.lit(1)).cast("long").alias("n_triples_a"))
+        .crossJoin(skb.agg(F.count(F.lit(1)).cast("long")
+                           .alias("n_triples_b")))
+        .crossJoin(common.agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_identical")))
+        .crossJoin(genid.agg(F.count(F.lit(1)).cast("long")
+                             .alias("n_skolem_subjects")))
+    )

@@ -117,3 +117,50 @@ def test_auto_rounds_refines_deep_chain(spark):
     assert ca["_:a0"] != ca["_:b0"]          # auto reached the fixpoint
     # every chain position separated
     assert all(ca[f"_:a{i}"] != ca[f"_:b{i}"] for i in range(5))
+
+
+def test_skolemize_strict_guard_and_ordinal_fallback(spark):
+    import pytest as _pytest
+
+    from i2o_transform_spark.operators.canon import skolemize
+
+    # two 1-WL-indistinguishable bnodes (a symmetric pair with identical
+    # ground context): strict must refuse, ordinal mode must separate
+    t = spark.createDataFrame(
+        [("_:x", "p", "v"), ("_:y", "p", "v")],
+        "subj string, pred string, obj string",
+    )
+    with _pytest.raises(Exception):
+        skolemize(t).collect()
+    out = skolemize(t, strict=False).collect()
+    subs = sorted({r["subj"] for r in out})
+    assert len(subs) == 2
+    assert subs[0].startswith("https://ex.org/.well-known/genid/")
+    assert subs[1] == subs[0] + "-1"  # deterministic ordinal suffix
+
+
+def test_skolemize_rewrites_object_position_and_keeps_ground(spark):
+    from i2o_transform_spark.operators.canon import skolemize
+
+    t = spark.createDataFrame(
+        [
+            ("_:a", "knows", "_:b"),
+            ("_:a", "name", "alice"),
+            ("_:b", "name", "bob"),
+            ("http://e/1", "likes", "_:b"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = skolemize(t, base="https://k/")
+    rows = sorted(map(tuple, out.collect()))
+    assert all(not s.startswith("_:") and not o.startswith("_:")
+               for (s, _p, o) in rows)
+    # ground terms untouched
+    assert any(s == "http://e/1" for (s, _p, _o) in rows)
+    assert any(o == "alice" for (_s, _p, o) in rows)
+    # the chain edge points at the SAME skolem IRI bob's triples use
+    bob = [s for (s, p, _o) in rows if p == "name" and _o == "bob"][0] \
+        if False else [s for (s, p, o) in rows if p == "name" and o == "bob"][0]
+    assert ("https://k/" in bob) and any(
+        o == bob for (_s, p, o) in rows if p in ("knows", "likes")
+    )

@@ -92,7 +92,10 @@ DRIVER_WINDOW: list[str] = [
     "kg_schema_match",
     # CDC / temporal / as-of family
     "cdc_scd2_history",
-    "kg_temporal_intervals",
+    # kg_temporal_intervals yielded its slot to RETRACTION maintenance
+    # (new family: exact DRed via rho-DF linearity — completes the
+    # add/schema/retract incremental triad; temporal keeps 2 reps)
+    "kg_rdfs_retract",
     "kg_asof_snapshot",
     # KG interchange / reification / property graph
     # pg_roundtrip yielded its slot to golden-record fusion (new family:
@@ -116,7 +119,11 @@ DRIVER_WINDOW: list[str] = [
     "kg_bgp_construct",
     # QA sketch gates
     "qa_quantile_sketch_check",
-    "qa_heavy_hitters_check",
+    # qa_heavy_hitters_check yielded its slot to the crawl-cycle
+    # capstone (new family: sitemap frontier -> robots politeness ->
+    # fetch -> fused extraction, the r04 sources composed; QA keeps
+    # the quantile gate)
+    "wb_crawl_cycle",
     # qa_bloom yielded its slot to OWL class-expression entailment over
     # RDF collections (new family; QA keeps quantile + heavy-hitters)
     "kg_owl_classexpr",

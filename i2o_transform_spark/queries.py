@@ -13043,3 +13043,75 @@ def kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(genid.agg(F.count(F.lit(1)).cast("long")
                              .alias("n_skolem_subjects")))
     )
+
+
+# ---------------------------------------------------------------------------
+# graph partition planning — the 10^12-edge layout decision, measured
+# ---------------------------------------------------------------------------
+
+from i2o_transform_spark.operators.partition import bucket_sql  # noqa: E402
+
+
+def _pp_stats_sql(name: str, tbl: str, parts: int) -> str:
+    """DuckDB twin of operators/partition._strategy_stats."""
+    return f"""
+    SELECT '{name}' AS strategy, CAST({parts} AS BIGINT) AS parts,
+           l.edges, l.max_load_ppm, r.vertices, r.replication_milli,
+           r.max_replicas
+    FROM
+     (SELECT CAST(SUM(m) AS BIGINT) AS edges,
+             CAST(FLOOR(MAX(m)*1000000.0/SUM(m)) AS BIGINT) AS max_load_ppm
+      FROM (SELECT part, COUNT(*) AS m FROM {tbl} GROUP BY part)) l,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS vertices,
+             CAST(FLOOR(SUM(r)*1000.0/COUNT(*)) AS BIGINT)
+               AS replication_milli,
+             CAST(MAX(r) AS BIGINT) AS max_replicas
+      FROM (SELECT v, COUNT(*) AS r FROM
+            (SELECT DISTINCT src AS v, part FROM {tbl}
+             UNION SELECT DISTINCT dst, part FROM {tbl}) GROUP BY v)) r
+    """
+
+
+@query(
+    "kg_partition_plan",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    d1 AS (SELECT src, dst, {bucket_sql('src', 16)} AS part FROM e),
+    d2 AS (SELECT src, dst,
+                  {bucket_sql('src', 4)} * 4 + {bucket_sql('dst', 4)} AS part
+           FROM e),
+    ind AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst),
+    d3 AS (SELECT e.src, e.dst,
+                  CASE WHEN ind.in_deg > 16 THEN {bucket_sql('e.src', 16)}
+                       ELSE {bucket_sql('e.dst', 16)} END AS part
+           FROM e JOIN ind ON e.dst = ind.dst)
+    {_pp_stats_sql('src_hash', 'd1', 16)}
+    UNION ALL
+    {_pp_stats_sql('grid_2d', 'd2', 16)}
+    UNION ALL
+    {_pp_stats_sql('hybrid_degree', 'd3', 16)}
+    """,
+)
+def kg_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout planning report (operators/partition.py): evaluate
+    1D edge-cut (src hash), 2D grid vertex-cut, and degree-aware
+    hybrid-cut on the real supplier->part edge distribution and report
+    straggler bound (max_load_ppm) + vertex replication (milli).  This is
+    the measurement that picks the layout for the 10^12-triple store the
+    reference never needed (single-node clustered indexes,
+    MSSQL/OMOPLoader.sql DDL).  The md5-nibble bucket is engine-portable,
+    so the oracle reproduces the ASSIGNMENTS bit-for-bit, not just the
+    headline stats.  Scale shape: per strategy one map + two hash aggs;
+    hybrid adds one degree profile + one equi-join; no iteration, no
+    collect."""
+    from i2o_transform_spark.operators.partition import plan_partitions
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return plan_partitions(edges, parts=16, hub_threshold=16)

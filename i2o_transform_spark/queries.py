@@ -13115,3 +13115,55 @@ def kg_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     ).distinct()
     return plan_partitions(edges, parts=16, hub_threshold=16)
+
+
+# ---------------------------------------------------------------------------
+# RDF-star interchange — quoted-triple annotations <-> the reified store
+# ---------------------------------------------------------------------------
+
+@query(
+    "nt_star_roundtrip",
+    oracle="""
+    SELECT DISTINCT
+      'o' || l_orderkey AS q_subj,
+      'contains'        AS q_pred,
+      'p' || l_partkey  AS q_obj,
+      'line'            AS pred,
+      CAST(l_linenumber AS VARCHAR) AS obj
+    FROM lineitem
+    """,
+)
+def nt_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-star interchange fidelity (sources/ntriples_star.py): qualified
+    assertions (order contains part, ON LINE n — the reference's modifier
+    columns, MSSQL/OMOPLoader.sql modifier joins) serialized as
+    ``<< <s> <p> <o> >> <line> "n" .`` lines, parsed back JVM-side,
+    bridged INTO the reified statement-node store
+    (rdfstar_to_reified) and back OUT (reified_to_rdfstar).  The oracle
+    recomputes the expected annotations straight from lineitem, so the
+    whole wire+bridge chain must be lossless — including multi-valued
+    qualifiers (several line numbers annotating one quoted triple share
+    one statement node).  Scale shape: two line-parallel maps + one
+    explode + one hash agg + one equi-join; no iteration."""
+    from i2o_transform_spark.sources.ntriples_star import (
+        parse_ntriples_star_lines,
+        rdfstar_to_reified,
+        reified_to_rdfstar,
+        to_ntriples_star_lines,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ann = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+        .alias("q_subj"),
+        F.lit("contains").alias("q_pred"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("q_obj"),
+        F.lit(True).alias("q_obj_is_iri"),
+        F.lit("line").alias("pred"),
+        F.col("l_linenumber").cast("string").alias("obj"),
+    )
+    lines = to_ntriples_star_lines(ann, q_obj_is_iri="q_obj_is_iri")
+    parsed = parse_ntriples_star_lines(lines)
+    store = rdfstar_to_reified(parsed)
+    return reified_to_rdfstar(store)

@@ -13167,3 +13167,62 @@ def nt_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_ntriples_star_lines(lines)
     store = rdfstar_to_reified(parsed)
     return reified_to_rdfstar(store)
+
+
+# ---------------------------------------------------------------------------
+# incremental BGP view maintenance — the query layer's delta path
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_bgp_maintain",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL},
+    k AS (
+      SELECT subj, obj,
+             {bucket_sql("subj || '|' || obj", 5)} AS b5,
+             {bucket_sql("subj || '|' || obj", 7)} AS b7
+      FROM e
+    ),
+    tnew AS (
+      SELECT subj, obj FROM k WHERE b5 = 0 OR (b5 <> 0 AND b7 <> 0)
+    )
+    SELECT DISTINCT e1.subj AS a, e1.obj AS b, e2.subj AS c
+    FROM tnew e1 JOIN tnew e2 ON e1.obj = e2.obj
+    """,
+)
+def kg_bgp_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance for a co-citation BGP
+    (operators/viewmaint.maintain_bgp_view): the KG edge table takes a
+    crawl batch (inserts: portable-bucket b5==0 of each edge) AND a
+    retraction set (deletes: b7==0 of the remaining edges), and the
+    (?a link ?b)(?c link ?b) answer set is maintained by seminaive
+    delta joins + DRed-style rederivation — never recomputed.  The
+    oracle computes the full 2-hop self-join over the post-delta store
+    directly, so incremental == recompute is the correctness gate, at
+    every scale.  Completes the incremental triad (CC, entailment,
+    retraction) for the query layer.  Scale shape: 2k delta-anchored
+    join chains + one anti-join on the view key; no iteration."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+    from i2o_transform_spark.operators.partition import bucket
+    from i2o_transform_spark.operators.viewmaint import maintain_bgp_view
+
+    key = F.concat_ws("|", F.col("subj"), F.col("obj"))
+    edges = _kg_edges(spark, sf_dir).select(
+        "subj", "obj",
+        bucket(key, 5).alias("b5"), bucket(key, 7).alias("b7"),
+    ).cache()
+
+    def trip(df: DataFrame) -> DataFrame:
+        return df.select("subj", F.lit("link").alias("pred"), "obj")
+
+    ins = trip(edges.where(F.col("b5") == 0))
+    old = edges.where(F.col("b5") != 0)
+    dels = trip(old.where(F.col("b7") == 0))
+    t_old = trip(old)
+    t_new = trip(
+        edges.where((F.col("b5") == 0)
+                    | ((F.col("b5") != 0) & (F.col("b7") != 0)))
+    )
+    patterns = [("?a", "link", "?b"), ("?c", "link", "?b")]
+    v_old = bgp_match(t_old, patterns)
+    return maintain_bgp_view(v_old, t_new, ins, dels, patterns)

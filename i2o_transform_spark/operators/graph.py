@@ -250,6 +250,99 @@ def pagerank(
     return ranks
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iterations: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    init_ranks: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """Power iteration to an L1 residual < ``tol``; returns (ranks, iters).
+
+    ``init_ranks`` warm-starts the iteration — the INCREMENTAL path for a
+    crawl's edge-delta batches: project the previous converged vector onto
+    the new node set (arrivals start at 1/n), renormalize to unit mass,
+    and iterate from there.  Power iteration's fixpoint is independent of
+    the start vector, so warm == cold at the tolerance (pytest + oracle
+    gate); what the warm start buys is ROUNDS — the residual starts at
+    the size of the perturbation, not at 1.  This completes the
+    incremental triad (CC, entailment/retraction, BGP views) for ranking.
+
+    Scale shape: identical per-round cost to :func:`pagerank` (edge table
+    exchanged once, rank vector moves), plus one node-sized join + 1-row
+    aggregate per round for the residual — the convergence check is the
+    round's action and doubles as the eager checkpoint barrier."""
+    e = edges.select(src, dst).distinct().repartition(F.col(src))
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)), 0
+    out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        carried = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("_r0")),
+            "node", "left",
+        ).select(
+            "node", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank")
+        )
+        total = carried.agg(F.sum("rank")).collect()[0][0]
+        ranks = carried.withColumn("rank", F.col("rank") / F.lit(total))
+    ranks = ranks.localCheckpoint(eager=True)
+    iters = 0
+    for _ in range(max_iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", src), src)
+            .join(F.broadcast(out_deg), src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            ranks.join(
+                F.broadcast(out_deg.select(F.col(src).alias("node"))),
+                "node", "left_anti",
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        nxt = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("_dang") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters += 1
+        resid = (
+            nxt.join(
+                ranks.select("node", F.col("rank").alias("_prev")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
+            .collect()[0][0]
+        )
+        ranks = nxt
+        if resid < tol:
+            break
+    return ranks, iters
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count via degree-ordered edge orientation.
 

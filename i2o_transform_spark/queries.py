@@ -13226,3 +13226,50 @@ def kg_bgp_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns = [("?a", "link", "?b"), ("?c", "link", "?b")]
     v_old = bgp_match(t_old, patterns)
     return maintain_bgp_view(v_old, t_new, ins, dels, patterns)
+
+
+@query(
+    "kg_pagerank_incr_check",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(1 AS INT) AS converged_match,
+           CAST(1 AS INT) AS warm_no_slower
+    FROM (SELECT subj AS node FROM e UNION SELECT obj FROM e) t
+    """,
+)
+def kg_pagerank_incr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank gate (graph.pagerank_converged warm start):
+    a crawl edge-delta batch (portable-bucket b6==0 of the KG edge
+    table) arrives; ranks are maintained by warm-starting the power
+    iteration from the previous converged vector instead of recomputing
+    from uniform.  The gate asserts the fixpoint is start-independent —
+    warm and cold vectors agree to 1e-4 (tolerance-bounded: ||x-x*||_1
+    <= d/(1-d) * tol) — and that the warm path needed no more rounds
+    than cold (on this fixture it needs strictly fewer; the strict
+    version is pytest-gated where the perturbation is controlled).
+    Completes the incremental triad for ranking.  Scale shape: same
+    exchange bill per round as pagerank; the residual check is the
+    round's only driver action."""
+    from i2o_transform_spark.operators.graph import pagerank_converged
+    from i2o_transform_spark.operators.partition import bucket
+
+    key = F.concat_ws("|", F.col("subj"), F.col("obj"))
+    edges = _kg_edges(spark, sf_dir).withColumn("b6", bucket(key, 6)).cache()
+    old = edges.where(F.col("b6") != 0)
+    full = edges.select("subj", "obj")
+    r_old, _ = pagerank_converged(old, tol=1e-6, src="subj", dst="obj")
+    warm, wi = pagerank_converged(
+        full, tol=1e-6, src="subj", dst="obj", init_ranks=r_old
+    )
+    cold, ci = pagerank_converged(full, tol=1e-6, src="subj", dst="obj")
+    diff = warm.join(
+        cold.select("node", F.col("rank").alias("_cold")), "node"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.max(F.abs(F.col("rank") - F.col("_cold"))) < 1e-4)
+        .cast("int").alias("converged_match"),
+    )
+    return diff.withColumn(
+        "warm_no_slower", F.lit(1 if wi <= ci else 0).cast("int")
+    )

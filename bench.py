@@ -85,6 +85,11 @@ EXTRA = [
     "kg_dict_encode",
     "kg_bgp_encoded",
     "kg_anchor_priors",
+    # round-4 session-D: partition planning, RDF-star wire, incremental
+    # query/rank maintenance
+    "kg_partition_plan",
+    "nt_star_roundtrip",
+    "kg_bgp_maintain",
 ]
 
 

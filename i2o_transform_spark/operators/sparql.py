@@ -94,8 +94,16 @@ Supported (SPARQL 1.1 grammar subset)
     Untagged stores are completely unaffected — no companion columns
     ever exist.
 
+``SERVICE [SILENT] <iri> { ... }`` federates against a LOCAL store
+registry (``sparql(..., stores={iri: frame})``): the group evaluates as
+a BGP on the named frame and joins the enclosing bindings on shared
+variables; a missing endpoint raises unless SILENT (which then
+contributes no constraint, the spec's failure-tolerant mode).
+
 Deliberately out of scope (raise ValueError, never silently mis-answer):
-``SERVICE``/federation and property paths inside GRAPH blocks.
+network ``SERVICE`` endpoints (no network in a Spark executor's contract
+here — local-frame federation above is the supported form), variable
+SERVICE endpoints, and property paths inside GRAPH blocks.
 
 Term mapping: this engine's triple stores hold PLAIN STRINGS (``"N:7"``,
 ``"inNation"``) — ``<iri>`` strips the angle brackets, ``"literal"``
@@ -126,7 +134,7 @@ _KEYWORDS = {
     "select", "distinct", "where", "optional", "minus", "filter", "exists",
     "not", "values", "bind", "as", "union", "group", "by", "having",
     "order", "asc", "desc", "limit", "offset", "ask", "construct",
-    "prefix", "undef", "in", "describe", "graph",
+    "prefix", "undef", "in", "describe", "graph", "service", "silent",
 }
 
 _AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
@@ -526,6 +534,7 @@ def _parse_triples_block(p: _P) -> list[tuple]:
             break
         if kind == "name" and val.lower() in (
             "optional", "minus", "filter", "values", "bind", "union",
+            "graph", "service",
         ):
             break
         subj = p.term()
@@ -829,6 +838,29 @@ def _parse_group_with_binds(p: _P) -> dict:
                     )
                 kw["patterns"].append((s, pr, o, g))
             p.expect_punct("}")
+        elif p.at_kw("service"):
+            # SERVICE [SILENT] <endpoint> { triples } — federation against
+            # a store registry (local frames; a NETWORK endpoint is out of
+            # scope, see module docstring).  The group is evaluated
+            # against the named store and joins the enclosing bindings on
+            # shared variables, exactly like a subquery's frame.
+            p.eat()
+            silent = p.at_kw("silent")
+            if silent:
+                p.eat()
+            kind, _ = p.peek()
+            if kind != "iri":
+                raise SparqlSyntaxError(
+                    "SERVICE endpoint must be a constant IRI (variable "
+                    "endpoints are not supported)"
+                )
+            ep = p.term()
+            p.expect_punct("{")
+            block = _parse_triples_block(p)
+            p.expect_punct("}")
+            kw.setdefault("services", []).append(
+                {"silent": silent, "endpoint": ep, "patterns": block}
+            )
         elif p.at_kw("optional", "minus", "filter", "values"):
             # reuse the group parser's clause handling via a tiny re-entry
             _parse_clause(p, kw)
@@ -847,7 +879,11 @@ def _parse_group_with_binds(p: _P) -> dict:
         else:
             kw["patterns"].extend(_parse_triples_block(p))
     p.eat()
-    if not kw["patterns"] and not kw.get("subqueries"):
+    if (
+        not kw["patterns"]
+        and not kw.get("subqueries")
+        and not kw.get("services")
+    ):
         raise SparqlSyntaxError("group has no required triple pattern")
     return kw
 
@@ -894,32 +930,68 @@ def _no_trailing(p: _P):
 
 
 def _resolve_subqueries(
-    triples: DataFrame, groups: list[dict], stats: dict[str, int] | None
+    triples: DataFrame,
+    groups: list[dict],
+    stats: dict[str, int] | None,
+    stores: dict[str, DataFrame] | None = None,
 ):
     """Evaluate each group's parsed subqueries bottom-up into bindings
     frames (recursing through :func:`_exec_select`, so nesting is
     unbounded) and hand them to bgp_match as ``extra_bindings``; also
-    threads ``stats`` into every group for cost-based ordering."""
+    threads ``stats`` into every group for cost-based ordering.
+
+    SERVICE groups resolve the same way: each is evaluated as a BGP
+    against its endpoint's frame in the ``stores`` registry and joins the
+    enclosing bindings as one more extra-bindings frame.  An endpoint
+    missing from the registry raises (listing the known endpoints) unless
+    the query said SILENT, in which case the group contributes no
+    constraint — the spec's failure-tolerant federation mode."""
+    from i2o_transform_spark.operators.bgp import bgp_match
+
     for g in groups:
         subs = g.pop("subqueries", None)
+        servs = g.pop("services", None)
         if stats is not None:
             g["stats"] = stats
+        eb = list(g.get("extra_bindings") or [])
         if subs:
-            g["extra_bindings"] = [
-                _exec_select(triples, s, stats) for s in subs
-            ]
+            eb.extend(
+                _exec_select(triples, s, stats, stores) for s in subs
+            )
+        for sv in servs or []:
+            store = (stores or {}).get(sv["endpoint"])
+            if store is None:
+                if sv["silent"]:
+                    continue
+                raise ValueError(
+                    f"SERVICE endpoint {sv['endpoint']!r} not in the "
+                    f"store registry (known: {sorted(stores or {})}) — "
+                    "pass stores={iri: frame} or mark it SILENT"
+                )
+            eb.append(bgp_match(store, sv["patterns"]))
+        if eb:
+            g["extra_bindings"] = eb
 
 
 def sparql(
     triples: DataFrame,
     text: str,
     stats: dict[str, int] | None = None,
+    stores: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Parse and execute SPARQL ``text`` against ``triples`` — the one-call
     entry point.  ``stats`` passes through to the cost-based join ordering
     (see bgp.plan_order).  SELECT returns one column per projected
     variable; ASK one boolean ``ask`` row; CONSTRUCT a distinct
-    (subj, pred, obj) graph."""
+    (subj, pred, obj) graph.
+
+    ``stores`` is the SERVICE federation registry ({endpoint-IRI: triples
+    frame}): ``SERVICE <iri> { ... }`` groups evaluate against the named
+    frame and join the enclosing bindings on shared variables.  This is
+    LOCAL federation — the cross-store join semantics of the spec over
+    frames already in the session (e.g. two differently-partitioned
+    lakes, or a broadcast-sized ontology next to the big store); network
+    endpoints stay out of scope."""
     from i2o_transform_spark.operators.bgp import (
         bgp_ask,
         bgp_construct,
@@ -928,20 +1000,23 @@ def sparql(
 
     q = parse(text)
     if q["form"] == "ask":
-        _resolve_subqueries(triples, q["groups"], stats)
+        _resolve_subqueries(triples, q["groups"], stats, stores)
         return bgp_ask(triples, **q["groups"][0])
     if q["form"] == "construct":
-        _resolve_subqueries(triples, q["groups"], stats)
+        _resolve_subqueries(triples, q["groups"], stats, stores)
         return bgp_construct(triples, template=q["template"],
                              **q["groups"][0])
     if q["form"] == "describe":
-        _resolve_subqueries(triples, q["groups"], stats)
+        _resolve_subqueries(triples, q["groups"], stats, stores)
         return bgp_describe(triples, var=q["var"], **q["groups"][0])
-    return _exec_select(triples, q, stats)
+    return _exec_select(triples, q, stats, stores)
 
 
 def _exec_select(
-    triples: DataFrame, q: dict, stats: dict[str, int] | None
+    triples: DataFrame,
+    q: dict,
+    stats: dict[str, int] | None,
+    stores: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Execute a parsed SELECT spec (top-level or subquery) to a bindings
     frame holding exactly the projected columns."""
@@ -953,7 +1028,7 @@ def _exec_select(
     )
 
     groups = q["groups"]
-    _resolve_subqueries(triples, groups, stats)
+    _resolve_subqueries(triples, groups, stats, stores)
 
     if len(groups) == 1:
         bindings = bgp_match(triples, distinct=False, **groups[0])

@@ -13273,3 +13273,58 @@ def kg_pagerank_incr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.withColumn(
         "warm_no_slower", F.lit(1 if wi <= ci else 0).cast("int")
     )
+
+
+@query(
+    "kg_sparql_service",
+    oracle="""
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS c,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS n,
+           n_name AS nm
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+    """,
+)
+def kg_sparql_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SERVICE federation (operators/sparql — local store
+    registry): the customer-triples store is joined against a SEPARATE
+    geo store through ``SERVICE <http://geo.local/nations> { ... }`` —
+    the service group evaluates as a BGP on the registry frame and its
+    bindings join the enclosing pattern on the shared ?n, closing the
+    last SPARQL scope-out short of network endpoints.  The service
+    block's own join (name + region membership) runs entirely in the
+    remote frame, so a broadcast-sized ontology federates against the
+    10^12-triple main store without ever unioning into it.  Oracle: the
+    same customer x nation join straight off the base tables."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    main = cu.select(
+        tag("C:", "c_custkey").alias("subj"),
+        F.lit("inNation").alias("pred"),
+        tag("N:", "c_nationkey").alias("obj"),
+    )
+    geo = na.select(
+        tag("N:", "n_nationkey").alias("subj"),
+        F.lit("name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        na.select(
+            tag("N:", "n_nationkey").alias("subj"),
+            F.lit("partOf").alias("pred"),
+            tag("R:", "n_regionkey").alias("obj"),
+        )
+    )
+    return sparql(
+        main,
+        """
+        SELECT ?c ?n ?nm WHERE {
+          ?c inNation ?n .
+          SERVICE <http://geo.local/nations> {
+            ?n name ?nm . ?n partOf "R:2"
+          }
+        }""",
+        stores={"http://geo.local/nations": geo},
+    )

@@ -343,6 +343,119 @@ def pagerank_converged(
     return ranks, iters
 
 
+def hits(
+    edges: DataFrame,
+    tol: float = 1e-9,
+    max_iterations: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    check_every: int = 4,
+) -> tuple[DataFrame, int]:
+    """Kleinberg HITS — hubs and authorities of the link graph.
+
+    PageRank ranks by endorsement flow; HITS separates the two roles a
+    web page plays — DIRECTORY (hub: links to good authorities) and
+    DESTINATION (authority: linked from good hubs) — the right lens for
+    crawl frontiers (fetch good hubs first) and for entity-link priors
+    on listing-heavy pages.  Returns ``((node, hub, auth), iterations)``.
+
+    Mutual recursion a = A^T h, h = A a.  Scores are reported under L1
+    (sum-to-one) normalization — same fixpoint direction as Kleinberg's
+    L2 (power iteration is scale-invariant), but the unit is exact and
+    portable: both score columns each sum to exactly 1, which is the
+    oracle's conservation gate (same device as pagerank's sum_is_one).
+    Convergence by L1 residual over both normalized vectors.
+
+    Scale shape: per round exactly two edge-keyed hash-agg joins over the
+    once-repartitioned edge table — NO normalization inside rounds
+    (scale-invariance makes it pure overhead, and a scalar-subquery
+    normalize inside a lazy batch would re-execute the whole upstream
+    lineage once per round).  Every ``check_every`` rounds the batch is
+    checkpointed, normalized once (two 1-row aggregates broadcast back —
+    this also resets the vector scale, so magnitudes never drift toward
+    overflow however many batches run), zero-filled against the node
+    frame, and probed for the residual.  The reported iteration count is
+    therefore a multiple of ``check_every`` (documented coarsening;
+    ``check_every=1`` restores exact counts — overshooting a fixpoint by
+    <=3 rounds moves nothing).  Nodes with no in-edges (resp. out-edges)
+    keep authority 0 (resp. hub 0) — they stay in the frame, not
+    silently dropped."""
+    e = edges.select(src, dst).distinct()
+    e_src = e.repartition(F.col(src)).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        empty = nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "auth", F.lit(0.0)
+        )
+        return empty, 0
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    ).localCheckpoint(eager=True)
+    iters = 0
+    while iters < max_iterations:
+        batch = min(check_every, max_iterations - iters)
+        h = scores.select("node", F.col("hub").alias("v"))
+        a = None
+        for _ in range(batch):
+            a = (
+                e_src.join(h.withColumnRenamed("node", src), src)
+                .groupBy(F.col(dst).alias("node"))
+                .agg(F.sum("v").alias("v"))
+            )
+            h = (
+                e_src.join(a.withColumnRenamed("node", dst), dst)
+                .groupBy(F.col(src).alias("node"))
+                .agg(F.sum("v").alias("v"))
+            )
+        # checkpoint a first: h's final round hangs off it, so the two
+        # materializations share the batch lineage instead of repeating it
+        a = a.localCheckpoint(eager=True)
+        h = h.localCheckpoint(eager=True)
+        hsum = h.agg(F.sum("v").alias("_hs"))
+        asum = a.agg(F.sum("v").alias("_as"))
+        nxt = (
+            nodes.join(h.select("node", F.col("v").alias("_h")),
+                       "node", "left")
+            .join(a.select("node", F.col("v").alias("_a")), "node", "left")
+            .crossJoin(F.broadcast(hsum))
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_hs"))
+                .alias("hub"),
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_as"))
+                .alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters += batch
+        resid = (
+            nxt.join(
+                scores.select(
+                    "node",
+                    F.col("hub").alias("_ph"), F.col("auth").alias("_pa"),
+                ),
+                "node",
+            )
+            .agg(
+                F.sum(
+                    F.abs(F.col("hub") - F.col("_ph"))
+                    + F.abs(F.col("auth") - F.col("_pa"))
+                )
+            )
+            .collect()[0][0]
+        )
+        scores = nxt
+        if resid < tol:
+            break
+    return scores, iters
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count via degree-ordered edge orientation.
 

@@ -137,3 +137,66 @@ def profile_keys(df: DataFrame, cols: list[str]) -> DataFrame:
             .alias("is_key"),
         )
     )
+
+
+def mine_unary_inds(
+    av: DataFrame,
+    min_containment_ppm: int = 0,
+    attr: str = "attr",
+    value: str = "value",
+) -> DataFrame:
+    """Unary inclusion dependencies over an (attr, value) long frame —
+    the foreign-key discovery step that completes the profiling trio
+    (keys -> node ids, FDs -> single-valued properties, INDs -> the
+    JOIN EDGES between extracted relations).  The reference declares its
+    FKs statically (MSSQL/OMOPLoader.sql omopReport orphan checks); a
+    schema-mapping pipeline over unknown extracted tables must mine
+    which columns reference which.
+
+    For every ordered attribute pair reports ``containment_ppm`` =
+    floor(1e6 * |distinct(lhs) ∩ distinct(rhs)| / |distinct(lhs)|) —
+    1_000_000 iff lhs ⊆ rhs exactly (an exact unary IND); partial
+    containment survives down to ``min_containment_ppm`` (dirty webs:
+    95%+ containment is still a join edge worth proposing, the rest is
+    extraction noise).  NULL values are excluded (INDs are defined over
+    non-null projections, same convention as the FD miner).
+
+    Scale shape (the MIND/SPIDER aggregation recast as two hash aggs):
+    distinct (attr, value) once; group by VALUE collecting the
+    schema-bounded attribute set; explode ordered pairs per value (at
+    most |schema|^2 per value — bounded by the schema, not the data);
+    count per pair; broadcast-join per-attr distinct totals.  One
+    value-keyed exchange over data that is already distinct-projected —
+    the hot-value skew cap is the schema size itself."""
+    pairs_per_value = (
+        av.where(F.col(value).isNotNull())
+        .select(F.col(attr).alias("_a"), F.col(value).alias("_v"))
+        .distinct()
+        .groupBy("_v")
+        .agg(F.collect_set("_a").alias("_as"))
+        .select(
+            F.explode("_as").alias("lhs"), F.col("_as").alias("_rhss")
+        )
+        .select("lhs", F.explode("_rhss").alias("rhs"))
+        .where(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    totals = (
+        av.where(F.col(value).isNotNull())
+        .select(F.col(attr).alias("lhs"), F.col(value).alias("_v"))
+        .distinct()
+        .groupBy("lhs")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        pairs_per_value.join(F.broadcast(totals), "lhs")
+        .select(
+            "lhs",
+            "rhs",
+            F.floor(F.col("_common") * F.lit(1_000_000) / F.col("_n"))
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= F.lit(min_containment_ppm))
+    )

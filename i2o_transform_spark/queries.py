@@ -13328,3 +13328,95 @@ def kg_sparql_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""",
         stores={"http://geo.local/nations": geo},
     )
+
+
+@query(
+    "kg_hits_check",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(1 AS INT) AS hub_sum_is_one,
+           CAST(1 AS INT) AS auth_sum_is_one,
+           CAST(1 AS INT) AS converged
+    FROM (SELECT subj AS node FROM e UNION SELECT obj FROM e) t
+    """,
+)
+def kg_hits_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS invariant gate (graph.hits): hub and authority vectors over
+    the KG edge table each conserve unit mass exactly (L1-normalized
+    rounds), every node is covered (no-in-edge nodes keep authority 0
+    rather than vanishing), and the mutual recursion converged within
+    the round budget.  Exact score values are pytest-gated against a
+    dense numpy power iteration on A^T A
+    (tests/test_hits.py::test_hits_matches_numpy).  Hubs vs authorities
+    is the crawl-frontier lens PageRank can't give: directories score
+    high as hubs, destinations as authorities."""
+    from i2o_transform_spark.operators.graph import hits
+
+    scores, iters = hits(_kg_edges(spark, sf_dir), tol=1e-9,
+                         src="subj", dst="obj")
+    return scores.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.abs(F.sum("hub") - 1.0) < 1e-6).cast("int")
+        .alias("hub_sum_is_one"),
+        (F.abs(F.sum("auth") - 1.0) < 1e-6).cast("int")
+        .alias("auth_sum_is_one"),
+    ).withColumn("converged", F.lit(1 if iters < 100 else 0).cast("int"))
+
+
+@query(
+    "kg_ind_mine",
+    oracle="""
+    WITH av AS (
+      SELECT DISTINCT 'o_custkey' AS attr, CAST(o_custkey AS VARCHAR) AS val
+      FROM orders
+      UNION SELECT DISTINCT 'c_custkey', CAST(c_custkey AS VARCHAR)
+      FROM customer
+      UNION SELECT DISTINCT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+      FROM customer
+      UNION SELECT DISTINCT 'n_nationkey', CAST(n_nationkey AS VARCHAR)
+      FROM nation
+      UNION SELECT DISTINCT 'l_orderkey', CAST(l_orderkey AS VARCHAR)
+      FROM lineitem
+      UNION SELECT DISTINCT 'o_orderkey', CAST(o_orderkey AS VARCHAR)
+      FROM orders
+    ),
+    per AS (SELECT attr, COUNT(*) AS n FROM av GROUP BY attr),
+    pair AS (
+      SELECT a.attr AS lhs, b.attr AS rhs, COUNT(*) AS c
+      FROM av a JOIN av b ON a.val = b.val AND a.attr <> b.attr
+      GROUP BY 1, 2
+    )
+    SELECT lhs, rhs,
+           CAST(FLOOR(c * 1000000.0 / n) AS BIGINT) AS containment_ppm
+    FROM pair JOIN per ON per.attr = pair.lhs
+    WHERE FLOOR(c * 1000000.0 / n) >= 500000
+    """,
+)
+def kg_ind_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary inclusion-dependency mining (profile.mine_unary_inds): which
+    extracted columns reference which — the mined join edges that the
+    reference declares statically (MSSQL/OMOPLoader.sql omopReport FK /
+    orphan checks).  Over six id columns from four relations the exact
+    INDs (o_custkey ⊆ c_custkey, l_orderkey ⊆ o_orderkey, c_nationkey ⊆
+    n_nationkey) surface at 1_000_000 ppm, and the numerically-colliding
+    partial containments (small nationkeys inside the custkey range)
+    stay below them — the dirty-web case the ppm threshold exists for.
+    Scale shape: one distinct projection + one value-keyed agg whose
+    fan-out is schema-bounded, never data-bounded."""
+    from i2o_transform_spark.operators.profile import mine_unary_inds
+
+    def col_of(tbl: str, c: str) -> DataFrame:
+        return _t(spark, sf_dir, tbl).select(
+            F.lit(c).alias("attr"), F.col(c).cast("string").alias("value")
+        )
+
+    av = (
+        col_of("orders", "o_custkey")
+        .unionByName(col_of("customer", "c_custkey"))
+        .unionByName(col_of("customer", "c_nationkey"))
+        .unionByName(col_of("nation", "n_nationkey"))
+        .unionByName(col_of("lineitem", "l_orderkey"))
+        .unionByName(col_of("orders", "o_orderkey"))
+    )
+    return mine_unary_inds(av, min_containment_ppm=500_000)

@@ -200,3 +200,60 @@ def mine_unary_inds(
         )
         .where(F.col("containment_ppm") >= F.lit(min_containment_ppm))
     )
+
+
+# value-class regexes for semantic type inference; FIRST match wins, so
+# classes are disjoint by construction and per-attr counts are exact.
+# Order = specificity (a date is never an integer, a url never an email).
+TYPE_CLASSES: list[tuple[str, str]] = [
+    ("boolean", r"^(?i:true|false)$"),
+    ("integer", r"^-?[0-9]+$"),
+    ("decimal", r"^-?[0-9]+\.[0-9]+$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("url", r"^https?://\S+$"),
+    ("email", r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+]
+
+
+def infer_column_types(
+    av: DataFrame,
+    attr: str = "attr",
+    value: str = "value",
+) -> DataFrame:
+    """Semantic column typing over an (attr, value) long frame — which
+    extracted web-table columns hold ids, dates, urls, emails — the
+    third profiler after keys/FDs and INDs: a mined column that is
+    integer-typed AND key-unique AND IND-contained in another table is a
+    foreign key the reference would have declared in DDL.
+
+    Per attribute reports ``n_values`` (non-null), ``elected_type`` (the
+    plurality class; ``text`` is the fallback for values matching no
+    class), and ``elected_ppm`` = floor(1e6 * class count / n_values).
+    Election ties break to the LARGER class name (max-struct comparison,
+    mirrored exactly by the oracle's ROW_NUMBER ordering).  Scale shape:
+    one classification map + two hash aggregations; the class set is a
+    constant, never data-sized."""
+    cls = F.lit("text")
+    for name, rx in reversed(TYPE_CLASSES):
+        cls = F.when(F.col(value).rlike(rx), F.lit(name)).otherwise(cls)
+    counted = (
+        av.where(F.col(value).isNotNull())
+        .select(F.col(attr).alias("attr"), cls.alias("_cls"))
+        .groupBy("attr", "_cls")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        counted.groupBy("attr")
+        .agg(
+            F.sum("_cnt").alias("_n"),
+            F.max(F.struct(F.col("_cnt"), F.col("_cls"))).alias("_win"),
+        )
+        .select(
+            "attr",
+            F.col("_n").cast("long").alias("n_values"),
+            F.col("_win._cls").alias("elected_type"),
+            F.floor(F.col("_win._cnt") * F.lit(1_000_000) / F.col("_n"))
+            .cast("long")
+            .alias("elected_ppm"),
+        )
+    )

@@ -13420,3 +13420,152 @@ def kg_ind_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(col_of("orders", "o_orderkey"))
     )
     return mine_unary_inds(av, min_containment_ppm=500_000)
+
+
+# ---------------------------------------------------------------------------
+# web tables — HTML <table> extraction feeding the relational profilers
+# ---------------------------------------------------------------------------
+
+@query(
+    "wt_extract_tables",
+    oracle="""
+    WITH pages AS (SELECT DISTINCT c_nationkey FROM customer),
+    hdr AS (
+      SELECT 'page:N:' || c_nationkey AS url,
+             CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row_idx,
+             CAST(col_idx AS BIGINT) AS col_idx, TRUE AS is_header, cell
+      FROM pages, (VALUES (0, 'cust'), (1, 'name'), (2, 'segment'))
+                  t(col_idx, cell)
+    ),
+    d AS (
+      SELECT 'page:N:' || c_nationkey AS url,
+             CAST(0 AS BIGINT) AS table_idx,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) AS row_idx,
+             c_custkey, c_name, c_mktsegment
+      FROM customer
+    ),
+    data AS (
+      SELECT url, table_idx, row_idx, CAST(0 AS BIGINT) AS col_idx,
+             FALSE AS is_header, 'C:' || c_custkey AS cell FROM d
+      UNION ALL
+      SELECT url, table_idx, row_idx, CAST(1 AS BIGINT), FALSE, c_name
+      FROM d
+      UNION ALL
+      SELECT url, table_idx, row_idx, CAST(2 AS BIGINT), FALSE,
+             c_mktsegment
+      FROM d
+    )
+    SELECT * FROM hdr UNION ALL SELECT * FROM data
+    """,
+)
+def wt_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table extraction (sources/htmltable.extract_tables): per-nation
+    customer listing pages are synthesized as real HTML (header row +
+    data rows + surrounding markup) and walked back to the
+    (table, row, col, is_header, cell) long frame ENTIRELY JVM-side
+    (regexp_extract_all + posexplode — the html never crosses to
+    Python).  The oracle reconstructs every cell straight from customer,
+    so tag stripping, header detection, and document-order indexing are
+    all value-gated.  This is the WebTables feedstock path: the frames
+    feed the key/FD/IND/type profilers that mine the relations the
+    reference received as clean DDL.  Scale shape: map + two
+    posexplodes, zero shuffle."""
+    from i2o_transform_spark.sources.htmltable import extract_tables
+
+    cu = _t(spark, sf_dir, "customer")
+    rows_html = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct("c_custkey", "c_name", "c_mktsegment")
+            )
+        ),
+        lambda x: F.concat(
+            F.lit("<tr><td>C:"), x["c_custkey"].cast("string"),
+            F.lit("</td><td>"), x["c_name"],
+            F.lit("</td><td>"), x["c_mktsegment"], F.lit("</td></tr>"),
+        ),
+    )
+    pages = (
+        cu.groupBy("c_nationkey")
+        .agg(rows_html.alias("_rows"))
+        .select(
+            F.concat(F.lit("page:N:"), F.col("c_nationkey").cast("string"))
+            .alias("url"),
+            F.concat(
+                F.lit('<html><body><p>intro</p><table class="listing">'
+                      "<tr><th>cust</th><th>name</th><th>segment</th></tr>"),
+                F.array_join("_rows", ""),
+                F.lit("</table><p>footer</p></body></html>"),
+            ).alias("html"),
+        )
+    )
+    out = extract_tables(pages, keep=["url"])
+    return out.select(
+        "url",
+        F.col("table_idx").cast("long"),
+        F.col("row_idx").cast("long"),
+        F.col("col_idx").cast("long"),
+        "is_header",
+        "cell",
+    )
+
+
+@query(
+    "wt_type_infer",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+    SELECT 'okey' AS attr, c AS n_values, 'integer' AS elected_type,
+           CAST(1000000 AS BIGINT) AS elected_ppm FROM n
+    UNION ALL SELECT 'odate', c, 'date', CAST(1000000 AS BIGINT) FROM n
+    UNION ALL SELECT 'oprio', c, 'text', CAST(1000000 AS BIGINT) FROM n
+    """,
+)
+def wt_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-table profiling (htmltable -> profile): order-listing
+    HTML pages are extracted, their columns re-attached to elected
+    headers (tables_to_attr_values), and semantically typed
+    (infer_column_types) — the order-key column elects ``integer``, the
+    date column ``date``, the priority column falls through to ``text``,
+    each at exactly 1e6 ppm.  A mined column that is typed AND
+    key-unique AND IND-contained elsewhere is a discovered foreign key —
+    the trio of profilers composed over a real HTML source.  Scale
+    shape: the extraction is map-only; profiling adds two hash aggs."""
+    from i2o_transform_spark.operators.profile import infer_column_types
+    from i2o_transform_spark.sources.htmltable import (
+        extract_tables,
+        tables_to_attr_values,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    rows_html = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct("o_orderkey", "o_orderdate", "o_orderpriority")
+            )
+        ),
+        lambda x: F.concat(
+            F.lit("<tr><td>"), x["o_orderkey"].cast("string"),
+            F.lit("</td><td>"),
+            F.date_format(x["o_orderdate"], "yyyy-MM-dd"),
+            F.lit("</td><td>"), x["o_orderpriority"],
+            F.lit("</td></tr>"),
+        ),
+    )
+    pages = (
+        o.groupBy((F.col("o_custkey") % 20).alias("_pg"))
+        .agg(rows_html.alias("_rows"))
+        .select(
+            F.concat(F.lit("page:"), F.col("_pg").cast("string"))
+            .alias("url"),
+            F.concat(
+                F.lit("<html><table>"
+                      "<tr><th>okey</th><th>odate</th><th>oprio</th></tr>"),
+                F.array_join("_rows", ""),
+                F.lit("</table></html>"),
+            ).alias("html"),
+        )
+    )
+    cells = extract_tables(pages, keep=["url"])
+    av = tables_to_attr_values(cells, keep=["url"])
+    return infer_column_types(av)

@@ -1,0 +1,111 @@
+"""HTML ``<table>`` extraction — the web-tables feedstock.
+
+Relational data on the web overwhelmingly ships as HTML tables
+(Cafarella's WebTables line of work), and a schema-mapping KG builder
+mines them for the entity/attribute relations the reference gets as
+clean source tables.  This source turns a crawl frame's ``html`` column
+into a long cell frame ``(table_idx, row_idx, col_idx, is_header,
+cell)`` per input row — the shape the relational profilers
+(operators/profile: keys, FDs, unary INDs, type inference) consume
+directly.
+
+Implementation is JVM-only (regexp_extract_all + posexplode + entity
+unescape): the html string never crosses into Python, the walk is
+whole-stage-codegen'd, and the explode fan-out is bounded by cells per
+page.  Scale shape: pure map + two posexplodes, zero shuffle.
+
+Scope (documented): non-nested tables.  An inner ``<table>`` inside a
+cell would end the non-greedy outer match early; real extraction
+pipelines treat layout-nested tables as layout, not data.  Rows whose
+cells are ragged (colspan tricks, missing ``</td>``) parse to however
+many cells the grammar finds — the profilers' null handling absorbs
+short rows; ``colspan`` widths are NOT expanded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TABLE_RE = r"(?s)<table[^>]*>(.*?)</table>"
+_ROW_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def _clean_cell(c: Column) -> Column:
+    """Strip nested markup and decode the five XML entities (amp last,
+    so ``&amp;lt;`` decodes to the literal ``&lt;`` — same discipline as
+    sources/sitemap)."""
+    txt = F.trim(F.regexp_replace(c, r"<[^>]+>", ""))
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return txt
+
+
+def extract_tables(
+    pages: DataFrame,
+    html: str = "html",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Pages -> one row per table cell.
+
+    Output: ``keep`` columns (e.g. the url) + ``table_idx`` /
+    ``row_idx`` / ``col_idx`` (0-based document order) + ``is_header``
+    (the cell sits in a row containing any ``<th``) + ``cell`` (tag-
+    stripped, entity-decoded text)."""
+    keep = keep or []
+    h = F.col(html).cast("string")
+    tables = pages.select(
+        *keep,
+        F.posexplode(F.regexp_extract_all(h, F.lit(_TABLE_RE), F.lit(1)))
+        .alias("table_idx", "_tbody"),
+    )
+    rows = tables.select(
+        *keep,
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_tbody"), F.lit(_ROW_RE), F.lit(1))
+        ).alias("row_idx", "_trow"),
+    )
+    return rows.select(
+        *keep,
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_trow"), F.lit(_CELL_RE), F.lit(1))
+        ).alias("col_idx", "_cell"),
+        F.col("_trow").rlike("(?s)<th[^>]*>").alias("is_header"),
+    ).select(
+        *keep,
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        "is_header",
+        _clean_cell(F.col("_cell")).alias("cell"),
+    )
+
+
+def tables_to_attr_values(
+    cells: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
+    """Cell frame -> (attr, value) long frame for the profilers.
+
+    The attribute name of a data cell is its column's elected header:
+    the first header-row cell in the same (page, table, column).  Tables
+    with no header row contribute nothing (an anonymous column is not an
+    attribute — the honest drop, visible as a count delta).  One
+    window-free aggregation (min header row per column) + one equi-join,
+    both keyed on the (page, table, col) triple the explode already
+    produced — no extra exchange beyond the join."""
+    keep = keep or []
+    key = [*keep, "table_idx", "col_idx"]
+    headers = (
+        cells.where(F.col("is_header"))
+        .groupBy(*key)
+        .agg(F.min_by("cell", "row_idx").alias("attr"))
+    )
+    data = cells.where(~F.col("is_header"))
+    return data.join(headers, key).select(
+        *keep, "table_idx", "attr", F.col("cell").alias("value")
+    )

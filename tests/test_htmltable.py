@@ -1,0 +1,104 @@
+"""HTML table extraction (sources/htmltable) + semantic type inference
+(profile.infer_column_types): walker fidelity, entity decode, header
+election, ragged rows, class election."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from i2o_transform_spark.operators.profile import infer_column_types
+from i2o_transform_spark.sources.htmltable import (
+    extract_tables,
+    tables_to_attr_values,
+)
+
+P = "url string, html string"
+
+
+def rows(df):
+    cols = sorted(df.columns)
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_walker_two_tables_with_markup(spark):
+    html = (
+        "<html><p>noise</p>"
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td><b>x</b></td></tr></table>"
+        "<div><table><tr><td>only</td></tr></table></div></html>"
+    )
+    got = rows(extract_tables(
+        spark.createDataFrame([("u", html)], P), keep=["url"]
+    ))
+    # (cell, col_idx, is_header, row_idx, table_idx, url) sorted-col order
+    assert ("a", 0, True, 0, 0, "u") in got
+    assert ("b", 1, True, 0, 0, "u") in got
+    assert ("1", 0, False, 1, 0, "u") in got
+    assert ("x", 1, False, 1, 0, "u") in got      # nested <b> stripped
+    assert ("only", 0, False, 0, 1, "u") in got   # second table
+    assert len(got) == 5
+
+
+def test_entity_decode_and_ragged_rows(spark):
+    html = (
+        "<table><tr><td>a &amp; b</td><td>&lt;tag&gt;</td></tr>"
+        "<tr><td>&quot;q&quot;</td></tr></table>"
+    )
+    got = rows(extract_tables(spark.createDataFrame([("u", html)], P),
+                              keep=["url"]))
+    cells = {r[0] for r in got}
+    assert cells == {"a & b", "<tag>", '"q"'}
+    # ragged second row has a single cell at col 0
+    assert ('"q"', 0, False, 1, 0, "u") in got
+
+
+def test_attr_values_header_election_and_anon_drop(spark):
+    html = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>1</td><td>x</td></tr>"
+        "<tr><td>2</td><td>y</td></tr></table>"
+        "<table><tr><td>anon</td></tr></table>"  # headerless: dropped
+    )
+    av = tables_to_attr_values(
+        extract_tables(spark.createDataFrame([("u", html)], P),
+                       keep=["url"]),
+        keep=["url"],
+    )
+    got = rows(av)
+    assert got == {
+        ("k", 0, "u", "1"), ("k", 0, "u", "2"),
+        ("v", 0, "u", "x"), ("v", 0, "u", "y"),
+    }
+
+
+def test_type_inference_classes(spark):
+    av = spark.createDataFrame(
+        [("i", "42"), ("i", "-7"),
+         ("d", "2024-01-31"),
+         ("f", "3.14"),
+         ("b", "TRUE"), ("b", "false"),
+         ("u", "https://ex.org/p?q=1"),
+         ("e", "a@b.co"),
+         ("t", "hello world")],
+        "attr string, value string",
+    )
+    got = {r["attr"]: (r["elected_type"], r["elected_ppm"], r["n_values"])
+           for r in infer_column_types(av).collect()}
+    assert got["i"] == ("integer", 1_000_000, 2)
+    assert got["d"] == ("date", 1_000_000, 1)
+    assert got["f"] == ("decimal", 1_000_000, 1)
+    assert got["b"] == ("boolean", 1_000_000, 2)
+    assert got["u"] == ("url", 1_000_000, 1)
+    assert got["e"] == ("email", 1_000_000, 1)
+    assert got["t"] == ("text", 1_000_000, 1)
+
+
+def test_type_inference_plurality_and_ppm(spark):
+    av = spark.createDataFrame(
+        [("m", "1"), ("m", "2"), ("m", "3"), ("m", "oops")],
+        "attr string, value string",
+    )
+    got = infer_column_types(av).collect()[0]
+    assert got["elected_type"] == "integer"
+    assert got["elected_ppm"] == 750_000
+    assert got["n_values"] == 4

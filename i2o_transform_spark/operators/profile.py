@@ -215,6 +215,16 @@ TYPE_CLASSES: list[tuple[str, str]] = [
 ]
 
 
+def classify_value(value) -> "F.Column":
+    """First-match semantic class of a value Column (see TYPE_CLASSES;
+    ``text`` is the fallback).  Pure expression — shared by the type
+    miner and the web-table header-inference heuristic."""
+    cls = F.lit("text")
+    for name, rx in reversed(TYPE_CLASSES):
+        cls = F.when(value.rlike(rx), F.lit(name)).otherwise(cls)
+    return cls
+
+
 def infer_column_types(
     av: DataFrame,
     attr: str = "attr",
@@ -233,12 +243,10 @@ def infer_column_types(
     mirrored exactly by the oracle's ROW_NUMBER ordering).  Scale shape:
     one classification map + two hash aggregations; the class set is a
     constant, never data-sized."""
-    cls = F.lit("text")
-    for name, rx in reversed(TYPE_CLASSES):
-        cls = F.when(F.col(value).rlike(rx), F.lit(name)).otherwise(cls)
     counted = (
         av.where(F.col(value).isNotNull())
-        .select(F.col(attr).alias("attr"), cls.alias("_cls"))
+        .select(F.col(attr).alias("attr"),
+                classify_value(F.col(value)).alias("_cls"))
         .groupBy("attr", "_cls")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )

@@ -13569,3 +13569,65 @@ def wt_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = extract_tables(pages, keep=["url"])
     av = tables_to_attr_values(cells, keep=["url"])
     return infer_column_types(av)
+
+
+@query(
+    "wt_infer_headers",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM part)
+    SELECT 'pid' AS attr, c AS n_values, 'integer' AS elected_type,
+           CAST(1000000 AS BIGINT) AS elected_ppm FROM n
+    UNION ALL SELECT 'psize', c, 'integer', CAST(1000000 AS BIGINT) FROM n
+    UNION ALL SELECT 'pname', c, 'text', CAST(1000000 AS BIGINT) FROM n
+    """,
+)
+def wt_infer_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headerless web tables recovered by type contrast
+    (htmltable.infer_headers): part-listing pages whose header row is
+    styled ``<td>`` text (no ``<th>`` anywhere) — the walker alone would
+    drop every column as anonymous.  The WebTables heuristic promotes
+    row 0 where a majority of columns show a class contrast (text 'pid'
+    over integer ids, text 'psize' over integer sizes; 'pname' over text
+    names votes no — 2 of 3 carries), after which the full profiling
+    chain types every recovered attribute at exactly 1e6 ppm.  The
+    oracle predicts the typed report straight from part, so a missed or
+    spurious promotion breaks row counts AND elections.  Scale shape:
+    adds two schema-keyed hash aggs + one broadcast verdict join to the
+    map-only walk."""
+    from i2o_transform_spark.operators.profile import infer_column_types
+    from i2o_transform_spark.sources.htmltable import (
+        extract_tables,
+        infer_headers,
+        tables_to_attr_values,
+    )
+
+    pt = _t(spark, sf_dir, "part")
+    rows_html = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("p_partkey", "p_size", "p_name"))
+        ),
+        lambda x: F.concat(
+            F.lit("<tr><td>"), x["p_partkey"].cast("string"),
+            F.lit("</td><td>"), x["p_size"].cast("string"),
+            F.lit("</td><td>"), x["p_name"], F.lit("</td></tr>"),
+        ),
+    )
+    pages = (
+        pt.groupBy((F.col("p_partkey") % 10).alias("_pg"))
+        .agg(rows_html.alias("_rows"))
+        .select(
+            F.concat(F.lit("page:"), F.col("_pg").cast("string"))
+            .alias("url"),
+            F.concat(
+                F.lit("<html><table>"
+                      "<tr><td>pid</td><td>psize</td><td>pname</td></tr>"),
+                F.array_join("_rows", ""),
+                F.lit("</table></html>"),
+            ).alias("html"),
+        )
+    )
+    cells = extract_tables(pages, keep=["url"])
+    promoted = infer_headers(cells, keep=["url"])
+    return infer_column_types(
+        tables_to_attr_values(promoted, keep=["url"])
+    )

@@ -109,3 +109,78 @@ def tables_to_attr_values(
     return data.join(headers, key).select(
         *keep, "table_idx", "attr", F.col("cell").alias("value")
     )
+
+
+def infer_headers(
+    cells: DataFrame,
+    keep: list[str] | None = None,
+    min_rows: int = 3,
+) -> DataFrame:
+    """Elect row 0 as the header of HEADERLESS tables by type contrast —
+    the classic WebTables recovery heuristic for pages that mark headers
+    with styling instead of ``<th>``.
+
+    A headerless table's row 0 is promoted iff (a) the table has at
+    least ``min_rows`` rows (1-2 row tables carry no evidence), and
+    (b) for a MAJORITY of its columns the semantic class of the row-0
+    cell (profile.classify_value) differs from the plurality class of
+    the column's remaining cells — "Price" above a column of decimals
+    votes yes; a text cell above text contributes nothing, so all-text
+    layout tables are left alone.  Tables that already contain any
+    ``<th>`` row pass through untouched.
+
+    Output: same schema, with ``is_header`` rewritten on promoted rows.
+    Scale shape: two hash aggregations keyed on the (page, table[, col])
+    ids the walker already produced + one broadcast-scale join of the
+    per-table verdicts — no window over the data."""
+    from i2o_transform_spark.operators.profile import classify_value
+
+    keep = keep or []
+    tkey = [*keep, "table_idx"]
+    ckey = [*tkey, "col_idx"]
+    has_th = cells.groupBy(*tkey).agg(
+        F.max(F.col("is_header").cast("int")).alias("_has_th"),
+        (F.max("row_idx") + 1).alias("_n_rows"),
+    )
+    classed = cells.withColumn("_cls", classify_value(F.col("cell")))
+    body_major = (
+        classed.where(F.col("row_idx") > 0)
+        .groupBy(*ckey, "_cls")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(*ckey)
+        .agg(F.max(F.struct(F.col("_cnt"), F.col("_cls"))).alias("_w"))
+        .select(*ckey, F.col("_w._cls").alias("_body_cls"))
+    )
+    head_cls = classed.where(F.col("row_idx") == 0).select(
+        *ckey, F.col("_cls").alias("_head_cls")
+    )
+    verdict = (
+        head_cls.join(body_major, ckey)
+        .groupBy(*tkey)
+        .agg(
+            (
+                F.sum(
+                    (F.col("_head_cls") != F.col("_body_cls")).cast("int")
+                )
+                * 2
+                > F.count(F.lit(1))
+            ).alias("_contrast")
+        )
+    )
+    flags = has_th.join(verdict, tkey, "left").select(
+        *tkey,
+        (
+            (F.col("_has_th") == 0)
+            & (F.col("_n_rows") >= F.lit(min_rows))
+            & F.coalesce(F.col("_contrast"), F.lit(False))
+        ).alias("_promote"),
+    )
+    return cells.join(F.broadcast(flags), tkey).select(
+        *keep,
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        (F.col("is_header") | (F.col("_promote") & (F.col("row_idx") == 0)))
+        .alias("is_header"),
+        "cell",
+    )

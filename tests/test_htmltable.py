@@ -102,3 +102,59 @@ def test_type_inference_plurality_and_ppm(spark):
     assert got["elected_type"] == "integer"
     assert got["elected_ppm"] == 750_000
     assert got["n_values"] == 4
+
+
+def _cells(spark, html):
+    return extract_tables(spark.createDataFrame([("u", html)], P),
+                          keep=["url"])
+
+
+def test_infer_headers_promotes_typed_contrast(spark):
+    from i2o_transform_spark.sources.htmltable import infer_headers
+
+    html = (
+        "<table>"
+        "<tr><td>id</td><td>price</td></tr>"
+        "<tr><td>1</td><td>9.99</td></tr>"
+        "<tr><td>2</td><td>8.50</td></tr></table>"
+    )
+    got = infer_headers(_cells(spark, html), keep=["url"])
+    hdr = {(r["row_idx"], r["col_idx"])
+           for r in got.where("is_header").collect()}
+    assert hdr == {(0, 0), (0, 1)}
+    # and the promoted header now feeds attribute names
+    av = rows(tables_to_attr_values(got, keep=["url"]))
+    assert ("id", 0, "u", "1") in av and ("price", 0, "u", "9.99") in av
+
+
+def test_infer_headers_leaves_all_text_tables(spark):
+    from i2o_transform_spark.sources.htmltable import infer_headers
+
+    html = (
+        "<table><tr><td>alpha</td></tr><tr><td>beta</td></tr>"
+        "<tr><td>gamma</td></tr></table>"
+    )
+    got = infer_headers(_cells(spark, html), keep=["url"])
+    assert got.where("is_header").count() == 0
+
+
+def test_infer_headers_respects_existing_th(spark):
+    from i2o_transform_spark.sources.htmltable import infer_headers
+
+    html = (
+        "<table><tr><th>k</th></tr><tr><td>1</td></tr>"
+        "<tr><td>2</td></tr></table>"
+    )
+    got = infer_headers(_cells(spark, html), keep=["url"])
+    hdr = {(r["row_idx"], r["is_header"]) for r in got.collect()}
+    assert hdr == {(0, True), (1, False), (2, False)}
+
+
+def test_infer_headers_min_rows_guard(spark):
+    from i2o_transform_spark.sources.htmltable import infer_headers
+
+    html = "<table><tr><td>id</td></tr><tr><td>1</td></tr></table>"
+    got = infer_headers(_cells(spark, html), keep=["url"], min_rows=3)
+    assert got.where("is_header").count() == 0
+    got2 = infer_headers(_cells(spark, html), keep=["url"], min_rows=2)
+    assert got2.where("is_header").count() == 1

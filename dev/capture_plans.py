@@ -313,6 +313,36 @@ def main() -> None:
         "shuffled only on its own key for the election.",
     ))
 
+    sections.append((
+        "kg_partition_plan — layout evaluation as hash aggs only",
+        tree_of(QUERIES["kg_partition_plan"](spark, sf)),
+        "Per strategy: the bucket assignment is a pure projection over "
+        "the edge scan (md5-nibble arithmetic inside codegen), loads and "
+        "replicas are partial+final `HashAggregate` pairs, and the two "
+        "1-row stat frames meet in a `BroadcastNestedLoopJoin` that "
+        "moves two rows.  The hybrid strategy's degree profile joins "
+        "back as one more hash agg + equi-join — no window, no "
+        "iteration, no collect anywhere in the tree.",
+    ))
+    sections.append((
+        "kg_bgp_maintain — delta-anchored view maintenance",
+        tree_of(QUERIES["kg_bgp_maintain"](spark, sf)),
+        "Every join chain roots at the DELTA leg (insert or delete "
+        "bucket of the edge scan), so AQE plans the store probes as "
+        "broadcasts from the small side; the view update lands as a "
+        "LeftAnti on the view's own key plus a distinct union — the "
+        "full store is never re-joined against itself.",
+    ))
+    sections.append((
+        "wt_extract_tables — JVM-only web-table walk",
+        tree_of(QUERIES["wt_extract_tables"](spark, sf)),
+        "The page->table->row->cell walk is `Generate` (posexplode) "
+        "nodes stacked over one scan with `regexp_extract_all` evaluated "
+        "in codegen — the html column never reaches Python and the only "
+        "exchange in the tree belongs to the fixture's own groupBy (real "
+        "crawl input arrives pre-formed, making the walk exchange-free).",
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for flagship operators\n\n"
         "Operator trees from `.explain(\"formatted\")` at sf0.01 (shape is\n"

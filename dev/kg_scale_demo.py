@@ -568,7 +568,12 @@ def run_partition_demo() -> None:
     spark = get_spark(
         "kg-partition-scale",
         master="local[32]",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the replica distinct shuffles ~100M (vertex, part) strings;
+            # 256 reduce partitions keep each sort window in memory
+            "spark.sql.shuffle.partitions": "256",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     n = 50_000_000

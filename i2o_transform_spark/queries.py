@@ -13162,9 +13162,14 @@ def nt_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("q_obj_is_iri"),
         F.lit("line").alias("pred"),
         F.col("l_linenumber").cast("string").alias("obj"),
-    )
+    ).repartition(64)  # the fixture parquet is one row group — spread the
+    # regex-heavy serialize/parse chain across cores (a real crawl dump
+    # arrives as many line files and never needs this)
     lines = to_ntriples_star_lines(ann, q_obj_is_iri="q_obj_is_iri")
-    parsed = parse_ntriples_star_lines(lines)
+    # the store is consumed by THREE branches (core assembly, qualifier
+    # dedup, annotation join) — cache the parsed frame so the
+    # regex-heavy serialize∘parse pass runs once, not per branch
+    parsed = parse_ntriples_star_lines(lines).cache()
     store = rdfstar_to_reified(parsed)
     return reified_to_rdfstar(store)
 
@@ -13631,3 +13636,136 @@ def wt_infer_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_column_types(
         tables_to_attr_values(promoted, keep=["url"])
     )
+
+
+@query(
+    "wt_to_triples",
+    oracle="""
+    SELECT 'C:' || c_custkey AS subj, 'name' AS pred, c_name AS obj
+    FROM customer
+    UNION ALL
+    SELECT 'C:' || c_custkey, 'segment', c_mktsegment FROM customer
+    """,
+)
+def wt_to_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web tables -> KG triples (htmltable.tables_to_triples): each data
+    row of the extracted customer listings becomes an entity keyed by
+    its left column, every other column a property — the emission step
+    that turns the mined relation into graph feedstock, exactly the
+    per-table row->fact mapping the reference hard-codes per source
+    (MSSQL/OMOPLoader.sql load procedures).  Oracle: both property
+    triples per customer predicted straight from the base table.  Scale
+    shape: header election + two walker-keyed equi-joins; no window."""
+    from i2o_transform_spark.sources.htmltable import (
+        extract_tables,
+        tables_to_triples,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    rows_html = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("c_custkey", "c_name", "c_mktsegment"))
+        ),
+        lambda x: F.concat(
+            F.lit("<tr><td>C:"), x["c_custkey"].cast("string"),
+            F.lit("</td><td>"), x["c_name"],
+            F.lit("</td><td>"), x["c_mktsegment"], F.lit("</td></tr>"),
+        ),
+    )
+    pages = (
+        cu.groupBy("c_nationkey")
+        .agg(rows_html.alias("_rows"))
+        .select(
+            F.concat(F.lit("page:N:"), F.col("c_nationkey").cast("string"))
+            .alias("url"),
+            F.concat(
+                F.lit("<table>"
+                      "<tr><th>cust</th><th>name</th><th>segment</th></tr>"),
+                F.array_join("_rows", ""),
+                F.lit("</table>"),
+            ).alias("html"),
+        )
+    )
+    cells = extract_tables(pages, keep=["url"])
+    return tables_to_triples(cells, keep=["url"])
+
+
+@query(
+    "wt_stitch",
+    oracle="""
+    SELECT md5('cust' || chr(31) || 'name' || chr(31) || 'segment')
+             AS fingerprint,
+           'cust' || chr(31) || 'name' || chr(31) || 'segment'
+             AS schema_sig,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_tables,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows
+    FROM customer
+    UNION ALL
+    SELECT md5('skey' || chr(31) || 'sname'),
+           'skey' || chr(31) || 'sname',
+           CAST(COUNT(DISTINCT s_suppkey % 5) AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier)
+    FROM supplier
+    """,
+)
+def wt_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table stitching (htmltable.stitch_tables): customer listings (one
+    table per nation, schema cust|name|segment) and supplier listings
+    (one per 5-way bucket, schema skey|sname) extracted from MIXED crawl
+    pages regroup into exactly two relations by content-addressed header
+    fingerprint — the WebTables union step that turns thousands of
+    template repetitions into one logical table, by hash agg instead of
+    pairwise schema comparison.  Oracle: both report rows closed-form
+    from the base tables.  Scale shape: two per-table aggs then a
+    fingerprint-keyed agg over table-count-sized data."""
+    from i2o_transform_spark.sources.htmltable import (
+        extract_tables,
+        stitch_tables,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    cu_rows = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("c_custkey", "c_name", "c_mktsegment"))
+        ),
+        lambda x: F.concat(
+            F.lit("<tr><td>C:"), x["c_custkey"].cast("string"),
+            F.lit("</td><td>"), x["c_name"],
+            F.lit("</td><td>"), x["c_mktsegment"], F.lit("</td></tr>"),
+        ),
+    )
+    cu_pages = (
+        cu.groupBy("c_nationkey")
+        .agg(cu_rows.alias("_rows"))
+        .select(
+            F.concat(F.lit("page:N:"), F.col("c_nationkey").cast("string"))
+            .alias("url"),
+            F.concat(
+                F.lit("<table>"
+                      "<tr><th>cust</th><th>name</th><th>segment</th></tr>"),
+                F.array_join("_rows", ""), F.lit("</table>"),
+            ).alias("html"),
+        )
+    )
+    su = _t(spark, sf_dir, "supplier")
+    su_rows = F.transform(
+        F.sort_array(F.collect_list(F.struct("s_suppkey", "s_name"))),
+        lambda x: F.concat(
+            F.lit("<tr><td>S:"), x["s_suppkey"].cast("string"),
+            F.lit("</td><td>"), x["s_name"], F.lit("</td></tr>"),
+        ),
+    )
+    su_pages = (
+        su.groupBy((F.col("s_suppkey") % 5).alias("_pg"))
+        .agg(su_rows.alias("_rows"))
+        .select(
+            F.concat(F.lit("page:S:"), F.col("_pg").cast("string"))
+            .alias("url"),
+            F.concat(
+                F.lit("<table><tr><th>skey</th><th>sname</th></tr>"),
+                F.array_join("_rows", ""), F.lit("</table>"),
+            ).alias("html"),
+        )
+    )
+    cells = extract_tables(cu_pages.unionByName(su_pages), keep=["url"])
+    return stitch_tables(cells, keep=["url"])

@@ -184,3 +184,100 @@ def infer_headers(
         .alias("is_header"),
         "cell",
     )
+
+
+def tables_to_triples(
+    cells: DataFrame,
+    keep: list[str] | None = None,
+    key_col: int = 0,
+) -> DataFrame:
+    """Cell frame -> (subj, pred, obj) triples: each data row becomes an
+    entity keyed by its ``key_col`` cell, each other column a property —
+    the web-table-to-KG emission step (the reference's per-table load
+    maps source rows to fact rows the same way, MSSQL/OMOPLoader.sql).
+
+    ``key_col`` names the subject column explicitly (callers elect it
+    with profile_keys' uniqueness report when it is not the conventional
+    leftmost column).  Tables without a header row emit nothing, like
+    tables_to_attr_values.  Scale shape: the header election aggregation
+    plus TWO equi-joins, all keyed on the walker's own (page, table[,
+    row/col]) ids — the join key is already co-partitioned with the
+    explode output."""
+    keep = keep or []
+    ckey = [*keep, "table_idx", "col_idx"]
+    rkey = [*keep, "table_idx", "row_idx"]
+    headers = (
+        cells.where(F.col("is_header"))
+        .groupBy(*ckey)
+        .agg(F.min_by("cell", "row_idx").alias("pred"))
+    )
+    data = cells.where(~F.col("is_header"))
+    subjects = data.where(F.col("col_idx") == key_col).select(
+        *rkey, F.col("cell").alias("subj")
+    )
+    return (
+        data.where(F.col("col_idx") != key_col)
+        .join(headers, ckey)
+        .join(subjects, rkey)
+        .select("subj", "pred", F.col("cell").alias("obj"))
+    )
+
+
+STITCH_SEP = "\x1f"  # control char: forbidden in header text by contract
+
+
+def stitch_tables(
+    cells: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
+    """Group extracted tables by header-schema fingerprint — WebTables
+    'stitching': the same listing template repeated across thousands of
+    pages is ONE relation, and union-compatible tables are found by
+    exact header-signature match, not pairwise comparison.
+
+    Per fingerprint reports ``schema_sig`` (header cells in column
+    order, ``\\x1f``-joined), ``fingerprint`` (md5 — content-addressed,
+    so two crawls agree), ``n_tables``, and ``n_rows`` (data rows
+    summed).  Scale shape: one per-table header assembly (hash agg over
+    sorted structs), one per-table row count, one fingerprint-keyed
+    aggregation — table-count-sized, never cell-sized, after the first
+    two aggs."""
+    keep = keep or []
+    tkey = [*keep, "table_idx"]
+    first_hdr = (
+        cells.where(F.col("is_header"))
+        .groupBy(*tkey)
+        .agg(F.min("row_idx").alias("_hr"))
+    )
+    hdr_cells = cells.join(first_hdr, tkey).where(
+        F.col("is_header") & (F.col("row_idx") == F.col("_hr"))
+    )
+    schema_per_table = hdr_cells.groupBy(*tkey).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("col_idx", "cell"))),
+                lambda s: s["cell"],
+            ),
+            STITCH_SEP,
+        ).alias("schema_sig")
+    )
+    rows_per_table = (
+        cells.where(~F.col("is_header"))
+        .groupBy(*tkey)
+        .agg(F.countDistinct("row_idx").alias("_nr"))
+    )
+    return (
+        schema_per_table.join(rows_per_table, tkey, "left")
+        .groupBy("schema_sig")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tables"),
+            F.sum(F.coalesce(F.col("_nr"), F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+        )
+        .select(
+            F.md5(F.col("schema_sig")).alias("fingerprint"),
+            "schema_sig",
+            "n_tables",
+            "n_rows",
+        )
+    )

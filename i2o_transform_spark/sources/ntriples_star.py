@@ -164,30 +164,54 @@ def rdfstar_to_reified(ann: DataFrame) -> DataFrame:
     quoted triple's content-addressed statement node, plus
     (stmt, pred, obj) for the annotation itself.  Output is distinct —
     many annotations of one quoted triple share one set of core triples,
-    exactly like operators/reify.reify over a multi-qualifier row."""
+    exactly like operators/reify.reify over a multi-qualifier row.
+
+    Shuffle shape: dedup happens BEFORE the core explode — distinct
+    quoted triples (annotation-count rows) explode to already-distinct
+    core triples, and qualifier triples dedup on the un-exploded rows —
+    so no exchange ever carries the 4x exploded stream (it would be the
+    largest frame in the chain for exactly zero information)."""
     sid = statement_id("q_subj", "q_pred", "q_obj").alias("_sid")
-    base = ann.select(sid, "q_subj", "q_pred", "q_obj", "pred", "obj")
-    out = base.select(
-        "_sid",
-        F.explode(
-            F.array(
-                F.struct(F.lit("rdf:subject").alias("p"),
-                         F.col("q_subj").alias("o")),
-                F.struct(F.lit("rdf:predicate").alias("p"),
-                         F.col("q_pred").alias("o")),
-                F.struct(F.lit("rdf:object").alias("p"),
-                         F.col("q_obj").alias("o")),
-                F.struct(F.col("pred").alias("p"), F.col("obj").alias("o")),
-            )
-        ).alias("t"),
-    )
-    return (
-        out.select(
+    cores = (
+        ann.select("q_subj", "q_pred", "q_obj")
+        .distinct()
+        .select(sid, "q_subj", "q_pred", "q_obj")
+        .select(
             F.col("_sid").alias("subj"),
-            F.col("t.p").alias("pred"),
-            F.col("t.o").alias("obj"),
-        ).distinct()
+            F.explode(
+                F.array(
+                    F.struct(F.lit("rdf:subject").alias("p"),
+                             F.col("q_subj").alias("o")),
+                    F.struct(F.lit("rdf:predicate").alias("p"),
+                             F.col("q_pred").alias("o")),
+                    F.struct(F.lit("rdf:object").alias("p"),
+                             F.col("q_obj").alias("o")),
+                )
+            ).alias("t"),
+        )
+        .select("subj", F.col("t.p").alias("pred"), F.col("t.o").alias("obj"))
     )
+    # reserved-predicate contract (raises in-expression, same device as
+    # ntriples' IRI guard): an annotation predicate named like a core
+    # reification predicate would be indistinguishable from the
+    # statement's own structure in the store — refuse it loudly rather
+    # than silently merging (the pre-dedup split relies on cores and
+    # qualifiers being disjoint).
+    guarded_pred = F.when(
+        F.col("pred").isin("rdf:subject", "rdf:predicate", "rdf:object"),
+        F.raise_error(F.concat(
+            F.lit("reserved reification predicate used as an annotation: "),
+            F.col("pred"),
+        )),
+    ).otherwise(F.col("pred"))
+    quals = (
+        ann.select(sid, guarded_pred.alias("pred"), "obj")
+        .distinct()
+        .select(
+            F.col("_sid").alias("subj"), "pred", "obj"
+        )
+    )
+    return cores.unionByName(quals)
 
 
 def reified_to_rdfstar(stmt_triples: DataFrame) -> DataFrame:

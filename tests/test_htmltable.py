@@ -158,3 +158,49 @@ def test_infer_headers_min_rows_guard(spark):
     assert got.where("is_header").count() == 0
     got2 = infer_headers(_cells(spark, html), keep=["url"], min_rows=2)
     assert got2.where("is_header").count() == 1
+
+
+def test_tables_to_triples(spark):
+    from i2o_transform_spark.sources.htmltable import tables_to_triples
+
+    html = (
+        "<table><tr><th>id</th><th>name</th><th>city</th></tr>"
+        "<tr><td>e1</td><td>Ada</td><td>Paris</td></tr>"
+        "<tr><td>e2</td><td>Bob</td><td></td></tr></table>"
+        "<table><tr><td>anon</td><td>x</td></tr></table>"  # headerless
+    )
+    got = rows(tables_to_triples(_cells(spark, html), keep=["url"]))
+    assert got == {
+        ("Ada", "name", "e1"), ("Paris", "city", "e1"),
+        ("Bob", "name", "e2"), ("", "city", "e2"),
+    }
+
+
+def test_tables_to_triples_key_col(spark):
+    from i2o_transform_spark.sources.htmltable import tables_to_triples
+
+    html = (
+        "<table><tr><th>name</th><th>id</th></tr>"
+        "<tr><td>Ada</td><td>e1</td></tr></table>"
+    )
+    got = rows(tables_to_triples(_cells(spark, html), keep=["url"],
+                                 key_col=1))
+    assert got == {("Ada", "name", "e1")}
+
+
+def test_stitch_groups_by_schema(spark):
+    from i2o_transform_spark.sources.htmltable import stitch_tables
+
+    p1 = ("<table><tr><th>a</th><th>b</th></tr>"
+          "<tr><td>1</td><td>2</td></tr></table>")
+    p2 = ("<table><tr><th>a</th><th>b</th></tr>"
+          "<tr><td>3</td><td>4</td></tr><tr><td>5</td><td>6</td></tr>"
+          "</table>"
+          "<table><tr><th>z</th></tr><tr><td>9</td></tr></table>")
+    cells = extract_tables(
+        spark.createDataFrame([("u1", p1), ("u2", p2)], P), keep=["url"]
+    )
+    got = {r["schema_sig"]: (r["n_tables"], r["n_rows"])
+           for r in stitch_tables(cells, keep=["url"]).collect()}
+    assert got["a\x1fb"] == (2, 3)
+    assert got["z"] == (1, 1)

@@ -122,3 +122,11 @@ def test_reify_and_rdfstar_models_agree(spark, ann):
         [("s", "p", "o", True, "qty", "17", False)], ANN
     )
     assert rows(via_reify) == rows(rdfstar_to_reified(star))
+
+
+def test_reserved_annotation_predicate_refused(spark):
+    bad = spark.createDataFrame(
+        [("s", "p", "o", True, "rdf:subject", "x", False)], ANN
+    )
+    with pytest.raises(Exception, match="reserved reification predicate"):
+        rdfstar_to_reified(bad).collect()

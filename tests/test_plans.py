@@ -415,3 +415,43 @@ def test_quad_store_constant_graph_prunes_partitions(spark, tmp_path):
     pf = scan_line.split("PartitionFilters: [")[1].split("]")[0]
     assert "g1" in pf, pf  # planning-time graph pruning
     assert out.count() == 1000
+
+
+def test_web_table_walk_is_jvm_only(spark):
+    """The html -> cells walk must never cross into Python: no
+    BatchEvalPython / ArrowEvalPython / mapInPandas nodes anywhere in
+    the wt_* trees (the walker's whole point is codegen'd regex)."""
+    for name in ("wt_extract_tables", "wt_to_triples", "wt_stitch",
+                 "wt_type_infer", "wt_infer_headers"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+
+
+def test_rdfstar_chain_is_jvm_only_no_cartesian(spark):
+    """Serialize -> parse -> bridge -> inverse bridge: pure JVM
+    expressions and hash joins; the only exchanges carry pre-deduped
+    frames (see sources/ntriples_star docstring)."""
+    plan = plan_of(QUERIES["nt_star_roundtrip"](spark, SF_DIR))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bgp_maintain_delta_legs_broadcast(spark):
+    """View maintenance must probe the store FROM the delta side: the
+    tree carries broadcast hash joins (delta legs are bucket-filtered
+    slivers of the edge scan) and the view update is a LeftAnti on the
+    view's own key — never a store self-join."""
+    plan = plan_of(QUERIES["kg_bgp_maintain"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_plan_is_aggregation_only(spark):
+    """The layout report is hash aggregations + one equi-join (degree
+    profile): no window functions, no Python, and the only nested-loop
+    joins are the 1-row stat-frame broadcasts."""
+    plan = plan_of(QUERIES["kg_partition_plan"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

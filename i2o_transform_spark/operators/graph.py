@@ -1340,3 +1340,133 @@ def strongly_connected_components(
             "max_peel_rounds"
         )
     return assigned
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    max_depth: int = 32,
+    directed: bool = False,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact betweenness centrality — Brandes (2001) run for ALL sources
+    SIMULTANEOUSLY, the formulation that survives a cluster: per BFS
+    level ONE join of the composite (source, node) frontier against the
+    edge table, so the whole computation is O(diameter) rounds
+    regardless of |V| — never a per-source driver loop.
+
+    Forward sweep: the frontier carries (s, v, sigma); extending through
+    the edge table and anti-joining the settled set yields the next
+    level, sigma summing over predecessors (shortest-path counts).
+    Backward sweep (dependency accumulation, deepest level first):
+    delta(v) += sigma_v/sigma_w * (1 + delta(w)) over same-source edges
+    into the level below; each level is again one join + one hash agg.
+    ``bc`` sums delta over sources; undirected inputs are symmetrized
+    first and the classic halving applied.  Endpoints are excluded, the
+    standard convention.
+
+    Returns every node with its (float) ``bc``.  Exactness is gated in
+    pytest against a pure-Python Brandes on cyclic graphs; the oracled
+    query uses a closed-form fixture (bridged stars) where all sigma=1
+    and scores are integers.
+
+    Scale shape: 2 x diameter rounds, each a frontier-sized equi-join +
+    map-side-combining agg against the once-repartitioned edge table;
+    the frontier is (sources x level-width) — for truncated/sampled
+    variants pass a pre-filtered edge frame or cap ``max_depth`` (deeper
+    pairs are then ignored, the documented approximation).  One driver
+    action per level (the checkpoint that also cuts lineage)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    e = e.distinct().repartition(F.col("u")).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # forward: settled (s, node, dist, sigma); frontier at dist d
+    frontier = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("node"),
+        F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    settled = frontier
+    levels = [frontier]
+    for d in range(1, max_depth + 1):
+        seen = settled.select(
+            F.col("s").alias("_ss"), F.col("node").alias("_seen")
+        )
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("s", F.col("v").alias("node"), "sigma")
+            .join(
+                seen,
+                (F.col("s") == F.col("_ss"))
+                & (F.col("node") == F.col("_seen")),
+                "left_anti",
+            )
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(d))
+            .select("s", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+    # backward: accumulate deltas level by level, deepest first
+    deltas = None  # (s, node, delta) for levels already processed
+    bc_parts = []
+    for d in range(len(levels) - 1, 0, -1):
+        below = levels[d]
+        if deltas is not None:
+            below_d = below.join(
+                deltas, ["s", "node"], "left"
+            ).select(
+                "s", "node", "sigma",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+        else:
+            below_d = below.select(
+                "s", "node", "sigma", F.lit(0.0).alias("delta")
+            )
+        upper = levels[d - 1]
+        contrib = (
+            upper.alias("up")
+            .join(e, F.col("up.node") == e["u"])
+            .join(
+                below_d.alias("bw"),
+                (F.col("up.s") == F.col("bw.s"))
+                & (F.col("v") == F.col("bw.node")),
+            )
+            .select(
+                F.col("up.s").alias("s"),
+                F.col("up.node").alias("node"),
+                (
+                    (F.col("up.sigma") / F.col("bw.sigma"))
+                    * (F.lit(1.0) + F.col("bw.delta"))
+                ).alias("c"),
+            )
+            .groupBy("s", "node")
+            .agg(F.sum("c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        deltas = contrib
+        # exclude the source itself (endpoints don't accumulate bc)
+        bc_parts.append(contrib.where(F.col("s") != F.col("node")))
+    scale = 0.5 if not directed else 1.0
+    if not bc_parts:
+        return nodes.withColumn("bc", F.lit(0.0))
+    allc = bc_parts[0]
+    for p in bc_parts[1:]:
+        allc = allc.unionByName(p)
+    summed = allc.groupBy("node").agg(
+        (F.sum("delta") * F.lit(scale)).alias("bc")
+    )
+    return (
+        nodes.join(summed, "node", "left")
+        .select("node", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc"))
+    )

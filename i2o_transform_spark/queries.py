@@ -13769,3 +13769,56 @@ def wt_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = extract_tables(cu_pages.unionByName(su_pages), keep=["url"])
     return stitch_tables(cells, keep=["url"])
+
+
+@query(
+    "kg_betweenness",
+    oracle="""
+    WITH kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM nation),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM region)
+    SELECT 'A' AS node, CAST(k*(k-1) + 2*k + 2*k*m AS BIGINT) AS bc_x2
+    FROM kk, mm
+    UNION ALL
+    SELECT 'B', CAST(m*(m-1) + 2*m + 2*k*m AS BIGINT) FROM kk, mm
+    UNION ALL SELECT 'n' || n_nationkey, CAST(0 AS BIGINT) FROM nation
+    UNION ALL SELECT 'r' || r_regionkey, CAST(0 AS BIGINT) FROM region
+    """,
+)
+def kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality (graph.betweenness_centrality) — the
+    bridge-detector PageRank and HITS cannot express: which nodes carry
+    the shortest-path TRAFFIC (who is the crosswalk between two
+    communities).  Brandes run for ALL sources simultaneously — O(diam)
+    rounds total, never a per-source loop — on a bridged-star fixture
+    (nation leaves around hub A, region leaves around hub B, one A-B
+    bridge) whose betweenness is closed-form: every leaf 0, each hub
+    C(k,2) + k + k*m; the oracle derives both from the base-table
+    counts.  Scores x2 as integers (tree sigma=1 makes them exact).
+    Cyclic / multi-path exactness is pytest-gated against a pure-Python
+    Brandes.  Scale shape: 2 x diameter frontier joins + hash aggs over
+    the once-repartitioned edge table."""
+    from i2o_transform_spark.operators.graph import betweenness_centrality
+
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    edges = (
+        na.select(
+            F.lit("A").alias("src"),
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("dst"),
+        )
+        .unionByName(
+            re_.select(
+                F.lit("B").alias("src"),
+                F.concat(F.lit("r"), F.col("r_regionkey").cast("string"))
+                .alias("dst"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([("A", "B")], "src string, dst string")
+        )
+    )
+    bc = betweenness_centrality(edges, max_depth=8)
+    return bc.select(
+        "node", F.round(F.col("bc") * 2).cast("long").alias("bc_x2")
+    )

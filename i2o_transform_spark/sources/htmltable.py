@@ -281,3 +281,85 @@ def stitch_tables(
             "n_rows",
         )
     )
+
+
+def extract_attr_values(
+    pages: DataFrame,
+    html: str = "html",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Pages -> (attr, value) pairs in ONE map pass — zero shuffle.
+
+    ``extract_tables`` + ``tables_to_attr_values`` is the composable
+    path, but its header join re-shuffles EVERY data cell on the
+    (page, table, col) key — at crawl scale that exchange is the whole
+    cost (measured: 0.44 scaling efficiency 4->16 at 400k pages,
+    dev/wt_scale_demo.py).  Here the header array is computed inside the
+    same expression tree that walks the table — each cell's attribute is
+    ``element_at`` of the first header row wide enough to cover its
+    column — so the pairs stream out of a Generate chain with no
+    exchange at all.
+
+    Row-identical to the composable path for single-header-row tables —
+    the universal web shape — including ragged rows (cells beyond the
+    headers drop), entity decode, and headerless tables (emit nothing);
+    pytest-pinned.  Stated divergence: a table whose header cells span
+    SEVERAL th rows gets them concatenated in document order here,
+    where the composable path elects per column — route multi-header
+    layouts through extract_tables + tables_to_attr_values."""
+    keep = keep or []
+    h = F.col(html).cast("string")
+    tables = pages.select(
+        *keep,
+        F.posexplode(F.regexp_extract_all(h, F.lit(_TABLE_RE), F.lit(1)))
+        .alias("table_idx", "_tbody"),
+    )
+    rows_arr = F.regexp_extract_all(F.col("_tbody"), F.lit(_ROW_RE), F.lit(1))
+
+    # header-row predicate as plain substring checks, not a regex: HOF
+    # lambdas evaluate interpreted per element, and an interpreted rlike
+    # re-matches its pattern per row — measurably hot at 20+ rows/table.
+    # "<th>" / "<th " covers spec-shaped th tags (same rows the walker's
+    # anchored grammar accepts).
+    def _is_th(r):
+        return F.contains(r, F.lit("<th>")) | F.contains(r, F.lit("<th "))
+
+    # the column->attribute map is ALL <th> cells of the table in
+    # document order — one plain regexp_extract_all per table, fully
+    # codegen'd.  NO higher-order functions anywhere: every HOF
+    # formulation tried (header-row filter + per-column covering
+    # election, let-bound or not) costs ~100us of interpreter overhead
+    # per invocation, which at crawl page counts is 7x the entire rest
+    # of the walk (measured on 8M cells: 12.5s vs 1.8s).  Contract
+    # difference vs the composable path, stated: tables whose header
+    # cells span SEVERAL th rows get them concatenated left-to-right
+    # here (the composable header election is per-column); for the
+    # universal single-header-row shape the two paths are row-identical
+    # (pytest-pinned).
+    th_cells = F.regexp_extract_all(
+        F.col("_tbody"), F.lit(r"(?s)<th[^>]*>(.*?)</th>"), F.lit(1)
+    )
+    with_rows = tables.select(
+        *keep, "table_idx", th_cells.alias("_attrs"),
+        F.explode(rows_arr).alias("_trow"),
+    ).where(~_is_th(F.col("_trow")))
+    # per-cell attribute lookup is a plain GetArrayItem against the
+    # small flat _attrs array (codegen'd); a null attr is an uncovered
+    # column and drops, matching the composable join path
+    cells = with_rows.select(
+        *keep,
+        "table_idx",
+        "_attrs",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_trow"), F.lit(_CELL_RE), F.lit(1))
+        ).alias("col_idx", "_cell"),
+    )
+    return (
+        cells.select(
+            *keep, "table_idx",
+            _clean_cell(F.get(F.col("_attrs"), F.col("col_idx")))
+            .alias("attr"),
+            _clean_cell(F.col("_cell")).alias("value"),
+        )
+        .where(F.col("attr").isNotNull())
+    )

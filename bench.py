@@ -86,10 +86,13 @@ EXTRA = [
     "kg_bgp_encoded",
     "kg_anchor_priors",
     # round-4 session-D: partition planning, RDF-star wire, incremental
-    # query/rank maintenance
+    # query/rank maintenance, federation, profiling trio, web tables
     "kg_partition_plan",
     "nt_star_roundtrip",
     "kg_bgp_maintain",
+    "kg_sparql_service",
+    "kg_ind_mine",
+    "wt_type_infer_fast",
 ]
 
 

@@ -13874,3 +13874,58 @@ def wt_type_infer_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return infer_column_types(extract_attr_values(pages, keep=["url"]))
+
+
+@query(
+    "wb_recrawl_policy",
+    oracle="""
+    SELECT 'u' || user_id AS url,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           CAST(FLOOR(SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                              THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*))
+                AS BIGINT) AS change_ppm,
+           CASE
+             WHEN SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)
+                  >= 600000 THEN 'hot'
+             WHEN SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)
+                  >= 200000 THEN 'warm'
+             ELSE 'cold'
+           END AS recrawl_bucket
+    FROM events GROUP BY user_id
+    """,
+)
+def wb_recrawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling policy: per-URL change-rate estimation from the
+    fetch log (events as the visit history; content-changing event kinds
+    mark a changed fetch) elects each URL into a hot/warm/cold recrawl
+    bucket — the freshness-vs-politeness allocation every crawler
+    derives from exactly this aggregate (Cho & Garcia-Molina's
+    change-frequency estimators reduce to this ratio under uniform
+    revisit).  Composes with the r04 crawl stack: sitemap frontier ->
+    robots filter -> fetch -> THIS policy -> next frontier.  Integer ppm
+    end-to-end per the repo contract.  Scale shape: ONE
+    map-side-combining aggregation keyed by url; bucket election is a
+    codegen CASE."""
+    ev = _t(spark, sf_dir, "events")
+    changed = F.col("event_type").isin("purchase", "signup").cast("int")
+    agg = ev.groupBy(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(changed).cast("long").alias("n_changes"),
+    )
+    ppm = F.floor(
+        F.col("n_changes") * F.lit(1_000_000) / F.col("n_fetches")
+    ).cast("long")
+    rate = F.col("n_changes") * F.lit(1_000_000.0) / F.col("n_fetches")
+    return agg.select(
+        "url", "n_fetches", "n_changes", ppm.alias("change_ppm"),
+        F.when(rate >= 600_000, F.lit("hot"))
+        .when(rate >= 200_000, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("recrawl_bucket"),
+    )

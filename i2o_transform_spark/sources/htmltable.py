@@ -293,20 +293,28 @@ def extract_attr_values(
     ``extract_tables`` + ``tables_to_attr_values`` is the composable
     path, but its header join re-shuffles EVERY data cell on the
     (page, table, col) key — at crawl scale that exchange is the whole
-    cost (measured: 0.44 scaling efficiency 4->16 at 400k pages,
-    dev/wt_scale_demo.py).  Here the header array is computed inside the
-    same expression tree that walks the table — each cell's attribute is
-    ``element_at`` of the first header row wide enough to cover its
-    column — so the pairs stream out of a Generate chain with no
-    exchange at all.
+    cost (measured: 0.45 scaling efficiency 4->16, dev/wt_scale_demo).
+    Here the header map rides INSIDE the first generator, so the pairs
+    stream out of a Generate chain with no exchange at all.
+
+    The load-bearing trick (measured, see dev/wt_scale_demo.py): the
+    per-table header map MUST be packed into the generator expression
+    itself — ``explode(array(struct(th_cells, rows)))`` — because
+    Catalyst evaluates a select's non-generator sibling expressions
+    AFTER the Generate, once per OUTPUT row; a header expression left
+    as a sibling re-runs its regex over the full table body per data
+    row (quadratic in table size: 86s vs 0.3s on twenty 450 KB
+    tables).  Packing also drops the table body immediately, so no
+    downstream projection can re-derive from it.
 
     Row-identical to the composable path for single-header-row tables —
     the universal web shape — including ragged rows (cells beyond the
     headers drop), entity decode, and headerless tables (emit nothing);
     pytest-pinned.  Stated divergence: a table whose header cells span
-    SEVERAL th rows gets them concatenated in document order here,
-    where the composable path elects per column — route multi-header
-    layouts through extract_tables + tables_to_attr_values."""
+    SEVERAL th rows gets them concatenated in document order here
+    (all th cells, one regex), where the composable path elects per
+    column — route multi-header layouts through extract_tables +
+    tables_to_attr_values."""
     keep = keep or []
     h = F.col(html).cast("string")
     tables = pages.select(
@@ -314,38 +322,27 @@ def extract_attr_values(
         F.posexplode(F.regexp_extract_all(h, F.lit(_TABLE_RE), F.lit(1)))
         .alias("table_idx", "_tbody"),
     )
-    rows_arr = F.regexp_extract_all(F.col("_tbody"), F.lit(_ROW_RE), F.lit(1))
-
-    # header-row predicate as plain substring checks, not a regex: HOF
-    # lambdas evaluate interpreted per element, and an interpreted rlike
-    # re-matches its pattern per row — measurably hot at 20+ rows/table.
-    # "<th>" / "<th " covers spec-shaped th tags (same rows the walker's
-    # anchored grammar accepts).
-    def _is_th(r):
-        return F.contains(r, F.lit("<th>")) | F.contains(r, F.lit("<th "))
-
-    # the column->attribute map is ALL <th> cells of the table in
-    # document order — one plain regexp_extract_all per table, fully
-    # codegen'd.  NO higher-order functions anywhere: every HOF
-    # formulation tried (header-row filter + per-column covering
-    # election, let-bound or not) costs ~100us of interpreter overhead
-    # per invocation, which at crawl page counts is 7x the entire rest
-    # of the walk (measured on 8M cells: 12.5s vs 1.8s).  Contract
-    # difference vs the composable path, stated: tables whose header
-    # cells span SEVERAL th rows get them concatenated left-to-right
-    # here (the composable header election is per-column); for the
-    # universal single-header-row shape the two paths are row-identical
-    # (pytest-pinned).
+    rows_arr = F.regexp_extract_all(
+        F.col("_tbody"), F.lit(_ROW_RE), F.lit(1)
+    )
     th_cells = F.regexp_extract_all(
         F.col("_tbody"), F.lit(r"(?s)<th[^>]*>(.*?)</th>"), F.lit(1)
     )
-    with_rows = tables.select(
-        *keep, "table_idx", th_cells.alias("_attrs"),
-        F.explode(rows_arr).alias("_trow"),
+
+    def _is_th(r):
+        return F.contains(r, F.lit("<th>")) | F.contains(r, F.lit("<th "))
+
+    packed = tables.select(
+        *keep,
+        "table_idx",
+        F.explode(
+            F.array(F.struct(th_cells.alias("h"), rows_arr.alias("rs")))
+        ).alias("_t"),
+    )
+    with_rows = packed.select(
+        *keep, "table_idx", F.col("_t.h").alias("_attrs"),
+        F.explode("_t.rs").alias("_trow"),
     ).where(~_is_th(F.col("_trow")))
-    # per-cell attribute lookup is a plain GetArrayItem against the
-    # small flat _attrs array (codegen'd); a null attr is an uncovered
-    # column and drops, matching the composable join path
     cells = with_rows.select(
         *keep,
         "table_idx",
@@ -354,6 +351,8 @@ def extract_attr_values(
             F.regexp_extract_all(F.col("_trow"), F.lit(_CELL_RE), F.lit(1))
         ).alias("col_idx", "_cell"),
     )
+    # per-cell attribute lookup is a plain GetArrayItem against the
+    # small header array (null out-of-bounds = uncovered column, drops)
     return (
         cells.select(
             *keep, "table_idx",

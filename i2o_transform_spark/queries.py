@@ -13836,9 +13836,10 @@ def kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wt_type_infer_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wt_type_infer through the SINGLE-PASS walker
-    (htmltable.extract_attr_values — zero shuffle, no HOFs; 48.8k
-    pages/s at 16 cores, 0.792 scaling at 87% of the same-boot STREAM
-    ceiling vs 0.447 for the header-join path, BENCH_SCALING.md).  SAME
+    (htmltable.extract_attr_values — zero shuffle, header map packed
+    into the generator; 113.5k pages/s at 16 cores, 0.799 scaling at
+    87% of the same-boot STREAM ceiling vs 0.447 for the header-join
+    path, BENCH_SCALING.md).  SAME
     oracle as wt_type_infer, so the two paths' row-identity is a hard
     driver-checkable signal, not just a pytest."""
     from i2o_transform_spark.operators.profile import infer_column_types

@@ -51,6 +51,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Hard bound on the driver-side candidate dictionary (same contract shape as
+# plans/kg.py MAX_BROADCAST_VOCAB).  Beyond this, use the salted-join path.
+MAX_CANDIDATE_TABLE_ROWS = 1_000_000
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -213,12 +217,21 @@ def _collect_candidate_table(
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Driver-side build of the per-surface candidate table (ids sorted
     ascending — the deterministic tie-break order; matrices L2-normalized).
-    Vocabulary-sized by contract — asserted."""
-    cand_rows = candidates.select(surface_col, entity_col, vec_col).collect()
-    assert len(cand_rows) <= 1_000_000, (
-        "candidate dictionary exceeds broadcast contract; pre-filter or use "
-        "the salted-join path"
+    Vocabulary-sized by contract — enforced with a loud ValueError (the
+    MAX_BROADCAST_VOCAB pattern from plans/kg.py): the collect is capped at
+    bound+1 rows so an oversized table can never flood the driver, and the
+    overflow raises even under ``python -O``."""
+    bound = MAX_CANDIDATE_TABLE_ROWS
+    cand_rows = (
+        candidates.select(surface_col, entity_col, vec_col)
+        .limit(bound + 1)
+        .collect()
     )
+    if len(cand_rows) > bound:
+        raise ValueError(
+            f"candidate dictionary exceeds the {bound}-row broadcast "
+            "contract; pre-filter the vocabulary or use the salted-join path"
+        )
     tmp: dict[str, list[tuple[int, np.ndarray]]] = {}
     for r in cand_rows:
         v = np.asarray(r[vec_col], dtype=np.float64)

@@ -203,7 +203,16 @@ def pagerank(
     and the driver, not the data, becomes the bottleneck.  The dangling sum
     is kept as a 1-row DataFrame cross-joined in (broadcast, free) rather
     than collected, so an iteration adds no driver action."""
-    e = edges.select(src, dst).distinct().repartition(F.col(src))
+    # checkpoint the deduped/repartitioned edge table once: every
+    # iteration's actions re-traverse this plan, so without the barrier
+    # the distinct's exchange re-executes per round (same reason hits()
+    # checkpoints its e_src); nodes/out_deg reuse it too
+    e = (
+        edges.select(src, dst)
+        .distinct()
+        .repartition(F.col(src))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -274,7 +283,16 @@ def pagerank_converged(
     exchanged once, rank vector moves), plus one node-sized join + 1-row
     aggregate per round for the residual — the convergence check is the
     round's action and doubles as the eager checkpoint barrier."""
-    e = edges.select(src, dst).distinct().repartition(F.col(src))
+    # checkpoint the deduped/repartitioned edge table once: every
+    # iteration's actions re-traverse this plan, so without the barrier
+    # the distinct's exchange re-executes per round (same reason hits()
+    # checkpoints its e_src); nodes/out_deg reuse it too
+    e = (
+        edges.select(src, dst)
+        .distinct()
+        .repartition(F.col(src))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -412,10 +430,17 @@ def hits(
                 .groupBy(F.col(src).alias("node"))
                 .agg(F.sum("v").alias("v"))
             )
-        # checkpoint a first: h's final round hangs off it, so the two
-        # materializations share the batch lineage instead of repeating it
+        # checkpoint a first, then REBUILD h's final half-round on top of
+        # the checkpointed frame before materializing it — h's lazily
+        # built plan still references the pre-checkpoint a, so without the
+        # rebind its checkpoint would re-execute the whole batch chain a
+        # second time; rebuilt, h's action costs exactly one join
         a = a.localCheckpoint(eager=True)
-        h = h.localCheckpoint(eager=True)
+        h = (
+            e_src.join(a.withColumnRenamed("node", dst), dst)
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("v").alias("v"))
+        ).localCheckpoint(eager=True)
         hsum = h.agg(F.sum("v").alias("_hs"))
         asum = a.agg(F.sum("v").alias("_as"))
         nxt = (
@@ -944,7 +969,16 @@ def personalized_pagerank(
     bounds (edges exchanged once, lineage cut every
     ``checkpoint_every`` rounds).
     """
-    e = edges.select(src, dst).distinct().repartition(F.col(src))
+    # checkpoint the deduped/repartitioned edge table once: every
+    # iteration's actions re-traverse this plan, so without the barrier
+    # the distinct's exchange re-executes per round (same reason hits()
+    # checkpoints its e_src); nodes/out_deg reuse it too
+    e = (
+        edges.select(src, dst)
+        .distinct()
+        .repartition(F.col(src))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -1348,6 +1382,7 @@ def betweenness_centrality(
     directed: bool = False,
     src: str = "src",
     dst: str = "dst",
+    sample_sources: int | float | None = None,
 ) -> DataFrame:
     """Exact betweenness centrality — Brandes (2001) run for ALL sources
     SIMULTANEOUSLY, the formulation that survives a cluster: per BFS
@@ -1370,11 +1405,26 @@ def betweenness_centrality(
     query uses a closed-form fixture (bridged stars) where all sigma=1
     and scores are integers.
 
+    ``sample_sources`` switches to the Brandes–Pich / Riondato pivot
+    estimator — the ONLY formulation that survives the full crawl graph,
+    where the exact all-sources frontier is (|V| x level-width) pairs
+    (~10^16 on a 10^8-node component).  An int is an absolute pivot
+    count k, a float in (0, 1] a fraction of |V|; pivots are elected
+    deterministically as the k smallest ``xxhash64(node)`` values (a
+    seedless uniform sample — stable across runs, partitionings, and
+    cluster sizes), the sweeps run with the k-source frontier (state
+    k x level-width), and each accumulated dependency is scaled by
+    |V|/k, the unbiased Brandes–Pich estimator (E[(n/k) sum_S delta] =
+    BC exactly, Hoeffding error O(n * sqrt(log n / k))).  ``k >= |V|``
+    degrades to the exact path bit-for-bit.  Exactness of the estimator
+    is pytest-gated against pure-Python Brandes (unbiasedness on the
+    full sample; bounded relative error on hubs at k < n).
+
     Scale shape: 2 x diameter rounds, each a frontier-sized equi-join +
     map-side-combining agg against the once-repartitioned edge table;
-    the frontier is (sources x level-width) — for truncated/sampled
-    variants pass a pre-filtered edge frame or cap ``max_depth`` (deeper
-    pairs are then ignored, the documented approximation).  One driver
+    the frontier is (sources x level-width) — cap it with
+    ``sample_sources`` (estimator, stated error) and/or ``max_depth``
+    (deeper pairs ignored, the documented truncation).  One driver
     action per level (the checkpoint that also cuts lineage)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
@@ -1386,8 +1436,34 @@ def betweenness_centrality(
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
     )
+    inv_sample_frac = 1.0
+    sources = nodes
+    if sample_sources is not None:
+        n_nodes = nodes.count()
+        if isinstance(sample_sources, float):
+            if not 0.0 < sample_sources <= 1.0:
+                raise ValueError(
+                    "sample_sources fraction must be in (0, 1], got "
+                    f"{sample_sources}"
+                )
+            k = max(1, int(sample_sources * n_nodes))
+        else:
+            if sample_sources < 1:
+                raise ValueError(
+                    f"sample_sources count must be >= 1, got {sample_sources}"
+                )
+            k = min(int(sample_sources), n_nodes)
+        if k < n_nodes:
+            # deterministic pivot election: k smallest hash values.  A
+            # k-sized sort-limit is a tiny TakeOrdered, not a full sort.
+            sources = (
+                nodes.orderBy(F.xxhash64("node").asc(), F.col("node").asc())
+                .limit(k)
+                .localCheckpoint(eager=True)
+            )
+            inv_sample_frac = n_nodes / k
     # forward: settled (s, node, dist, sigma); frontier at dist d
-    frontier = nodes.select(
+    frontier = sources.select(
         F.col("node").alias("s"), F.col("node").alias("node"),
         F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
     ).localCheckpoint(eager=True)
@@ -1457,7 +1533,7 @@ def betweenness_centrality(
         deltas = contrib
         # exclude the source itself (endpoints don't accumulate bc)
         bc_parts.append(contrib.where(F.col("s") != F.col("node")))
-    scale = 0.5 if not directed else 1.0
+    scale = (0.5 if not directed else 1.0) * inv_sample_frac
     if not bc_parts:
         return nodes.withColumn("bc", F.lit(0.0))
     allc = bc_parts[0]

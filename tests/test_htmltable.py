@@ -232,3 +232,33 @@ def test_extract_attr_values_matches_composable(spark):
     # ragged extra cell (no covering header) dropped on both paths
     assert not any(v == "ragged-extra" for (_, _, _, v) in fast)
     assert ("a & b", 0, "u2", "") in fast and ("c", 0, "u2", "2") in fast
+
+
+def test_mixed_case_tags_and_thead_guard(spark):
+    """Crawl HTML mixes tag case: <TABLE>/<Tr>/<TD> parse identically to
+    lowercase on both the walker and the single-pass path, and <thead>/
+    <track> can never false-match the <th>/<tr> openers."""
+    from i2o_transform_spark.sources.htmltable import extract_attr_values
+
+    upper = (
+        "<TABLE CLASS='x'><THEAD><TR><TH>K</TH><TH>V</TH></TR></THEAD>"
+        "<TR><TD>1</TD><TD>a</TD></TR>"
+        "<Tr><Td>2</Td><td>b</td></Tr></TABLE>"
+    )
+    lower = (
+        "<table class='x'><thead><tr><th>K</th><th>V</th></tr></thead>"
+        "<tr><td>1</td><td>a</td></tr>"
+        "<tr><td>2</td><td>b</td></tr></table>"
+    )
+    up = spark.createDataFrame([("u", upper)], P)
+    lo = spark.createDataFrame([("u", lower)], P)
+    got_up = rows(extract_tables(up, keep=["url"]))
+    assert got_up == rows(extract_tables(lo, keep=["url"]))
+    assert ("K", 0, True, 0, 0, "u") in got_up
+    assert ("2", 0, False, 2, 0, "u") in got_up
+    fast_up = rows(extract_attr_values(up, keep=["url"]))
+    assert fast_up == rows(extract_attr_values(lo, keep=["url"]))
+    assert fast_up == {
+        ("K", 0, "u", "1"), ("V", 0, "u", "a"),
+        ("K", 0, "u", "2"), ("V", 0, "u", "b"),
+    }

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from i2o_transform_spark.operators.dedup import (
@@ -448,6 +449,26 @@ def test_embedding_disambiguate_random_equivalence(spark):
     }
     assert len(a) == 200
     assert a == b
+
+
+def test_candidate_table_broadcast_bound_raises(spark, monkeypatch):
+    """Error contract: an oversized candidate dictionary raises a loud
+    ValueError (not a stripped-under-``-O`` assert), and the driver collect
+    is capped at bound+1 rows so the failure mode can never be an unbounded
+    collect.  Mirrors the MAX_BROADCAST_VOCAB contract in plans/kg.py."""
+    import i2o_transform_spark.operators.entity_link as el
+
+    cands = spark.createDataFrame(
+        [("s", i, [1.0, 0.0]) for i in range(5)],
+        "surface string, entity_id long, emb array<double>",
+    )
+    monkeypatch.setattr(el, "MAX_CANDIDATE_TABLE_ROWS", 4)
+    with pytest.raises(ValueError, match="broadcast"):
+        el._collect_candidate_table(cands, "surface", "entity_id", "emb")
+    # at the bound it still works
+    monkeypatch.setattr(el, "MAX_CANDIDATE_TABLE_ROWS", 5)
+    table = el._collect_candidate_table(cands, "surface", "entity_id", "emb")
+    assert list(table["s"][0]) == [0, 1, 2, 3, 4]
 
 
 def test_embedding_disambiguate_dual_equals_sequential(spark):

@@ -55,12 +55,15 @@ DRIVER_WINDOW: list[str] = [
     "kg_betweenness_approx",
     "kg_hits_check",
     "kg_ppr_check",
-    # SPARQL close-outs: OPTIONAL/MINUS/quads, programmatic UPDATE,
+    # SPARQL close-outs: OPTIONAL/MINUS/quads, UPDATE through the
+    # new-in-r05 TEXT form (kg_update_where yielded its slot: the text
+    # row parses DELETE/INSERT...WHERE onto the SAME update_where
+    # operator and shares its oracle — strictly more path covered),
     # subqueries, local-store SERVICE federation, text property paths
     "kg_bgp_optional",
     "kg_bgp_minus",
     "kg_quads_graph",
-    "kg_update_where",
+    "kg_sparql_update",
     "kg_sparql_subquery",
     "kg_sparql_service",
     "kg_sparql_text_path",

@@ -696,6 +696,38 @@ def parse(text: str) -> dict:
         _no_trailing(p)
         return {"form": "describe", "var": val[1:], "groups": [group]}
 
+    if p.at_kw("delete") or p.at_kw("insert"):
+        # SPARQL UPDATE: DELETE {t}? INSERT {t}? WHERE {g} — compiled onto
+        # bgp.update_where (delete-then-insert set semantics, returns the
+        # next snapshot).  Templates are plain (s, p, o) triples: property
+        # paths and language-tagged literals are rejected here exactly as
+        # the programmatic operator rejects tagged stores.
+        def _template(kw: str) -> list[tuple[str, str, str]]:
+            p.expect_punct("{")
+            tmpl = _parse_triples_block(p)
+            p.expect_punct("}")
+            for t in tmpl:
+                if any(not isinstance(term, str) for term in t):
+                    raise SparqlSyntaxError(
+                        f"{kw} template terms must be plain IRIs, "
+                        "literals, or variables (no property paths or "
+                        "language-tagged literals)"
+                    )
+            return tmpl
+
+        delete = insert = None
+        if p.at_kw("delete"):
+            p.eat()
+            delete = _template("DELETE")
+        if p.at_kw("insert"):
+            p.eat()
+            insert = _template("INSERT")
+        p.expect_kw("where")
+        group = _parse_group_with_binds(p)
+        _no_trailing(p)
+        return {"form": "update", "delete": delete, "insert": insert,
+                "groups": [group]}
+
     spec = _parse_select(p)
     _no_trailing(p)
     return spec
@@ -999,6 +1031,15 @@ def sparql(
     )
 
     q = parse(text)
+    if q["form"] == "update":
+        from i2o_transform_spark.operators.bgp import update_where
+
+        _resolve_subqueries(triples, q["groups"], stats, stores)
+        g = dict(q["groups"][0])
+        return update_where(
+            triples, where=g.pop("patterns"),
+            delete=q["delete"], insert=q["insert"], stats=stats, **g
+        )
     if q["form"] == "ask":
         _resolve_subqueries(triples, q["groups"], stats, stores)
         return bgp_ask(triples, **q["groups"][0])

@@ -10256,6 +10256,66 @@ def kg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kg_sparql_update",
+    oracle="""
+    WITH t(subj, pred, obj) AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'priority',
+             o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR), 'status', o_orderstatus
+      FROM orders
+    ),
+    dels AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             'priority' AS pred, o_orderpriority AS obj
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    ins AS (
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             'wasUrgent' AS pred, 'true' AS obj
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subj,
+             'status' AS pred, o_orderstatus AS obj
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT subj, pred, obj FROM
+      ((SELECT subj, pred, obj FROM t
+        EXCEPT SELECT subj, pred, obj FROM dels)
+       UNION
+       SELECT subj, pred, obj FROM ins) u
+    """,
+)
+def kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE through the TEXT front-end (operators/sparql):
+    ``DELETE {...} INSERT {...} WHERE {...}`` is parsed and compiled
+    onto the SAME bgp.update_where operator as kg_update_where, and
+    shares that query's EXCEPT+UNION set-algebra oracle — so the text
+    path's row-identity to the programmatic path is a hard
+    driver-checkable signal.  Exercises template instantiation with a
+    shared WHERE variable (?st re-asserted from the store) and constant
+    literals in both templates."""
+    from i2o_transform_spark.operators.sparql import sparql
+
+    od = _t(spark, sf_dir, "orders")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        od.select(tag("O:", "o_orderkey").alias("subj"),
+                  F.lit("priority").alias("pred"),
+                  F.col("o_orderpriority").alias("obj"))
+        .unionByName(od.select(tag("O:", "o_orderkey").alias("subj"),
+                               F.lit("status").alias("pred"),
+                               F.col("o_orderstatus").alias("obj")))
+    )
+    return sparql(triples, """
+        DELETE { ?o priority "1-URGENT" }
+        INSERT { ?o wasUrgent "true" . ?o status ?st }
+        WHERE  { ?o priority "1-URGENT" . ?o status ?st }
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Incremental RDFS entailment maintenance (instance delta / schema delta)
 # ---------------------------------------------------------------------------

@@ -234,6 +234,40 @@ def test_extract_attr_values_matches_composable(spark):
     assert ("a & b", 0, "u2", "") in fast and ("c", 0, "u2", "2") in fast
 
 
+def test_multi_header_fast_path_matches_composable(spark):
+    """Grouped-header layouts (several <th> rows, ragged header rows,
+    mixed td/th cells inside a header row) elect per-column identically
+    on the single-pass and composable paths — the r04 stated divergence,
+    closed."""
+    from i2o_transform_spark.sources.htmltable import extract_attr_values
+
+    html = (
+        # header row 1 covers cols 0-1; header row 2 covers 0-2 (col 2's
+        # header must come from row 2; cols 0-1 from row 1); row 2 mixes
+        # a td into the header row (still a header row: contains a th)
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><th>a2</th><td>b2</td><th>C</th></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td></tr>"
+        "<tr><td>4</td><td>5</td><td>6</td><td>no-header</td></tr></table>"
+        # single-header control on the same page
+        "<table><tr><th>K</th></tr><tr><td>k1</td></tr></table>"
+        # headerless: contributes nothing on either path
+        "<table><tr><td>x</td></tr></table>"
+    )
+    pages = spark.createDataFrame([("u", html)], P)
+    fast = rows(extract_attr_values(pages, keep=["url"]))
+    slow = rows(tables_to_attr_values(
+        extract_tables(pages, keep=["url"]), keep=["url"]
+    ))
+    assert fast == slow
+    assert ("A", 0, "u", "1") in fast and ("B", 0, "u", "2") in fast
+    assert ("C", 0, "u", "3") in fast            # elected from row 2
+    assert ("C", 0, "u", "6") in fast
+    assert not any(v == "no-header" for (_, _, _, v) in fast)
+    assert ("K", 1, "u", "k1") in fast
+    assert not any(v == "x" for (_, _, _, v) in fast)
+
+
 def test_mixed_case_tags_and_thead_guard(spark):
     """Crawl HTML mixes tag case: <TABLE>/<Tr>/<TD> parse identically to
     lowercase on both the walker and the single-pass path, and <thead>/

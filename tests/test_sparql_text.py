@@ -356,3 +356,45 @@ def test_typed_literal_prefixed_via_declared_prefix(typed_graph):
 def test_typed_literal_errors(typed_graph, bad, msg):
     with pytest.raises(SparqlSyntaxError, match=msg):
         sparql(typed_graph, bad)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE text form (r05): DELETE/INSERT ... WHERE onto update_where
+# ---------------------------------------------------------------------------
+
+def test_update_delete_insert_where(spark, graph):
+    from i2o_transform_spark.operators.bgp import update_where
+
+    q = """DELETE { ?c mktsegment "AUTO" }
+           INSERT { ?c segment "auto-retired" . ?c inNation ?n }
+           WHERE  { ?c mktsegment "AUTO" . ?c inNation ?n }"""
+    got = rows(sparql(graph, q))
+    want = rows(update_where(
+        graph,
+        where=[("?c", "mktsegment", "AUTO"), ("?c", "inNation", "?n")],
+        delete=[("?c", "mktsegment", "AUTO")],
+        insert=[("?c", "segment", "auto-retired"), ("?c", "inNation", "?n")],
+    ))
+    assert got == want
+    assert ("c2", "mktsegment", "AUTO") not in got
+    assert ("c2", "segment", "auto-retired") in got
+    assert ("c2", "inNation", "N:7") in got        # re-assert dedups
+    assert sum(1 for t in got if t == ("c2", "inNation", "N:7")) == 1
+
+
+def test_update_delete_only_and_insert_only(graph):
+    out = rows(sparql(graph, 'DELETE { ?a knows ?b } WHERE { ?a knows ?b }'))
+    assert not any(p == "knows" for (_, p, _) in out)
+    out2 = rows(sparql(
+        graph, 'INSERT { ?b knownBy ?a } WHERE { ?a knows ?b }'))
+    assert ("c2", "knownBy", "c1") in out2 and ("c1", "knows", "c2") in out2
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ("DELETE { ?a knows ?b }", "WHERE"),
+    ("INSERT { ?a (knows/knows) ?b } WHERE { ?a knows ?b }", "template"),
+    ("DELETE { } WHERE { ?a knows ?b } JUNK", "trailing"),
+])
+def test_update_syntax_errors(graph, bad, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        sparql(graph, bad)

@@ -84,20 +84,32 @@ def _run(master: str, n_pages: int, cores: int) -> dict:
     )
     n = pages.count()
     single_pass = os.environ.get("WT_SINGLE_PASS", "1") == "1"
-    t0 = time.time()
-    if single_pass:
-        pairs = extract_attr_values(pages, keep=["url"]).count()
-    else:
-        cells = extract_tables(pages, keep=["url"])
-        pairs = tables_to_attr_values(cells, keep=["url"]).count()
-    wall = time.time() - t0
-    assert pairs == n * ROWS * COLS, (pairs, n)
+    # bench.py's methodology: run 1 pays plan compile + whole-stage-codegen
+    # JIT (a per-plan FIXED cost a long-running cluster amortizes to zero),
+    # runs 2-3 are steady state.  Reporting the cold run as the level's
+    # throughput would tax the fast configuration disproportionately (the
+    # same ~2 s compile against a 4x shorter wall) and understate scaling —
+    # measured 0.64 cold vs 0.85 steady on the same boot.  Both are
+    # reported; efficiency uses steady.
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        if single_pass:
+            pairs = extract_attr_values(pages, keep=["url"]).count()
+        else:
+            cells = extract_tables(pages, keep=["url"])
+            pairs = tables_to_attr_values(cells, keep=["url"]).count()
+        runs.append(time.time() - t0)
+        assert pairs == n * ROWS * COLS, (pairs, n)
+    wall = min(runs[1:])
     spark.stop()
     return {
         "pages": n,
         "attr_value_pairs": pairs,
         "sec": round(wall, 2),
+        "cold_sec": round(runs[0], 2),
         "pages_per_s": round(n / wall),
+        "cold_pages_per_s": round(n / runs[0]),
         "pairs_per_s": round(pairs / wall),
     }
 

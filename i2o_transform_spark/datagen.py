@@ -469,3 +469,56 @@ def generate(
         "golden_triples": golden,
         "spec": spec,  # python-side, for unit tests
     }
+
+
+def enrich_pages_web(pages: DataFrame) -> DataFrame:
+    """Append deterministic structured-data blocks to each page's html —
+    the endurance-run feedstock for the r04 web-source families (fused
+    JSON-LD/Microdata/RDFa trio, single-pass web-table extraction, term
+    dictionary) WITHOUT touching the core pipeline's html: the blocks are
+    appended before ``</body>``, so ``extract_text``'s byte-identity
+    contract over the original markup keeps its own fixtures.
+
+    Per page (k = pmod(xxhash64(url), 100000)):
+
+    * one ld+json Product (name/sku/price),
+    * one Microdata Product div (name/sku),
+    * one RDFa Lite Offer div (price),
+    * one 5-row listing ``<table>`` (sku/price/qty) with a header row.
+
+    Expected per-page yields (asserted by the endurance protocol):
+    ld+json 4 triples + @type, microdata 2 + type, rdfa 1 + type,
+    table 15 (attr, value) pairs.  All JVM concat — zero Python in the
+    enrichment itself."""
+    k = F.pmod(F.xxhash64(F.col("url")), F.lit(100000)).cast("string")
+    price = F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(900)).cast("string")
+    row = lambda i: F.concat(  # noqa: E731
+        F.lit(f'<tr><td>SKU-{i}-'), k, F.lit("</td><td>"),
+        F.pmod(F.xxhash64(F.col("url"), F.lit(10 + i)), F.lit(500)).cast("string"),
+        F.lit(f".00</td><td>{i * 3}</td></tr>"),
+    )
+    block = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Product",'
+              '"name":"Widget '), k,
+        F.lit('","sku":"SKU-'), k, F.lit('","price":"'), price,
+        F.lit('"}</script>'),
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">Widget '), k,
+        F.lit('</span><span itemprop="sku">SKU-'), k,
+        F.lit('</span></div>'),
+        F.lit('<div vocab="https://schema.org/" typeof="Offer">'
+              '<span property="price">'), price, F.lit("</span></div>"),
+        F.lit("<table><tr><th>sku</th><th>price</th><th>qty</th></tr>"),
+        row(1), row(2), row(3), row(4), row(5),
+        F.lit("</table>"),
+    )
+    html_str = F.decode(F.col("html"), "utf-8")
+    enriched = F.encode(
+        F.concat(
+            F.replace(html_str, F.lit("</body></html>"), F.lit("")),
+            block,
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    return pages.withColumn("html", enriched)

@@ -148,6 +148,7 @@ def run_pipeline(
     fused: bool = True,
     stop_after: str | None = None,
     disambiguate: bool = False,
+    web_extras: bool = False,
 ) -> dict[str, DataFrame]:
     """Full KG pipeline over synthesized pages (tests/bench) — on a cluster
     the pages stage is the Iceberg scan instead.  ``stop_after`` aborts the
@@ -156,7 +157,14 @@ def run_pipeline(
     ``disambiguate`` turns on embedding entity-link scoring: datagen plants
     the ambiguous surface + cue phrases, assembly emits the sentence context
     embedding, and link_and_emit resolves entity surfaces by argmax cosine
-    against the entity_embeddings stage instead of 1->many fan-out."""
+    against the entity_embeddings stage instead of 1->many fan-out.
+
+    ``web_extras`` adds the web-source families to the DAG (the r04
+    endurance ask): pages enriched with deterministic structured-data
+    blocks (datagen.enrich_pages_web), then the fused JSON-LD/Microdata/
+    RDFa trio (ONE Arrow pass), the single-pass web-table walker, and the
+    hash term dictionary + encoded-triples projection — each a lineage-
+    carrying checkpointed stage like the rest of the DAG."""
     params = {
         "n_pages": n_pages,
         "seed": seed,
@@ -315,6 +323,55 @@ def run_pipeline(
             upstream=["crosswalk", "canon_map"],
             entity_col="node_id",
         )
+        if web_extras:
+            from i2o_transform_spark.datagen import enrich_pages_web
+            from i2o_transform_spark.operators.dictenc import (
+                build_term_dictionary,
+                encode_triples,
+            )
+            from i2o_transform_spark.sources.htmltable import (
+                extract_attr_values,
+            )
+            from i2o_transform_spark.sources.unified import (
+                structured_data_to_triples,
+            )
+
+            enriched = _run(
+                "web_enriched",
+                lambda: enrich_pages_web(pages),
+                upstream=["pages"],
+                entity_col="url",
+            )
+            _run(
+                "web_table_pairs",
+                lambda: extract_attr_values(enriched, keep=["url"]),
+                upstream=["web_enriched"],
+                entity_col="url",
+            )
+            sd = _run(
+                "sd_triples",
+                lambda: structured_data_to_triples(enriched).select(
+                    "syntax", "doc_key", "subj", "pred", "obj",
+                    "obj_is_iri", "obj_lang",
+                ),
+                upstream=["web_enriched"],
+                entity_col="doc_key",
+                partition_by=["syntax"],
+            )
+            _run(
+                "web_term_dict",
+                lambda: build_term_dictionary(
+                    sd.select("subj", "pred", "obj"), method="hash"
+                ),
+                upstream=["sd_triples"],
+                entity_col="term",
+            )
+            _run(
+                "sd_triples_encoded",
+                lambda: encode_triples(sd.select("subj", "pred", "obj")),
+                upstream=["sd_triples"],
+                entity_col="s_id",
+            )
         r.finish()
     except _StopRun:
         pass
@@ -336,6 +393,10 @@ def main() -> None:
     ap.add_argument("--no-broadcast-vocab", action="store_true")
     ap.add_argument("--disambiguate", action="store_true",
                     help="embedding entity-link scoring over planted ambiguity")
+    ap.add_argument("--web-extras", action="store_true",
+                    help="add web-source stages: enriched html -> fused "
+                         "JSON-LD/Microdata/RDFa trio, single-pass web "
+                         "tables, term dictionary + encoded triples")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -349,6 +410,7 @@ def main() -> None:
         seed=args.seed,
         broadcast_vocab=not args.no_broadcast_vocab,
         disambiguate=args.disambiguate,
+        web_extras=args.web_extras,
     )
     r: Runner = outs["_runner"]  # type: ignore[assignment]
     n_triples = outs["triples"].count()

@@ -560,3 +560,36 @@ def test_runner_disambiguate_end_to_end(spark, tmp_path):
     n_got, n_gold = got.count(), gold.count()
     assert inter / n_got >= 0.99 and inter / n_gold >= 0.99
     assert "entity_embeddings" in outs
+
+
+def test_web_extras_stages(spark, tmp_path):
+    """--web-extras DAG (r05): enriched pages feed the fused structured-
+    data trio, the single-pass web-table walker, and the term dictionary;
+    per-page yields are closed-form from the enrichment spec (ld+json 4,
+    microdata 3, rdfa 2 triples; 5 rows x 3 cols of table pairs), the
+    hash dictionary covers every term, and the core triples stage is
+    byte-unaffected by the enrichment."""
+    out = str(tmp_path / "kg_web")
+    n = 60
+    outs = run_pipeline(spark, out, n_pages=n, web_extras=True)
+    sd = outs["sd_triples"]
+    by_syntax = {r["syntax"]: r["n"] for r in
+                 sd.groupBy("syntax").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_syntax == {"jsonld": 4 * n, "microdata": 3 * n, "rdfa": 2 * n}
+    pairs = outs["web_table_pairs"]
+    assert pairs.count() == 15 * n
+    assert {r["attr"] for r in pairs.select("attr").distinct().collect()} \
+        == {"sku", "price", "qty"}
+    # dictionary total over the triple terms; encode is join-free hash ids
+    terms = outs["sd_triples"].select(F.col("subj").alias("term")).unionByName(
+        sd.select(F.col("pred").alias("term"))).unionByName(
+        sd.select(F.col("obj").alias("term"))).distinct()
+    d = outs["web_term_dict"]
+    assert d.count() == terms.count()
+    assert outs["sd_triples_encoded"].count() == sd.count()
+    # enrichment never leaks into the core pipeline output
+    out2 = str(tmp_path / "kg_plain")
+    outs_plain = run_pipeline(spark, out2, n_pages=n)
+    a = _emitted(outs)
+    b = _emitted(outs_plain)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

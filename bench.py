@@ -93,6 +93,9 @@ EXTRA = [
     "kg_sparql_service",
     "kg_ind_mine",
     "wt_type_infer_fast",
+    # round-5 flagships: sampled betweenness, SPARQL text UPDATE
+    "kg_betweenness_approx",
+    "kg_sparql_update",
 ]
 
 

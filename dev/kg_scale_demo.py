@@ -621,6 +621,90 @@ def run_partition_demo() -> None:
     spark.stop()
 
 
+def run_betweenness_demo() -> None:
+    """Sampled betweenness at 100k nodes (graph.betweenness_centrality
+    ``sample_sources``): a bridged double-star — hub A with 70k leaves,
+    hub B with 30k leaves, one A-B bridge — where EXACT all-sources
+    Brandes would carry a (100k x level-width) composite frontier
+    (~10^10 pair-rows over 4 levels) and the 100-pivot estimator carries
+    1000x less.  Validation is closed form and exact BOTH ways:
+
+    * the TRUE scores are bc(A) = C(kA,2) + kA + kA*kB (and symmetric),
+      every leaf 0;
+    * the ESTIMATOR's expected value given the deterministic pivot set is
+      also closed form — delta_s(A) depends only on the pivot's class
+      (leaf-of-A: kA+kB, B or leaf-of-B: kA, A itself: 0) — so the demo
+      recomputes the exact expected estimate from the elected pivot
+      composition and requires float-exact agreement (the Spark sweep
+      must reproduce the arithmetic, not just land near it), plus a
+      bounded deviation of the estimate from truth (pivot-mix sampling
+      error, not sweep error).
+    """
+    from i2o_transform_spark.operators.graph import betweenness_centrality
+
+    spark = get_spark(
+        "kg-bc-scale",
+        master="local[32]",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ka, kb, pivots = 70_000, 30_000, 100
+    A, B = 1_000_000, 2_000_000
+    leaves_a = spark.range(ka).select(
+        F.lit(A).alias("src"), F.col("id").alias("dst"))
+    leaves_b = spark.range(kb).select(
+        F.lit(B).alias("src"), (F.col("id") + 3_000_000).alias("dst"))
+    bridge = spark.createDataFrame([(A, B)], "src long, dst long")
+    edges = leaves_a.unionByName(leaves_b).unionByName(bridge) \
+        .repartition(32).localCheckpoint(eager=True)
+    n = ka + kb + 2
+
+    t0 = time.time()
+    est = betweenness_centrality(
+        edges, max_depth=6, sample_sources=pivots
+    ).cache()
+    hubs = {r["node"]: r["bc"] for r in
+            est.where(F.col("node").isin(A, B)).collect()}
+    wall = time.time() - t0
+
+    # reproduce the deterministic pivot election to get the class mix
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    pset = [r["node"] for r in nodes.orderBy(
+        F.xxhash64("node").asc(), F.col("node").asc()).limit(pivots).collect()]
+    n_la = sum(1 for p in pset if p < ka)
+    n_lb = sum(1 for p in pset if p >= 3_000_000)
+    n_a = sum(1 for p in pset if p == A)
+    n_b = sum(1 for p in pset if p == B)
+    assert n_la + n_lb + n_a + n_b == pivots
+    exp_a = 0.5 * n / pivots * (n_la * (ka + kb) + (n_b + n_lb) * ka)
+    exp_b = 0.5 * n / pivots * (n_lb * (kb + ka) + (n_a + n_la) * kb)
+    true_a = ka * (ka - 1) / 2 + ka + ka * kb
+    true_b = kb * (kb - 1) / 2 + kb + kb * ka
+    leaf_max = est.where(~F.col("node").isin(A, B)).agg(
+        F.max(F.abs("bc"))).collect()[0][0]
+    out = {
+        "nodes": n, "pivots": pivots,
+        "pivot_mix": {"leafA": n_la, "leafB": n_lb, "A": n_a, "B": n_b},
+        "sec": round(wall, 2),
+        "est_A": hubs[A], "expected_est_A": exp_a, "true_A": true_a,
+        "est_B": hubs[B], "expected_est_B": exp_b, "true_B": true_b,
+        "arith_exact": (abs(hubs[A] - exp_a) <= 1e-6 * exp_a
+                        and abs(hubs[B] - exp_b) <= 1e-6 * exp_b),
+        "rel_err_vs_truth": {
+            "A": round(abs(hubs[A] - true_a) / true_a, 4),
+            "B": round(abs(hubs[B] - true_b) / true_b, 4),
+        },
+        "leaves_all_zero": float(leaf_max or 0.0) == 0.0,
+        "exact_frontier_would_be": n * n,
+        "sampled_frontier": pivots * n,
+    }
+    print("KGBC " + json.dumps(out))
+    assert out["arith_exact"] and out["leaves_all_zero"]
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--align" in sys.argv:
         run_align_demo()
@@ -634,5 +718,7 @@ if __name__ == "__main__":
         run_canon_demo()
     elif "--scc" in sys.argv:
         run_scc_demo()
+    elif "--betweenness" in sys.argv:
+        run_betweenness_demo()
     else:
         main()

@@ -716,15 +716,42 @@ def parse(text: str) -> dict:
             return tmpl
 
         delete = insert = None
+        delete_where = False
         if p.at_kw("delete"):
             p.eat()
-            delete = _template("DELETE")
-        if p.at_kw("insert"):
-            p.eat()
-            insert = _template("INSERT")
-        p.expect_kw("where")
+            if p.at_kw("where"):
+                # DELETE WHERE { ... } shorthand: the WHERE pattern doubles
+                # as the delete template (SPARQL 1.1 Update §3.1.2)
+                delete_where = True
+            else:
+                delete = _template("DELETE")
+        if not delete_where:
+            if p.at_kw("insert"):
+                p.eat()
+                insert = _template("INSERT")
+            p.expect_kw("where")
+        else:
+            p.expect_kw("where")
         group = _parse_group_with_binds(p)
         _no_trailing(p)
+        if delete_where:
+            tmpl = group.get("patterns", [])
+            for t in tmpl:
+                if len(t) != 3 or any(
+                    not isinstance(term, str) for term in t
+                ):
+                    raise SparqlSyntaxError(
+                        "DELETE WHERE template patterns must be plain "
+                        "(s, p, o) triples (no paths, tags, or GRAPH "
+                        "quads)"
+                    )
+            if set(group) - {"patterns"}:
+                raise SparqlSyntaxError(
+                    "DELETE WHERE takes a plain triple-pattern group "
+                    "(no FILTER/OPTIONAL/BIND — use the long form "
+                    "DELETE {...} WHERE {...})"
+                )
+            delete = list(tmpl)
         return {"form": "update", "delete": delete, "insert": insert,
                 "groups": [group]}
 

@@ -398,3 +398,15 @@ def test_update_delete_only_and_insert_only(graph):
 def test_update_syntax_errors(graph, bad, msg):
     with pytest.raises(SparqlSyntaxError, match=msg):
         sparql(graph, bad)
+
+
+def test_update_delete_where_shorthand(graph):
+    """DELETE WHERE { ... }: the WHERE pattern doubles as the delete
+    template (SPARQL 1.1 Update 3.1.2) — equal to the explicit form."""
+    short = rows(sparql(graph, 'DELETE WHERE { ?a knows ?b }'))
+    long_ = rows(sparql(
+        graph, 'DELETE { ?a knows ?b } WHERE { ?a knows ?b }'))
+    assert short == long_
+    assert not any(p == "knows" for (_, p, _) in short)
+    with pytest.raises(SparqlSyntaxError, match="plain triple-pattern"):
+        sparql(graph, 'DELETE WHERE { ?a knows ?b . FILTER (?a != "c1") }')

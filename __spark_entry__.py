@@ -111,7 +111,11 @@ DRIVER_WINDOW: list[str] = [
     "er_cluster_quality",
     "er_blocking_quality",
     "f9_json_extract",
-    "o6_grouped_topk",
+    # o6_grouped_topk yielded its slot to the new-in-r05 node2vec-style
+    # biased walk corpus (second-order p/q election, every hop re-derived
+    # by the oracle); grouped top-k stays evidenced by the r01-green
+    # deterministic TOP-n family
+    "kg_biased_walks",
     "ev_retention",
     "rk_rekey_report",
     "el_embedding_link_arrow",

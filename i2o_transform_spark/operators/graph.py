@@ -653,6 +653,106 @@ def deterministic_walks(
     return out
 
 
+def biased_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    return_cost: int = 9,
+    inout_cost: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walks, deterministic — the
+    exploration-control extension of :func:`deterministic_walks` (Grover &
+    Leskovec 2016's p/q return/in-out parameters, recast for a data
+    pipeline that demands identical output on every run/retry/cluster
+    size).
+
+    At step t the walker sits at ``v`` having arrived from ``prev``; each
+    out-neighbor ``w`` is classed node2vec-style — *return* (w == prev),
+    *distance-1* (w is also a neighbor of prev — the triangle-closing
+    BFS move), *distance-2* (everything else) — and the next hop is the
+    candidate minimizing the composite key ``(class_cost, md5(v:t:w), w)``.
+    Costs are single-digit integers compared as the leading byte of a
+    string key, so the election is integer-exact and portable (the same
+    key is computable in any engine — the DuckDB oracle re-derives every
+    hop).  This is a deterministic RANKED analog of node2vec's
+    alpha-weighted sampling, not proportional sampling: a class is
+    strictly preferred over costlier classes, and md5 order breaks ties
+    pseudo-randomly WITHIN a class.  ``return_cost`` plays 1/p (high =
+    no backtracking), ``inout_cost`` plays q (>1 = BFS-leaning,
+    distance-1 preferred; set it to 1 to explore depth-first-ish).
+    Distance-1 moves always cost 1.
+
+    Scale shape: per step, one candidate join on the current node + one
+    membership LEFT join of (prev, w) against the edge table + one
+    map-side-combined ``min_by`` — no window, no collect; length is a
+    small constant so the loop unrolls into a fixed plan.  Step 1 has no
+    prev (node2vec's uniform first hop): all candidates cost 1.
+
+    Output: (walk_id, step, node); step 0 is the seed row."""
+    for name, c in (("return_cost", return_cost), ("inout_cost", inout_cost)):
+        if not 1 <= int(c) <= 9:
+            raise ValueError(
+                f"{name} must be a single digit 1..9 (string-key compare "
+                f"portability), got {c}"
+            )
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    nb = e.select(F.col("_u").alias("_ps"), F.col("_v").alias("_pd"))
+    out = seeds.select(
+        F.col(node_col).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col(node_col).alias("node"),
+    ).distinct()
+    # state carries (walk_id, prev, node); step 1 is the uniform hop
+    first = (
+        out.withColumnRenamed("node", "_u")
+        .join(e, "_u")
+        .groupBy("walk_id")
+        .agg(
+            F.min_by(
+                "_v", F.md5(F.concat_ws(":", "_u", F.lit("1"), "_v"))
+            ).alias("node"),
+            F.first("_u").alias("prev"),
+        )
+    )
+    out = out.unionByName(
+        first.select("walk_id", F.lit(1).alias("step"), "node")
+    )
+    cur = first.select("walk_id", "prev", "node")
+    for t in range(2, length + 1):
+        cand = cur.withColumnRenamed("node", "_u").join(e, "_u")
+        cand = cand.join(
+            nb,
+            (cand["prev"] == nb["_ps"]) & (cand["_v"] == nb["_pd"]),
+            "left",
+        )
+        cost = (
+            F.when(F.col("_v") == F.col("prev"), F.lit(int(return_cost)))
+            .when(F.col("_ps").isNotNull(), F.lit(1))
+            .otherwise(F.lit(int(inout_cost)))
+        )
+        key = F.concat_ws(
+            ":",
+            cost.cast("string"),
+            F.md5(F.concat_ws(":", "_u", F.lit(str(t)), "_v")),
+            "_v",
+        )
+        stepped = (
+            cand.groupBy("walk_id")
+            .agg(
+                F.min_by("_v", key).alias("node"),
+                F.first("_u").alias("prev"),
+            )
+        )
+        out = out.unionByName(
+            stepped.select("walk_id", F.lit(t).alias("step"), "node")
+        )
+        cur = stepped.select("walk_id", "prev", "node")
+    return out
+
+
 def cycle_tainted_nodes(
     edges: DataFrame,
     max_rounds: int = 20,

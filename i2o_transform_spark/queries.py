@@ -4357,6 +4357,78 @@ def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_biased_walks",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, u AS (
+      SELECT subj AS s, obj AS d FROM e
+      UNION
+      SELECT obj AS s, subj AS d FROM e
+    ), w0 AS (
+      SELECT DISTINCT subj AS walk_id, subj AS node FROM e
+    ), w1 AS (
+      SELECT walk_id, w0.node AS prev,
+             arg_min(d, md5(w0.node || ':1:' || d)) AS node
+      FROM w0 JOIN u ON u.s = w0.node GROUP BY walk_id, w0.node
+    ), w2 AS (
+      SELECT w1.walk_id, w1.node AS prev,
+             arg_min(u.d,
+               CAST(CASE WHEN u.d = w1.prev THEN 9
+                         WHEN m.s IS NOT NULL THEN 1 ELSE 3 END AS VARCHAR)
+               || ':' || md5(w1.node || ':2:' || u.d) || ':' || u.d)
+               AS node
+      FROM w1
+      JOIN u ON u.s = w1.node
+      LEFT JOIN u m ON m.s = w1.prev AND m.d = u.d
+      GROUP BY w1.walk_id, w1.node
+    ), w3 AS (
+      SELECT w2.walk_id, w2.node AS prev,
+             arg_min(u.d,
+               CAST(CASE WHEN u.d = w2.prev THEN 9
+                         WHEN m.s IS NOT NULL THEN 1 ELSE 3 END AS VARCHAR)
+               || ':' || md5(w2.node || ':3:' || u.d) || ':' || u.d)
+               AS node
+      FROM w2
+      JOIN u ON u.s = w2.node
+      LEFT JOIN u m ON m.s = w2.prev AND m.d = u.d
+      GROUP BY w2.walk_id, w2.node
+    )
+    SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+      SELECT walk_id, 0 AS step, node FROM w0
+      UNION ALL SELECT walk_id, 1, node FROM w1
+      UNION ALL SELECT walk_id, 2, node FROM w2
+      UNION ALL SELECT walk_id, 3, node FROM w3) t
+    """,
+)
+def kg_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walk corpus
+    (operators/graph.biased_walks): each hop classes its candidates
+    return / distance-1 / distance-2 relative to the PREVIOUS node and
+    elects by the integer-exact composite key (class_cost, md5, node) —
+    the deterministic ranked analog of node2vec's p/q-weighted sampling
+    (return_cost=9: no backtracking when any alternative exists;
+    inout_cost=3 > 1: BFS-leaning, triangle-closing moves preferred).
+    The oracle re-derives EVERY hop — the second-order membership test
+    included — via the same portable string key, so the driver hashes
+    the entire corpus.  Scale shape per step: candidate join + (prev,
+    cand) membership left-join + map-side-combined min_by; no window,
+    no collect."""
+    from i2o_transform_spark.operators.graph import biased_walks
+
+    e = _kg_edges(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    seeds = e.select(F.col("subj").alias("node")).distinct()
+    out = biased_walks(
+        und, seeds, length=3, return_cost=9, inout_cost=3,
+        src="subj", dst="obj",
+    )
+    return out.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "node"
+    )
+
+
+@query(
     "dd_span_dedup",
     oracle=r"""
     WITH d AS (

@@ -1351,3 +1351,70 @@ def test_personalized_pagerank_vs_numpy(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert got[4] == 0.0
+
+
+def test_biased_walks_second_order_classes(spark):
+    """node2vec-style election: with return_cost=9 the walker never
+    backtracks when an alternative exists; with inout_cost>1 a
+    triangle-closing (distance-1) candidate beats every distance-2
+    candidate regardless of hash order; elections match a pure-Python
+    replication of the composite key on every step."""
+    import hashlib
+
+    from i2o_transform_spark.operators.graph import biased_walks
+
+    # path a-b with a triangle b-c-a and a distance-2 tail b-d-e
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "e")]
+    und = edges + [(y, x) for x, y in edges]
+    df = spark.createDataFrame(und, "src string, dst string").repartition(7)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in biased_walks(df, seeds, length=3).collect()
+    }
+
+    adj: dict = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # python replication
+    prev, cur = None, "a"
+    walk = {("a", 0): "a"}
+    for t in range(1, 4):
+        cands = sorted(adj[cur])
+        if t == 1:
+            nxt = min(cands, key=lambda w: md5(f"{cur}:{t}:{w}"))
+        else:
+            def key(w):
+                c = 9 if w == prev else (1 if w in adj[prev] else 3)
+                return f"{c}:{md5(f'{cur}:{t}:{w}')}:{w}"
+            nxt = min(cands, key=key)
+        walk[("a", t)] = nxt
+        prev, cur = cur, nxt
+    assert got == walk
+    # step 1 from 'a' lands on b or c by hash; at the following step the
+    # distance-1 triangle move must be taken and backtracking avoided
+    s1, s2 = got[("a", 1)], got[("a", 2)]
+    assert s2 != "a" or sorted(adj[s1]) == ["a"]
+    if s1 == "b":
+        assert s2 == "c"          # triangle (cost 1) beats d (cost 3)
+    # determinism across partitionings
+    again = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in biased_walks(df.repartition(2), seeds, length=3).collect()
+    }
+    assert again == got
+
+
+def test_biased_walks_cost_contract(spark):
+    import pytest as _pytest
+
+    from i2o_transform_spark.operators.graph import biased_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with _pytest.raises(ValueError, match="single digit"):
+        biased_walks(df, seeds, length=2, return_cost=10)

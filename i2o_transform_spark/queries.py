@@ -8961,6 +8961,59 @@ def kg_disjoint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_lpa_communities",
+    oracle="""
+    SELECT 'a' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS node,
+           'a00' AS community
+    FROM nation
+    UNION ALL
+    SELECT 'b' || CAST(r_regionkey AS VARCHAR), 'b0' FROM region
+    """,
+)
+def kg_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation COMMUNITY detection
+    (graph.label_propagation_communities): the densely-knit-group
+    discovery CC cannot express — the whole fixture is ONE connected
+    component (two cliques joined by a bridge edge), and LPA must split
+    it at the sparse cut: the nation clique floods to its minimum id
+    a00, the region clique to b0, and the single bridge edge (one vote
+    against a clique's worth of internal votes) cannot flip either
+    side — including the bridge ENDPOINTS, which transiently adopt the
+    foreign label in round 1 and are corrected by plurality in round 2.
+    Deterministic by construction (plurality + smallest-label
+    tie-break), so the full (node, community) map is value-hashed by
+    the closed-form oracle.  Scale shape per round: one edge-keyed
+    label join + one map-side-combined (node, label) count + one
+    max_by election — two exchanges, no windows."""
+    from i2o_transform_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    na = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("a"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")
+        ).alias("id")
+    )
+    re_ = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("b"), F.col("r_regionkey").cast("string")).alias("id")
+    )
+
+    def clique(ids):
+        a = ids.select(F.col("id").alias("src"))
+        b = ids.select(F.col("id").alias("dst"))
+        return a.join(b, F.col("src") < F.col("dst"))
+
+    edges = (
+        clique(na)
+        .unionByName(clique(re_))
+        .unionByName(
+            spark.createDataFrame([("a00", "b0")], "src string, dst string")
+        )
+    )
+    return label_propagation_communities(edges, max_rounds=6)
+
+
+@query(
     "kg_kcore",
     oracle="""
     WITH anchors AS (

@@ -1418,3 +1418,49 @@ def test_biased_walks_cost_contract(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     with _pytest.raises(ValueError, match="single digit"):
         biased_walks(df, seeds, length=2, return_cost=10)
+
+
+def test_lpa_communities_split_vs_cc(spark):
+    """Two 6-cliques + a bridge: CC reports ONE component, LPA splits at
+    the sparse cut; deterministic across partitionings; early exit."""
+    from i2o_transform_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    cl_a = [(f"a{i}", f"a{j}") for i in range(6) for j in range(i + 1, 6)]
+    cl_b = [(f"b{i}", f"b{j}") for i in range(6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(
+        cl_a + cl_b + [("a0", "b0")], "src string, dst string"
+    )
+    got = {r["node"]: r["community"]
+           for r in label_propagation_communities(edges).collect()}
+    assert got == {f"a{i}": "a0" for i in range(6)} | \
+                  {f"b{i}": "b0" for i in range(6)}
+    # CC would merge everything (contrast)
+    roots = {r.node: r.root
+             for r in label_propagation_components(edges).collect()}
+    assert len(set(roots.values())) == 1
+    # partitioning invariance
+    got2 = {r["node"]: r["community"]
+            for r in label_propagation_communities(
+                edges.repartition(5)).collect()}
+    assert got2 == got
+
+
+def test_lpa_communities_plurality_beats_id_order(spark):
+    """A node bridged to a clique with SMALLER ids still joins its own
+    denser side: plurality wins over lexicographic pull."""
+    from i2o_transform_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    # clique z0..z4 (large ids), clique a0..a2 (small ids), bridge z0-a0
+    cl_z = [(f"z{i}", f"z{j}") for i in range(5) for j in range(i + 1, 5)]
+    cl_a = [(f"a{i}", f"a{j}") for i in range(3) for j in range(i + 1, 3)]
+    edges = spark.createDataFrame(
+        cl_z + cl_a + [("z0", "a0")], "src string, dst string"
+    )
+    got = {r["node"]: r["community"]
+           for r in label_propagation_communities(edges).collect()}
+    assert all(got[f"z{i}"] == "z0" for i in range(5))
+    assert all(got[f"a{i}"] == "a0" for i in range(3))

@@ -9014,6 +9014,47 @@ def kg_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_ktruss",
+    oracle="""
+    SELECT 'n' || lpad(CAST(a.n_nationkey AS VARCHAR), 2, '0') AS a,
+           'n' || lpad(CAST(b.n_nationkey AS VARCHAR), 2, '0') AS b,
+           CAST((SELECT COUNT(*) FROM nation) - 2 AS BIGINT) AS support
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss dense-evidence filter (graph.k_truss): the nation clique
+    plus a pendant pair of region triangles plus a clique-to-triangle
+    bridge, peeled at k=5.  The clique's edges each close n-2 triangles
+    and survive; the pendant triangles (support 1 < k-2) and the bridge
+    (support 0) peel away — including the CASCADE: removing the bridge
+    is what isolates the triangles' remaining support.  The oracle is
+    the closed-form clique edge list with its exact support, so the
+    driver value-hashes the full surviving subgraph.  Scale shape per
+    round: the degree-ordered one-per-triangle wedge enumeration of
+    triangle_count + a map-side-combined edge-support count + an
+    anti-prune; LIMIT-1 convergence probe."""
+    from i2o_transform_spark.operators.graph import k_truss
+
+    na = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")
+        ).alias("id")
+    )
+    clique = na.select(F.col("id").alias("src")).join(
+        na.select(F.col("id").alias("dst")), F.col("src") < F.col("dst")
+    )
+    r = [f"r{i}" for i in range(5)]
+    extras = spark.createDataFrame(
+        [(r[0], r[1]), (r[1], r[2]), (r[0], r[2]),     # pendant triangle
+         (r[2], r[3]), (r[3], r[4]), (r[2], r[4]),     # second triangle
+         ("n00", r[0])],                               # bridge
+        "src string, dst string",
+    )
+    return k_truss(clique.unionByName(extras), k=5)
+
+
+@query(
     "kg_kcore",
     oracle="""
     WITH anchors AS (

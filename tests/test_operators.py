@@ -1464,3 +1464,42 @@ def test_lpa_communities_plurality_beats_id_order(spark):
            for r in label_propagation_communities(edges).collect()}
     assert all(got[f"z{i}"] == "z0" for i in range(5))
     assert all(got[f"a{i}"] == "a0" for i in range(3))
+
+
+def test_ktruss_cascade_and_bounds(spark):
+    """Triangle strip cascades to empty at k=4 (each removal erodes the
+    next edge's support — the fixpoint matters); clique survives up to
+    its truss number and vanishes past it; k<3 contract."""
+    from i2o_transform_spark.operators.graph import k_truss
+
+    strip = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(i, i + 2) for i in range(4)],
+        "src long, dst long",
+    )
+    # interior edges start at support 2 but boundary peeling cascades
+    assert k_truss(strip, k=4).count() == 0
+    assert k_truss(strip, k=3).count() > 0      # every edge in a triangle
+
+    clique6 = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "src long, dst long",
+    )
+    got = k_truss(clique6, k=6)
+    assert got.count() == 15
+    assert all(r["support"] == 4 for r in got.collect())
+    assert k_truss(clique6, k=7).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k >= 3"):
+        k_truss(clique6, k=2)
+
+
+def test_ktruss_bridge_and_pendant_pruned(spark):
+    from i2o_transform_spark.operators.graph import k_truss
+
+    clique5 = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    extra = [("c0", "p0"), ("p0", "p1"), ("p1", "p2"), ("p0", "p2")]
+    df = spark.createDataFrame(clique5 + extra, "src string, dst string")
+    surv = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
+    assert surv == {(f"c{i}", f"c{j}")
+                    for i in range(5) for j in range(i + 1, 5)}

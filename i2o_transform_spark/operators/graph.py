@@ -346,6 +346,7 @@ def pagerank_converged(
     src: str = "src",
     dst: str = "dst",
     init_ranks: DataFrame | None = None,
+    weight: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Power iteration to an L1 residual < ``tol``; returns (ranks, iters).
 
@@ -358,6 +359,16 @@ def pagerank_converged(
     the size of the perturbation, not at 1.  This completes the
     incremental triad (CC, entailment/retraction, BGP views) for ranking.
 
+    ``weight`` names an edge-weight column — the anchor-link case: a page
+    linking a target 50 times should pass 50 shares of its rank, not 1.
+    Each node splits its rank in proportion to outgoing weight
+    (``rank * w / sum_out_w``); parallel (src, dst) rows SUM their
+    weights (the crawl's per-anchor counts aggregate naturally).  With
+    uniform weights the fixpoint equals the unweighted one (rank split
+    is scale-invariant in the weights) — the oracled equivalence gate.
+    Non-positive weights are the caller's contract (a zero-total-weight
+    node degrades to dangling).
+
     Scale shape: identical per-round cost to :func:`pagerank` (edge table
     exchanged once, rank vector moves), plus one node-sized join + 1-row
     aggregate per round for the residual — the convergence check is the
@@ -366,12 +377,19 @@ def pagerank_converged(
     # iteration's actions re-traverse this plan, so without the barrier
     # the distinct's exchange re-executes per round (same reason hits()
     # checkpoints its e_src); nodes/out_deg reuse it too
-    e = (
-        edges.select(src, dst)
-        .distinct()
-        .repartition(F.col(src))
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        e = (
+            edges.select(src, dst)
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(src, dst, F.col(weight).cast("double").alias("_w"))
+            .groupBy(src, dst)
+            .agg(F.sum("_w").alias("_w"))
+        )
+    e = e.repartition(F.col(src)).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -380,7 +398,7 @@ def pagerank_converged(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0)), 0
-    out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy(src).agg(F.sum("_w").alias("out_deg"))
     if init_ranks is None:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     else:
@@ -400,7 +418,7 @@ def pagerank_converged(
             .join(F.broadcast(out_deg), src)
             .select(
                 F.col(dst).alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+                (F.col("rank") * F.col("_w") / F.col("out_deg")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))

@@ -13510,6 +13510,57 @@ def kg_pagerank_incr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_weighted_pagerank_check",
+    oracle="""
+    SELECT CAST(1 AS INT) AS uniform_matches_unweighted,
+           CAST(1 AS INT) AS heavy_target_outranks,
+           CAST(1 AS INT) AS sum_is_one
+    """,
+)
+def kg_weighted_pagerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank gate (graph.pagerank_converged ``weight=`` —
+    the anchor-link case: a page linking a target 50 times passes 50
+    shares of its rank).  Three properties, each exact: (a) UNIFORM
+    weights reproduce the unweighted fixpoint bit-for-bit on the KG
+    edge fixture (rank splitting is scale-invariant in the weights —
+    the strongest possible equivalence oracle for the weighted path);
+    (b) on a planted asymmetric star (s links a with weight 3, b with
+    weight 1, both link back) the heavy target outranks the light one;
+    (c) mass conservation: the weighted ranks sum to exactly 1 within
+    float tolerance.  Scale shape: same per-round bill as pagerank —
+    the weight rides the once-checkpointed edge table."""
+    from i2o_transform_spark.operators.graph import pagerank_converged
+
+    e = _kg_edges(spark, sf_dir).select("subj", "obj")
+    uw, _ = pagerank_converged(e, tol=1e-6, src="subj", dst="obj")
+    w7, _ = pagerank_converged(
+        e.withColumn("w", F.lit(7.0)), tol=1e-6,
+        src="subj", dst="obj", weight="w",
+    )
+    diff = (
+        uw.join(w7.select("node", F.col("rank").alias("_w7")), "node")
+        .agg(F.max(F.abs(F.col("rank") - F.col("_w7"))).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    star = spark.createDataFrame(
+        [("s", "a", 3.0), ("s", "b", 1.0), ("a", "s", 1.0), ("b", "s", 1.0)],
+        "src string, dst string, w double",
+    )
+    sr, _ = pagerank_converged(star, tol=1e-4, max_iterations=20, weight="w")
+    ranks = {r["node"]: r["rank"] for r in sr.collect()}
+    total = sum(ranks.values())
+    return spark.createDataFrame(
+        [(
+            int(diff < 1e-4),
+            int(ranks["a"] > ranks["b"]),
+            int(abs(total - 1.0) < 1e-9),
+        )],
+        "uniform_matches_unweighted int, heavy_target_outranks int, "
+        "sum_is_one int",
+    )
+
+
+@query(
     "kg_sparql_service",
     oracle="""
     SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS c,

@@ -1503,3 +1503,49 @@ def test_ktruss_bridge_and_pendant_pruned(spark):
     surv = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
     assert surv == {(f"c{i}", f"c{j}")
                     for i in range(5) for j in range(i + 1, 5)}
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    """pagerank_converged(weight=) matches a dense numpy weighted power
+    iteration; parallel (src, dst) rows sum their weights; uniform
+    weights equal the unweighted fixpoint."""
+    import numpy as np
+
+    from i2o_transform_spark.operators.graph import pagerank_converged
+
+    # weighted digraph with a dangling node (3) and a parallel edge
+    # (0->1 appears twice: 1.5 + 0.5 == one edge of weight 2)
+    rows = [(0, 1, 1.5), (0, 1, 0.5), (0, 2, 1.0), (1, 2, 4.0),
+            (2, 0, 1.0), (2, 3, 3.0), (4, 0, 2.0), (4, 3, 6.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got_df, iters = pagerank_converged(
+        edges, tol=1e-12, src="src", dst="dst", weight="w"
+    )
+    got = {r.node: r.rank for r in got_df.collect()}
+
+    n, d = 5, 0.85
+    W = np.zeros((n, n))
+    for s, t, w in rows:
+        W[t, s] += w
+    out = W.sum(axis=0)
+    P = np.zeros((n, n))
+    np.divide(W, out, out=P, where=out > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[out == 0].sum()
+        r = (1 - d) / n + d * (P @ r + dang / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-8, (i, got[i], r[i])
+
+    # uniform weights == unweighted
+    plain, _ = pagerank_converged(
+        edges.select("src", "dst"), tol=1e-12, src="src", dst="dst"
+    )
+    uni, _ = pagerank_converged(
+        edges.select("src", "dst").distinct().withColumn("w", F.lit(3.0)),
+        tol=1e-12, src="src", dst="dst", weight="w",
+    )
+    p = {r.node: r.rank for r in plain.collect()}
+    u = {r.node: r.rank for r in uni.collect()}
+    assert all(abs(p[k] - u[k]) < 1e-9 for k in p)

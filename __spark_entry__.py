@@ -110,14 +110,21 @@ DRIVER_WINDOW: list[str] = [
     # ER quality + relational misc + temporal
     "er_cluster_quality",
     "er_blocking_quality",
-    "f9_json_extract",
+    # f9_json_extract yielded its slot to the new-in-r05 deterministic
+    # label-propagation community detection (new family: sparse-cut
+    # splitting CC cannot express); the scalar-function family keeps
+    # eight r01-r03-green rows (F1-F8)
+    "kg_lpa_communities",
     # o6_grouped_topk yielded its slot to the new-in-r05 node2vec-style
     # biased walk corpus (second-order p/q election, every hop re-derived
     # by the oracle); grouped top-k stays evidenced by the r01-green
     # deterministic TOP-n family
     "kg_biased_walks",
     "ev_retention",
-    "rk_rekey_report",
+    # rk_rekey_report yielded its slot to the new-in-r05 k-truss
+    # dense-evidence filter (new family: edge-cohesion peeling); rekey
+    # keeps the r03-green rk_global_rekey row
+    "kg_ktruss",
     "el_embedding_link_arrow",
     "mm_mixed_metadata",
 ]

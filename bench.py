@@ -93,9 +93,13 @@ EXTRA = [
     "kg_sparql_service",
     "kg_ind_mine",
     "wt_type_infer_fast",
-    # round-5 flagships: sampled betweenness, SPARQL text UPDATE
+    # round-5 flagships: sampled betweenness, SPARQL text UPDATE,
+    # biased walks, LPA communities, k-truss
     "kg_betweenness_approx",
     "kg_sparql_update",
+    "kg_biased_walks",
+    "kg_lpa_communities",
+    "kg_ktruss",
 ]
 
 

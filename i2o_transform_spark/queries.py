@@ -3816,6 +3816,140 @@ def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbors(_kg_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+@query(
+    "kg_assortativity",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, ep AS (
+      SELECT subj, obj FROM e
+      UNION
+      SELECT 'hub', s FROM (VALUES ('spark'), ('customer'), ('table'),
+                                   ('row'), ('data'), ('window')) v(s)
+    ), und AS (
+      SELECT subj AS a, obj AS b FROM ep
+      UNION
+      SELECT obj AS a, subj AS b FROM ep
+    ), deg AS (
+      SELECT a AS n, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY a
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_pairs,
+           CAST(floor(corr(da.d, db.d) * 10000 + 0.5) AS BIGINT)
+             AS assortativity_x1e4
+    FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n
+    """,
+)
+def kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) over the symmetrized KG — do
+    hubs link hubs (assortative, r > 0, social-network shape) or leaves
+    (disassortative, r < 0, the classic web/KG shape)?  One number that
+    decides hub-handling strategy (salting, hub-guard thresholds) for
+    the whole graph suite.  r = Pearson correlation of the endpoint
+    degrees over the directed-both-ways edge list — pure aggregation:
+    one degree count + two broadcast-able joins + one corr, no windows,
+    no iteration.  The raw fixture is degree-regular (K6,6 — corr
+    undefined, ANSI divide-by-zero), so a planted hub over the six
+    subjects creates the degree contrast; the resulting r < 0 is the
+    classic disassortative web shape.  Reported x1e4 as an integer
+    (corr's partition-order float drift is ~1e-12, far inside the
+    rounding)."""
+    e = _kg_edges(spark, sf_dir).select("subj", "obj")
+    hub = spark.createDataFrame(
+        [("hub", t) for t in
+         ("spark", "customer", "table", "row", "data", "window")],
+        "subj string, obj string",
+    )
+    e = e.unionByName(hub).distinct()
+    und = (
+        e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .unionByName(
+            e.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    joined = (
+        und.join(deg.select(F.col("n").alias("a"),
+                            F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"),
+                         F.col("d").alias("db")), "b")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_directed_pairs"),
+        F.floor(F.corr("da", "db") * 10000 + F.lit(0.5))
+        .cast("long").alias("assortativity_x1e4"),
+    )
+
+
+@query(
+    "kg_adamic_adar",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, und AS (
+      SELECT subj AS a, obj AS b FROM e
+      UNION
+      SELECT obj AS a, subj AS b FROM e
+    ), deg AS (
+      SELECT a AS n, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY a
+    ), pairs AS (
+      SELECT l.a AS node_a, r.a AS node_b,
+             SUM(1.0 / ln(dz.d)) AS aa
+      FROM und l
+      JOIN und r ON l.b = r.b AND l.a < r.a
+      JOIN deg dz ON dz.n = l.b
+      WHERE dz.d > 1
+      GROUP BY l.a, r.a
+    )
+    SELECT node_a, node_b,
+           CAST(floor(aa * 10000 + 0.5) AS BIGINT) AS aa_x1e4
+    FROM pairs
+    WHERE aa >= 0.5
+    """,
+)
+def kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the symmetrized KG: candidate
+    pair score = sum over common neighbors z of 1/ln(deg z) — common
+    neighbors weighted by how SELECTIVE they are (a rare shared
+    neighbor is strong evidence, a hub says nothing), the standard
+    upgrade over raw common-neighbor counts (kg_common_neighbors).
+    Shape: the wedge self-join keyed on the shared neighbor + one
+    broadcast-able degree join + a map-side-combined sum; degree-1
+    neighbors are excluded (ln 1 = 0 would divide by zero — and a
+    degree-1 node can't be a common neighbor of a real pair anyway).
+    Scores x1e4 as integers; the 0.5 floor keeps the pair list to
+    evidence-bearing candidates."""
+    e = _kg_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .unionByName(
+            e.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    l = und.select(F.col("a").alias("node_a"), F.col("b").alias("z"))
+    r = und.select(F.col("a").alias("node_b"), F.col("b").alias("z"))
+    pairs = (
+        l.join(r, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .join(
+            F.broadcast(
+                deg.select(F.col("n").alias("z"), "d").where(F.col("d") > 1)
+            ),
+            "z",
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.sum(F.lit(1.0) / F.log("d")).alias("aa"))
+        .where(F.col("aa") >= 0.5)
+    )
+    return pairs.select(
+        "node_a", "node_b",
+        F.floor(F.col("aa") * 10000 + F.lit(0.5)).cast("long")
+        .alias("aa_x1e4"),
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 

@@ -11,10 +11,11 @@ oracle_sql() — matching DuckDB SQL for each query that is SQL-expressible;
 
 Ordering: the driver's CORRECTNESS artifact samples the FIRST 50 entries of
 queries().  The union of green rows across CORRECTNESS_r01..r04 is exactly
-150 distinct ids (of 279 now registered — the r05 additions are
+150 distinct ids (of 280 now registered — the r05 additions are
 kg_betweenness_approx, kg_sparql_update, kg_biased_walks,
 kg_lpa_communities, kg_ktruss (all five in-window),
-kg_weighted_pagerank_check, kg_assortativity, and kg_adamic_adar).
+kg_weighted_pagerank_check, kg_assortativity, kg_adamic_adar, and
+kg_neighbor_jaccard).
 The r05 DRIVER_WINDOW therefore
 holds 50 ids with NO green row in any prior round artifact, chosen for
 family coverage across the 121-id complement: the graph-algorithm suite
@@ -32,7 +33,7 @@ text analysis (PII scrub, TF-IDF, chunking), dedup (URL, semantic),
 streaming (sessionize, stateful totals), QA sketch gates (heavy hitters,
 bloom), ER quality, JSON extraction, grouped top-k, retention cohorts,
 the rekey report, and Arrow-batched embedding linking.  A green r05
-artifact lifts the driver union to 200/279 (72%).  Everything else
+artifact lifts the driver union to 200/280 (71%).  Everything else
 follows in original registration order and is verified by
 tests/run_oracle_check.py (full-registry sweep, all green at HEAD)
 instead.

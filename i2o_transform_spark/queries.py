@@ -3950,6 +3950,77 @@ def kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kg_neighbor_jaccard",
+    oracle=f"""
+    WITH {_KG_EDGE_SQL}, und AS (
+      SELECT subj AS a, obj AS b FROM e
+      UNION
+      SELECT obj AS a, subj AS b FROM e
+    ), deg AS (
+      SELECT a AS n, COUNT(*) AS d FROM und GROUP BY a
+    ), inter AS (
+      SELECT l.a AS node_a, r.a AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM und l JOIN und r ON l.b = r.b AND l.a < r.a
+      GROUP BY l.a, r.a
+    )
+    SELECT node_a, node_b, n_common,
+           CAST(floor(1000000.0 * n_common
+                      / (da.d + db.d - n_common) + 0.5) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter JOIN deg da ON da.n = node_a JOIN deg db ON db.n = node_b
+    WHERE 1000000.0 * n_common / (da.d + db.d - n_common) >= 200000
+    """,
+)
+def kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction — completes the trio with
+    kg_common_neighbors (raw counts) and kg_adamic_adar (selectivity-
+    weighted): |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the symmetrized KG,
+    the size-normalized overlap that doesn't inflate for high-degree
+    pairs.  Shape: the same wedge self-join keyed on the shared
+    neighbor + two broadcast-able degree joins; the union size comes
+    from inclusion-exclusion (da + db - common), never a union
+    materialization.  Integer ppm, thresholded at 0.2 to keep the
+    candidate list evidence-bearing."""
+    e = _kg_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .unionByName(
+            e.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    l = und.select(F.col("a").alias("node_a"), F.col("b").alias("z"))
+    r = und.select(F.col("a").alias("node_b"), F.col("b").alias("z"))
+    inter = (
+        l.join(r, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        F.lit(1000000.0) * F.col("n_common")
+        / (F.col("da") + F.col("db") - F.col("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(deg.select(F.col("n").alias("node_a"),
+                                   F.col("d").alias("da"))), "node_a")
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("node_b"),
+                                   F.col("d").alias("db"))), "node_b")
+        .where(jac >= 200000)
+        .select(
+            "node_a", "node_b", "n_common",
+            F.floor(jac + F.lit(0.5)).cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
